@@ -1,0 +1,75 @@
+"""Report aggregations — operators A1/A2/A3/A4, W1, O1 of SURVEY.md §2.
+
+All are single groupBy/window compositions: Spark gives partial
+(map-side) aggregation and whole-stage codegen for free. The global
+dense_rank window is unpartitioned by design — it ranks one row per
+customer (≤|customers| rows post-aggregation), so the single-partition
+sort is tiny even when the fact table is 100 TB. The expensive part
+(fact-table aggregation) happens BEFORE the window, partitioned on the
+group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.functions.scalar import money_round, null_safe_double
+
+
+def category_totals(merged: DataFrame) -> DataFrame:
+    """A1: spend per (customer_id, name, category).
+
+    ``sum`` skips NULLs exactly as pandas' skipna sum skips the NaNs
+    produced by the coerce-cast (reference app.py:133,136)."""
+    return (
+        merged.withColumn("amount", null_safe_double("amount"))
+        .groupBy("customer_id", "name", "category")
+        .agg(F.sum("amount").alias("amount"))
+    )
+
+
+def customer_spend_summary(cat_totals: DataFrame) -> DataFrame:
+    """A2 → P7 → W1 → O1: per-customer total, half-even-rounded, dense
+    ranked descending, sorted by rank.
+
+    Rank is computed on the ROUNDED amount (reference app.py:140 runs
+    before :141), so post-round ties share a dense rank."""
+    totals = cat_totals.groupBy("customer_id", "name").agg(
+        money_round(F.sum("amount")).alias("amount")
+    )
+    w = Window.orderBy(F.col("amount").desc())
+    return totals.withColumn("rank", F.dense_rank().over(w)).orderBy(
+        "rank", "customer_id"
+    )
+
+
+def top_spender_per_category(cat_totals: DataFrame) -> DataFrame:
+    """A3: arg-max row per category.
+
+    pandas idxmax breaks ties by first occurrence in groupby output
+    order — sorted by (customer_id, name, category) — so the
+    deterministic equivalent is a secondary ascending sort on
+    customer_id (SURVEY.md §2.4 A3)."""
+    w = Window.partitionBy("category").orderBy(F.col("amount").desc(), F.col("customer_id"))
+    return (
+        cat_totals.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("amount", money_round(F.col("amount")))
+        .orderBy("category")
+    )
+
+
+def customer_details_nested(cat_totals: DataFrame) -> DataFrame:
+    """A4: per-customer nested list of category rows for drill-down UI.
+
+    ``collect_list`` order is nondeterministic across partitions, so the
+    engine sorts the array (struct comparison is field-order
+    lexicographic) to make the result stable and hashable."""
+    rounded = cat_totals.withColumn("amount", money_round(F.col("amount")))
+    return rounded.groupBy("customer_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("category", "name", "amount"))
+        ).alias("details")
+    )

@@ -1,0 +1,464 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable, with a DuckDB-equivalent ANSI-SQL
+oracle string for the driver's correctness gate.
+
+Conventions (driver contract, __spark_entry__.py):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- double SUMs are computed as decimal(18,6) sums (exact, summation-order
+  independent — double summation order differs between engines and can
+  flip a rounding boundary), then rounded HALF_UP (Spark ``round`` ⟷
+  DuckDB ``round``, verified identical on decimals) and cast to double.
+  The reference-fidelity pipeline keeps ``bround`` (pandas half-even)
+  — that distinction only matters vs the reference's golden values,
+  not for cross-engine agreement;
+- doubles that become strings go through decimal(18,2) first — Java and
+  DuckDB double→string formatting differ (1.0E7 vs 10000000.0).
+
+Reference-semantics queries cite the reference file:line they
+re-express; extension queries are marked as such.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.functions.scalar import (
+    excel_serial_to_date,
+    excel_serial_to_timestamp,
+    money_round,
+)
+from py_data_pipeline_app_spark.operators.aggregates import (
+    category_totals,
+    customer_spend_summary,
+    top_spender_per_category,
+)
+from py_data_pipeline_app_spark.operators.parse import parse_customer_blob
+from py_data_pipeline_app_spark.operators.scd import apply_scd_batch
+from py_data_pipeline_app_spark.sources.parquet import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def dec_sum(col: F.Column | str) -> F.Column:
+    """Exact (order-independent) sum of a double column via decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)"))
+
+
+def money_sum(col: F.Column | str, scale: int = 2) -> F.Column:
+    """Cross-engine-deterministic rounded sum: exact decimal sum,
+    HALF_UP round, double output."""
+    return F.round(dec_sum(col), scale).cast("double")
+
+
+def stat_avg(col: F.Column | str, scale: int = 4) -> F.Column:
+    """Deterministic average: exact decimal sum → one double division
+    (IEEE-deterministic) → HALF_UP round."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(dec_sum(c).cast("double") / F.count(c), scale)
+
+
+def sql_money_sum(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
+
+
+def sql_stat_avg(expr: str, scale: int = 4) -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / count({expr}), {scale})"
+    )
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Core analytics: the reference's report pipeline mapped onto the testdata
+# star schema (FIXTURES.md §F6: orders/lineitem≈transactions,
+# customer≈customers, part≈products).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spend_ranking",
+    """
+    SELECT c_custkey, c_name, amount,
+           dense_rank() OVER (ORDER BY amount DESC) AS spend_rank
+    FROM (
+      SELECT c_custkey, c_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS amount
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+    )
+    """,
+)
+def customer_spend_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2→P7→W1 (reference app.py:139-142): per-customer total spend,
+    half-even rounded, dense-ranked descending.
+
+    Scale notes: the heavy agg happens first, partitioned by customer
+    key with map-side partial aggregation; the unpartitioned dense_rank
+    window only sees one row per customer (post-agg), which is the
+    ranking's intrinsic output size."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    totals = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(money_sum("o_totalprice").alias("amount"))
+    )
+    w = Window.orderBy(F.col("amount").desc())
+    return totals.withColumn("spend_rank", F.dense_rank().over(w))
+
+
+def _category_totals_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared A1 analog: revenue per (customer, part-brand 'category').
+
+    lineitem ⋈ orders carries the fact; customer and part are broadcast
+    dims so the fact shuffles only for the final groupBy."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("c_custkey", "c_name", "p_brand")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"))
+    )
+
+
+_CATEGORY_TOTALS_SQL = """
+      SELECT c_custkey, c_name, p_brand,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS amount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part     ON l_partkey = p_partkey
+      GROUP BY c_custkey, c_name, p_brand
+"""
+
+
+@register("category_totals", _CATEGORY_TOTALS_SQL)
+def category_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (reference app.py:136): 3-key hash aggregation over the
+    enriched fact (J1/J2 joins included)."""
+    return _category_totals_df(spark, sf_dir)
+
+
+@register(
+    "top_spender_per_category",
+    f"""
+    SELECT c_custkey, c_name, p_brand, amount
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY amount DESC, c_custkey) AS rn
+      FROM ({_CATEGORY_TOTALS_SQL})
+    ) WHERE rn = 1
+    """,
+)
+def top_spender_per_category_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (reference app.py:145-146): arg-max per category with the
+    deterministic first-occurrence tie-break (secondary key ascending)."""
+    ct = _category_totals_df(spark, sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(F.col("amount").desc(), F.col("c_custkey"))
+    return (
+        ct.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@register(
+    "customer_details_nested",
+    f"""
+    SELECT c_custkey,
+           string_agg(detail, ';' ORDER BY detail) AS details
+    FROM (
+      SELECT c_custkey,
+             p_brand || '|' || c_name || '|' ||
+             CAST(CAST(amount AS DECIMAL(18,2)) AS VARCHAR) AS detail
+      FROM ({_CATEGORY_TOTALS_SQL})
+    )
+    GROUP BY c_custkey
+    """,
+)
+def customer_details_nested_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (reference app.py:149-151): per-customer nested drill-down.
+    Serialized to a sorted joined string so the oracle hash is
+    representation-independent (the real API returns
+    ArrayType(StructType) — see operators.aggregates.customer_details_nested)."""
+    ct = _category_totals_df(spark, sf_dir)
+    detail = F.concat_ws(
+        "|",
+        F.col("p_brand"),
+        F.col("c_name"),
+        F.col("amount").cast("decimal(18,2)").cast("string"),
+    )
+    return (
+        ct.select("c_custkey", detail.alias("detail"))
+        .groupBy("c_custkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("detail")), ";").alias("details"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parsing / scalar functions (P1/P5/P6/P7, serial dates).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "blob_parse_roundtrip",
+    """
+    SELECT split_part(blob_body, '_', 1) AS customer_id,
+           split_part(blob_body, '_', 2) AS name,
+           split_part(blob_body, '_', 3) AS email,
+           split_part(blob_body, '_', 4) AS dob,
+           split_part(blob_body, '_', 5) AS address,
+           split_part(blob_body, '_', 6) AS created_date
+    FROM (
+      SELECT substr(blob, 2, length(blob) - 2) AS blob_body
+      FROM (
+        SELECT CASE WHEN c_custkey % 50 = 0 THEN 'garbage line ' || c_custkey
+               ELSE '{' || c_custkey || '_' || c_name || '_u' || c_custkey
+                    || '@example.com_1990-01-01_addr ' || c_nationkey || '_'
+                    || c_mktsegment || '}' END AS blob
+        FROM customer
+      )
+      WHERE blob LIKE '{%' AND blob LIKE '%}'
+    )
+    """,
+)
+def blob_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 (reference app.py:93-104): the custom ``{a_b_c_d_e_f}``
+    blob parser as pure native expressions, exercised by synthesizing
+    blobs (including malformed ones that must be rejected) from the
+    customer table."""
+    customer = load_table(spark, "customer", sf_dir)
+    blob = F.when(
+        F.col("c_custkey") % 50 == 0,
+        F.concat(F.lit("garbage line "), F.col("c_custkey").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("{"),
+            F.col("c_custkey").cast("string"),
+            F.lit("_"),
+            F.col("c_name"),
+            F.lit("_u"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com_1990-01-01_addr "),
+            F.col("c_nationkey").cast("string"),
+            F.lit("_"),
+            F.col("c_mktsegment"),
+            F.lit("}"),
+        )
+    )
+    raw = customer.select(blob.alias("raw"), F.col("c_custkey").alias("_sheet_pos"))
+    parsed, _rejects = parse_customer_blob(raw)
+    return parsed.drop("_sheet_pos")
+
+
+@register(
+    "excel_serial_dates",
+    """
+    SELECT o_orderkey,
+           datediff('day', DATE '1899-12-30', CAST(o_orderdate AS DATE)) AS excel_serial,
+           DATE '1899-12-30' + CAST(datediff('day', DATE '1899-12-30', CAST(o_orderdate AS DATE)) AS INTEGER) AS date_roundtrip,
+           CAST(DATE '1899-12-30'
+                + CAST(datediff('day', DATE '1899-12-30', CAST(o_orderdate AS DATE)) AS INTEGER)
+                AS TIMESTAMP) + 21600 * INTERVAL 1 SECOND AS ts_roundtrip
+    FROM orders
+    """,
+)
+def excel_serial_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel serial-date codec (SURVEY.md §1.2: transaction_date is a
+    serial-day int, created_date a serial float with time fraction).
+    Derives serials from o_orderdate and round-trips them through the
+    engine's converters."""
+    orders = load_table(spark, "orders", sf_dir)
+    serial = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1899-12-30")))
+    return orders.select(
+        "o_orderkey",
+        serial.alias("excel_serial"),
+        excel_serial_to_date(serial).alias("date_roundtrip"),
+        excel_serial_to_timestamp(serial.cast("double") + F.lit(0.25)).alias("ts_roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD / CDC (S6, SNK2) re-expressed set-based over the events table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd_change_log",
+    """
+    SELECT user_id, prev AS old_event_type, event_type AS new_event_type
+    FROM (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM events
+    )
+    WHERE prev IS NOT NULL AND prev <> event_type
+    """,
+)
+def scd_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (reference app.py:110-123): order-aware change detection —
+    each row compared against the previous occurrence of its key —
+    rewritten as lag() over (key, position). The reference does this
+    with a per-row SQLite point-SELECT (N+1); here it is one shuffle."""
+    events = load_table(spark, "events", sf_dir)
+    batch = events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+        F.col("event_id").alias("_sheet_pos"),
+    )
+    res = apply_scd_batch(None, batch, key="user_id", tracked="event_type")
+    return res.changes.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "old_event_type",
+        "new_event_type",
+    )
+
+
+@register(
+    "dimension_current_state",
+    """
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dimension_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK2 last-write-wins upsert semantics (reference app.py:117-122):
+    the dimension's current state is the last row per key in arrival
+    order — one window, no per-row loop."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-view scans (SRC5/SRC6/O2) and simple profiling groupings.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recent_events_top100",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def recent_events_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC5/O2 (reference app.py:193-197): newest-first scan, limited.
+    TakeOrderedAndProject in Spark — no full sort materialization."""
+    events = load_table(spark, "events", sf_dir)
+    return events.select("event_id", "ts", "user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).limit(100)
+
+
+@register(
+    "event_type_breakdown",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling aggregation (payment_type-breakdown analog): count /
+    distinct / sum / avg per enum value."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum("value").alias("total_value"),
+        stat_avg("value").alias("avg_value"),
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extension: JSON property extraction from the
+    events.props column, JVM-side (get_json_object)."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the engine's headline scan+agg
+    benchmark: predicate pushed to parquet, 4-column ReadSchema, partial
+    aggregation, whole-stage codegen end to end."""
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            stat_avg("l_quantity").alias("avg_qty"),
+            stat_avg("l_extendedprice").alias("avg_price"),
+            stat_avg("l_discount", 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
