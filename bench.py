@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract): runs the engine's headline
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing is end-to-end per query: logical plan construction + Catalyst +
+execution + driver collect. A warmup query runs first so JVM/codegen
+startup is not billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per engine pillar — scan+agg (Q1), multi-join agg,
+# ranking window, top-1-per-group, order-aware CDC, top-k scan, and the
+# scale extensions (dedup, similarity) once registered.
+HEADLINE = [
+    "pricing_summary",
+    "category_totals",
+    "customer_spend_ranking",
+    "top_spender_per_category",
+    "scd_change_log",
+    "recent_events_top100",
+    "event_type_breakdown",
+    # extensions (registered in plans/queries.py as they land):
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from py_data_pipeline_app_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # Warmup: trivial count to pay JVM/codegen startup once.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # One full-plan execution per run via the noop sink (all operators and
+    # projections execute; no driver-transfer cost skews the measurement).
+    # Two runs, report the min: run 1 pays whole-stage-codegen compilation,
+    # run 2 is the steady-state throughput a long-lived cluster would see.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,13 +50,30 @@ def top_spender_per_category(cat_totals: DataFrame) -> DataFrame:
     pandas idxmax breaks ties by first occurrence in groupby output
     order — sorted by (customer_id, name, category) — so the
     deterministic equivalent is a secondary ascending sort on
-    customer_id (SURVEY.md §2.4 A3)."""
-    w = Window.partitionBy("category").orderBy(F.col("amount").desc(), F.col("customer_id"))
+    customer_id (SURVEY.md §2.4 A3).
+
+    Implemented as a hash aggregation — ``min(struct(-amount,
+    customer_id, …))`` (struct comparison is lexicographic, so min
+    means amount DESC then customer_id ASC) — rather than a
+    row_number window: the agg gets map-side partial aggregation and
+    avoids shuffling every group row into |categories| partitions for
+    a sort, which skews badly when categories are few and rows many."""
+    m = F.min(
+        F.struct(
+            (-F.col("amount")).alias("neg_amount"),
+            F.col("customer_id").alias("customer_id"),
+            F.col("name").alias("name"),
+        )
+    ).alias("m")
     return (
-        cat_totals.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("amount", money_round(F.col("amount")))
+        cat_totals.groupBy("category")
+        .agg(m)
+        .select(
+            F.col("m.customer_id").alias("customer_id"),
+            F.col("m.name").alias("name"),
+            F.col("category"),
+            money_round(-F.col("m.neg_amount")).alias("amount"),
+        )
         .orderBy("category")
     )
 

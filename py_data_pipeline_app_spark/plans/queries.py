@@ -173,11 +173,28 @@ def category_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_spender_per_category_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (reference app.py:145-146): arg-max per category with the
-    deterministic first-occurrence tie-break (secondary key ascending)."""
+    deterministic first-occurrence tie-break (secondary key ascending).
+
+    Hash-agg argmax — ``min(struct(-amount, key, …))`` — instead of a
+    row_number window: partial aggregation map-side, no sort, and no
+    skew from shuffling every group row into |categories| partitions."""
     ct = _category_totals_df(spark, sf_dir)
-    w = Window.partitionBy("p_brand").orderBy(F.col("amount").desc(), F.col("c_custkey"))
+    m = F.min(
+        F.struct(
+            (-F.col("amount")).alias("neg_amount"),
+            F.col("c_custkey").alias("c_custkey"),
+            F.col("c_name").alias("c_name"),
+        )
+    ).alias("m")
     return (
-        ct.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        ct.groupBy("p_brand")
+        .agg(m)
+        .select(
+            F.col("m.c_custkey").alias("c_custkey"),
+            F.col("m.c_name").alias("c_name"),
+            F.col("p_brand"),
+            (-F.col("m.neg_amount")).alias("amount"),
+        )
     )
 
 
