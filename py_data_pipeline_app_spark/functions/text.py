@@ -1,0 +1,174 @@
+"""Text-analysis column functions for large-scale corpus processing:
+tokenization, normalization, cross-engine-stable hashing, language-ID
+heuristics, quality scoring, token counting, and document fingerprints.
+
+Everything here is native Column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs — so the same pipeline that profiles 500 test
+documents runs unchanged over a 100 TB corpus: per-row work scales
+linearly with partitions and never leaves the executor JVM.
+
+Cross-engine determinism: hashes are derived from md5 (identical in
+every engine) rather than xxhash64/murmur (engine-specific), so DuckDB
+oracles can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne-ish prime for affine minhash permutations: values fit in
+# 31 bits so (a*h + b) stays under 2^62 — no 64-bit overflow in either
+# Spark longs or DuckDB BIGINTs.
+HASH_PRIME = 2147483647  # 2^31 - 1
+
+# A token regex in the BPE spirit: letter runs, single digits, and
+# single non-alphanumeric marks each count as one token. (Real BPE
+# needs a learned merge table; this is the standard cheap estimator.)
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and frozen: they are part of the
+# engine's public contract (the DuckDB oracle embeds the same lists).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es": ("el", "la", "y", "los", "las", "un", "una", "es"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht", "von"),
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact-dedup fingerprinting: lowercase, every
+    non-alphanumeric run collapsed to one space, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def md5_long(col: Column | str) -> Column:
+    """Stable 60-bit positive integer from a string: first 15 hex chars
+    of md5, base-16 → long. Identical in DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::UBIGINT``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def token_hash(col: Column | str) -> Column:
+    """Token hash reduced mod HASH_PRIME — the input domain for affine
+    minhash permutations."""
+    return md5_long(col) % HASH_PRIME
+
+
+def minhash_perm(h: Column, a: int, b: int) -> Column:
+    """One affine permutation h -> (a*h + b) mod p of a token hash."""
+    return (h * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)
+
+
+def perm_coeffs(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for ``n_perms`` minhash
+    permutations — Weyl-sequence constants, identical in the SQL oracle
+    generator (no RNG: reproducible across engines and runs)."""
+    coeffs = []
+    for i in range(1, n_perms + 1):
+        a = (i * 2654435761 + 1) % HASH_PRIME
+        b = (i * 40503 + 2531011) % HASH_PRIME
+        coeffs.append((a or 1, b))
+    return coeffs
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token estimate via the frozen token regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoints → zh; otherwise the
+    language whose stopword list hits the most tokens, ties broken by
+    the frozen order en > fr > es > de; no hits → 'und'.
+
+    This is the classic cheap n-gram/stopword detector a corpus
+    pipeline runs before routing text to per-language processing."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+
+    def _hit_count(words: tuple[str, ...]):
+        # NB: the filter lambda must be unary — PySpark treats a 2-arg
+        # lambda as (element, index).
+        return F.size(F.filter(toks, lambda t: t.isin(list(words))))
+
+    hits = {lang: _hit_count(words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    detected = (
+        F.when(c.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(best <= 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["fr"] == best, F.lit("fr"))
+        .when(hits["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return detected
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature set (each a native expression):
+    lengths, punctuation/digit/space ratios, type-token ratio, mean
+    token length, and a composite [0,1] score."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    mean_tok_len = (n_chars - n_tokens + 1).cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    digit_ratio = n_digit.cast("double") / F.greatest(n_chars, F.lit(1))
+    ttr = n_types.cast("double") / F.greatest(n_tokens, F.lit(1))
+    # Composite: reward moderate length + lexical diversity, penalize
+    # punctuation/digit noise. Weights frozen (part of the contract).
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.1
+        + (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0))) * 0.1
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_types": n_types,
+        "mean_tok_len": F.round(mean_tok_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "type_token_ratio": F.round(ttr, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def doc_fingerprint(col: Column | str, gram: int = 16) -> dict[str, Column]:
+    """Document fingerprints: whole-text md5 plus min/max rolling-hash
+    over character ``gram``-grams (winnowing-style selection of extreme
+    shingle hashes — order-independent, robust to small edits at the
+    ends)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = normalize_text(c)
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(gram - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: norm.substr(i, F.lit(gram)))
+    gram_hashes = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    return {
+        "md5_fingerprint": F.md5(norm),
+        "min_gram_hash": F.array_min(gram_hashes),
+        "max_gram_hash": F.array_max(gram_hashes),
+    }

@@ -1,0 +1,270 @@
+"""Similarity search over embedding columns (array<float>): exact
+brute-force cosine top-k as the correctness baseline, IVF-style
+coarse-quantizer probing and random-hyperplane LSH as the scale paths.
+
+Scale design:
+
+- Cosine is computed with native higher-order functions (zip_with +
+  aggregate fold in double precision) — JVM-side, codegen, and
+  bit-for-bit reproducible in the DuckDB oracle (same sequential fold
+  order).
+- Brute force is exact and O(N·Q): right for reranking and small Q.
+  The query set is broadcast; the corpus never shuffles.
+- IVF: vectors are pre-bucketed by nearest coarse centroid (one pass);
+  queries probe only the ``nprobe`` nearest buckets, cutting the
+  scanned fraction to nprobe/n_centroids. Recall < 1 by construction —
+  tests measure it against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Sequential-fold double dot product — deterministic across
+    engines (same fold order ⇒ identical IEEE results)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(x: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(x, lambda p: p.cast("double") * p.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (l2_norm(x) * l2_norm(y))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    The (small) query set is broadcast against the corpus — the corpus
+    is scanned once, never shuffled; only the scored rows shuffle, and
+    the per-query ranking window partitions by query id."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (the brute-force baseline).
+
+    O(N²) by construction — correct at evaluation scale; at corpus
+    scale use :func:`hyperplane_lsh_near_dup_pairs`, which blocks the
+    same computation by sign-pattern buckets."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 9).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Pseudo-random unit-ish hyperplanes from a fixed LCG — no RNG
+    state, reproducible everywhere."""
+    planes = []
+    state = 88172645463325252
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            v.append(((state % 2001) - 1000) / 1000.0)
+        planes.append(v)
+    return planes
+
+
+def hyperplane_lsh_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-dup: sign
+    pattern of ``n_planes`` projections, banded into ``bands`` buckets;
+    candidates = pairs sharing any band; verified with exact cosine.
+
+    P[signs agree] = 1 - θ/π per plane, so high-cosine pairs collide in
+    at least one band with high probability; recall measured in tests
+    against the exact baseline."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _deterministic_hyperplanes(dim, n_planes)
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(c) for c in plane]),
+                lambda p, q: p.cast("double") * q,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for plane in planes
+    ]
+    bits = [F.when(p > 0, F.lit(1)).otherwise(F.lit(0)) for p in proj]
+    r = n_planes // bands
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("", *[bits[bi * r + j].cast("string") for j in range(r)]).alias(
+                    "bucket"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    blocked = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_keys).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band", "bucket"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 9).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse centroids = deterministic
+    sample of the corpus (every (N/n_centroids)-th vector by id);
+    vectors assigned to their nearest centroid once; each query probes
+    its ``nprobe`` nearest centroid buckets only.
+
+    The corpus-assignment pass is one broadcast join + argmin; the
+    query pass scans ~nprobe/n_centroids of the corpus. A production
+    build would train the centroids with k-means (pyspark.ml.KMeans) —
+    the plumbing is identical; the deterministic sample keeps tests
+    reproducible without an iterative fit."""
+    w_first = Window.orderBy(id_col)
+    cents = (
+        corpus.withColumn("_rn", F.row_number().over(w_first) - 1)
+        .withColumn("_total", F.count("*").over(Window.partitionBy()))
+        .filter(F.col("_rn") % F.greatest((F.col("_total") / n_centroids).cast("int"), F.lit(1)) == 0)
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    cents = F.broadcast(cents)
+
+    # assign: argmin over centroids by max cosine
+    assigned = (
+        corpus.crossJoin(cents)
+        .select(
+            id_col,
+            vec_col,
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("csim").desc(), "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+    probes = (
+        queries.crossJoin(cents)
+        .select(
+            query_id_col,
+            F.col(vec_col).alias("_qvec"),
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(F.col("csim").desc(), "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id_col, "_qvec", "centroid_id")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
+    )

@@ -479,3 +479,327 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions: deduplication (exact / MinHash+LSH / SimHash /
+# n-gram Jaccard), embedding similarity, text analysis. No reference
+# evidence — these are the corpus-curation operators a 100 TB pipeline
+# needs (BASELINE.json north star). All hashing is md5-derived so the
+# DuckDB oracles reproduce it bit-for-bit (functions/text.py).
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from py_data_pipeline_app_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+from py_data_pipeline_app_spark.functions import text as TXT  # noqa: E402
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SQL_WS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5 of normalized text — one
+    shuffle on a 16-byte key, full map-side partial aggregation."""
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws)-2, 1)+1),
+               i -> list_aggregate(ws[i:i+2], 'string_agg', ' ')))) AS shingle
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(nc::DOUBLE / (sa.n + sb.n - nc), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (threshold 0.5) via the
+    inverted-index self-join — candidates come from shared shingles,
+    never a cross join."""
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), n=3, threshold=0.5
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             md5(list_aggregate(list_sort(list_distinct({_SQL_WS})),
+                 'string_agg', ' ')) AS k
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS jaccard
+    FROM s a JOIN s b ON a.k = b.k AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands) near-dup pairs at threshold
+    1.0 with exact verification. Recall is provably 1.0 at this
+    threshold (identical word sets ⇒ identical signatures ⇒ collide in
+    every band), so the oracle is the set-identity self-join; lower
+    thresholds (probabilistic regime) are covered by tests."""
+    return minhash_dedup_pairs(
+        load_table(spark, "documents", sf_dir), threshold=1.0
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(60)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_WS})) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, {votes}
+      FROM h GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, {packed} AS simhash FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 60-bit hashes), blocked
+    by the pigeonhole principle on 4×15-bit segments — the oracle brute
+    forces all pairs (fine at sf0.01); the Spark plan only compares
+    segment-collision candidates."""
+    return simhash_near_dup_pairs(
+        load_table(spark, "documents", sf_dir), max_hamming=3, chunks=4
+    )
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos('a.embedding', 'b.embedding')}, 9) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.4
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.4), exact all-pairs
+    baseline. Cosine is a sequential double fold — bit-identical to the
+    DuckDB oracle. The scale path is hyperplane_lsh_near_dup_pairs
+    (recall measured in tests)."""
+    return embedding_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.4
+    )
+
+
+@register(
+    "similarity_topk",
+    f"""
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round({_sql_cos('c.embedding', 'q.embedding')}, 9) AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_sql_cos('c.embedding', 'q.embedding')}, 9) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the
+    query set, scan the corpus once (never shuffled), rank per query."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register("similarity_topk_ivf")  # approximate: rows-only check; recall tested
+def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-5 (16 coarse buckets, nprobe 4):
+    scans ~nprobe/n_centroids of the corpus per query. Approximate by
+    construction — recall vs the exact baseline is asserted in tests,
+    not the oracle gate."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+_SQL_STOP = {
+    "en": "('the','and','of','to','a','in','is','it')",
+    "fr": "('le','la','et','les','des','un','une','est')",
+    "es": "('el','la','y','los','las','un','una','es')",
+    "de": "('der','die','und','das','ein','ist','nicht','von')",
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws,
+             regexp_matches(text, '[一-鿿]') AS has_cjk
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, labeled_lang, has_cjk,
+             len(list_filter(ws, t -> t IN {_SQL_STOP['en']})) AS h_en,
+             len(list_filter(ws, t -> t IN {_SQL_STOP['fr']})) AS h_fr,
+             len(list_filter(ws, t -> t IN {_SQL_STOP['es']})) AS h_es,
+             len(list_filter(ws, t -> t IN {_SQL_STOP['de']})) AS h_de
+      FROM t
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN greatest(h_en, h_fr, h_es, h_de) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_fr, h_es, h_de) THEN 'en'
+                WHEN h_fr = greatest(h_en, h_fr, h_es, h_de) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_fr, h_es, h_de) THEN 'es'
+                ELSE 'de' END AS detected_lang
+    FROM hits
+    """,
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK codepoints, then stopword-hit argmax
+    with frozen tie-break) next to the corpus label."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TXT.lang_id("text").alias("detected_lang"),
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_types,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_types,
+           round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 6) AS mean_tok_len,
+           round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(n_digit::DOUBLE / greatest(n_chars, 1), 6) AS digit_ratio,
+           round(n_types::DOUBLE / greatest(n_tokens, 1), 6) AS type_token_ratio,
+           round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+                 + (n_types::DOUBLE / greatest(n_tokens, 1)) * 0.4
+                 + (1.0 - least((n_punct::DOUBLE / greatest(n_chars, 1)) * 5.0, 1.0)) * 0.1
+                 + (1.0 - least((n_digit::DOUBLE / greatest(n_chars, 1)) * 5.0, 1.0)) * 0.1,
+                 6) AS quality_score
+    FROM t
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features + composite score per document, all
+    native expressions (functions/text.py:quality_features)."""
+    docs = load_table(spark, "documents", sf_dir)
+    feats = TXT.quality_features("text")
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in feats.items()]
+    )
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_NORM} AS norm FROM documents),
+    g AS (
+      SELECT doc_id, text, norm,
+             list_transform(range(1, greatest(length(norm) - 15, 1) + 1),
+               i -> ('0x' || substr(md5(substr(norm, i, 16)), 1, 15))::UBIGINT::BIGINT)
+               AS gh
+      FROM t
+    )
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS tokens_bpe,
+           md5(norm) AS md5_fingerprint,
+           list_aggregate(gh, 'min') AS min_gram_hash,
+           list_aggregate(gh, 'max') AS max_gram_hash
+    FROM g
+    """,
+)
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and document
+    fingerprints (md5 + min/max rolling char-16-gram hash)."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = TXT.doc_fingerprint("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count_ws("text").alias("tokens_ws"),
+        TXT.token_count_bpe("text").alias("tokens_bpe"),
+        fp["md5_fingerprint"].alias("md5_fingerprint"),
+        fp["min_gram_hash"].alias("min_gram_hash"),
+        fp["max_gram_hash"].alias("max_gram_hash"),
+    )

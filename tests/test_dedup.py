@@ -1,0 +1,129 @@
+"""Dedup operators: planted duplicates must be found, non-dups must
+not, and the probabilistic regimes (LSH recall) behave as designed."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from py_data_pipeline_app_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick, brown fox JUMPS over the lazy dog!"),  # exact after norm
+        (3, "dog lazy the over jumps fox brown quick the"),  # same word set, reordered
+        (4, "an entirely different document about spark engines"),
+        (5, "the quick brown fox jumps over the lazy cat"),  # near (1 word off)
+        (6, "completely unrelated text with unique tokens zebra"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_normalized_copies(corpus):
+    out = exact_dedup(corpus).collect()
+    groups = {r.canonical_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1 and 2 normalize identically
+    assert sum(groups.values()) == 6
+
+
+def test_minhash_identical_sets_always_collide(corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(corpus, threshold=1.0).collect()
+    }
+    # 1, 2, 3 share the identical word set (after whitespace tokenising
+    # doc 2 differs by punctuation => doc 2 tokens unequal). Doc1 vs 3:
+    # same set => must be found. Pairs are exact-verified so no FPs.
+    assert (1, 3) in pairs
+    for a, b in pairs:
+        assert a < b
+
+
+def test_minhash_signature_identity_for_same_set(corpus):
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(corpus).collect()}
+    assert sigs[1] == sigs[3]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_candidates_superset_of_true_dups(corpus):
+    sigs = minhash_signatures(corpus)
+    cands = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()
+    }
+    assert (1, 3) in cands
+
+
+def test_ngram_jaccard_finds_near_dup(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+    }
+    # docs 1 and 5 share 6 of 7 trigram positions (distinct sets: 6 of 8)
+    assert (1, 5) in pairs
+    assert 0.5 <= pairs[(1, 5)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_max_df_drops_stop_shingles(spark):
+    # shingle "a a a" appears in every doc; with max_df it contributes
+    # no candidate pairs.
+    rows = [(i, "a a a unique%d token%d word%d" % (i, i, i)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    no_cap = ngram_jaccard_pairs(df, n=3, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=3).count()
+    assert no_cap > 0
+    assert capped == 0
+
+
+def test_simhash_hamming_zero_for_same_set(corpus):
+    sh = {r.doc_id: r.simhash for r in simhash64(corpus).collect()}
+    assert sh[1] == sh[3]  # same distinct-word set -> identical simhash
+    assert sh[1] != sh[6]
+
+
+def test_simhash_near_dup_pairs_block_and_verify(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(corpus, max_hamming=3).collect()
+    }
+    assert pairs[(1, 3)] == 0
+    assert (1, 6) not in pairs
+
+
+def test_simhash_blocking_contract_vs_brute_force(corpus):
+    # The operator's exact contract: a pair is emitted iff it agrees on
+    # at least one 15-bit segment (pigeonhole blocking) AND its full
+    # Hamming distance is within budget. Check against a brute-force
+    # recomputation on the collected hashes.
+    budget = 20
+    sh = {r.doc_id: r.simhash for r in simhash64(corpus).collect()}
+    expected = set()
+    for a in sh:
+        for b in sh:
+            if a >= b:
+                continue
+            x = sh[a] ^ sh[b]
+            hamming = bin(x).count("1")
+            shares_segment = any(
+                (sh[a] >> (15 * c)) & 0x7FFF == (sh[b] >> (15 * c)) & 0x7FFF
+                for c in range(4)
+            )
+            if shares_segment and hamming <= budget:
+                expected.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(corpus, max_hamming=budget).collect()
+    }
+    assert got == expected
+    assert (1, 3) in got  # identical word sets: hamming 0, always found

@@ -1,0 +1,107 @@
+"""Similarity search: exact baseline correctness, and approximate
+variants measured against it (recall, not equality)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from py_data_pipeline_app_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    hyperplane_lsh_near_dup_pairs,
+    ivf_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_cosine_matches_python(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["x", "y"]
+    )
+    got = df.select(cosine(F.col("x"), F.col("y")).alias("c")).collect()[0].c
+    dot = 1 * 4 + 2 * 5 + 3 * 6
+    want = dot / (math.sqrt(14) * math.sqrt(77))
+    assert abs(got - want) < 1e-12
+
+
+def test_cosine_self_is_one(emb):
+    row = emb.select(
+        cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).first()
+    assert abs(row.c - 1.0) < 1e-12
+
+
+def test_brute_force_topk_shape_and_order(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r.rank for r in rows] == [1, 2, 3, 4] or sorted(
+            r.rank for r in rows
+        ) == [1, 2, 3, 4]
+        ordered = sorted(rows, key=lambda r: r.rank)
+        scores = [r.score for r in ordered]
+        assert scores == sorted(scores, reverse=True)
+        # rank 1 is the query itself (cosine 1.0)
+        assert ordered[0].vec_id == q
+        assert abs(ordered[0].score - 1.0) < 1e-6
+
+
+def test_ivf_recall_against_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # probing half the buckets of random-ish data
+    # the query vector itself always lands in its own probed bucket
+    assert all((q, q) in approx_set for q in range(10))
+
+
+def test_hyperplane_lsh_recall_on_planted_dups(spark):
+    # plant: pairs of nearly-identical vectors -> cosine ~1 -> identical
+    # sign patterns -> must collide in every band and be found.
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + 1e-6 for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    found = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_lsh_near_dup_pairs(
+            df, threshold=0.999, n_planes=16, bands=4
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= found
+
+
+def test_near_dup_exact_threshold_filtering(emb):
+    out = embedding_near_dup_pairs(emb.limit(60), threshold=0.4).collect()
+    for r in out:
+        assert r.cos_sim >= 0.4
+        assert r.id_a < r.id_b
