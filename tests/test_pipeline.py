@@ -1,0 +1,108 @@
+"""End-to-end upload pipeline: golden invariants from FIXTURES.md F5 —
+SCD change-log formula, last-write-wins dimension, fan-out vs dedup,
+rejects channel, run metadata ids."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from py_data_pipeline_app_spark.pipeline import (
+    MissingSheetsError,
+    UploadResult,
+    list_address_changes,
+    list_uploads,
+    process_upload,
+)
+from py_data_pipeline_app_spark.testing.fixtures import make_workbook
+from py_data_pipeline_app_spark.warehouse import Warehouse
+
+K_DUPS = 4
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture(scope="module")
+def sheets(spark):
+    wb = make_workbook(spark, n_txns=300, n_customers=50, n_dup_customers=K_DUPS)
+    for df in wb.values():
+        df.cache().count()
+    return wb
+
+
+def test_missing_sheet_raises(spark, wh, sheets):
+    with pytest.raises(MissingSheetsError):
+        process_upload(spark, wh, {"Transactions": sheets["Transactions"]})
+
+
+def test_scd_invariant_over_reloads(spark, wh, sheets):
+    # First load: each dup id changes address once within the batch -> k
+    r1 = process_upload(spark, wh, sheets, run_ts="t1")
+    assert r1.upload_id == 1
+    assert wh.read("address_changes").count() == K_DUPS
+    # Reload of the same sheet: each dup id ping-pongs -> 2k more
+    r2 = process_upload(spark, wh, sheets, run_ts="t2")
+    assert r2.upload_id == 2
+    assert wh.read("address_changes").count() == K_DUPS + 2 * K_DUPS
+    # and once more (FIXTURES.md F5: k + 2k*n_reloads)
+    process_upload(spark, wh, sheets, run_ts="t3")
+    assert wh.read("address_changes").count() == K_DUPS + 2 * 2 * K_DUPS
+
+
+def test_dimension_is_last_write_wins(spark, wh, sheets):
+    process_upload(spark, wh, sheets, run_ts="t1")
+    dim = wh.read("customers")
+    assert dim.count() == 50  # distinct ids, dups collapsed
+    dubbo = dim.filter(F.col("address").contains("Dubbo"))
+    assert dubbo.count() == K_DUPS  # second occurrence won
+
+
+def test_rejects_channel_not_swallowed(spark, wh, sheets):
+    r = process_upload(spark, wh, sheets, run_ts="t1")
+    rejects = r.rejects.collect()
+    assert len(rejects) == 3
+    assert {x.reject_reason for x in rejects} <= {"not_braced", "wrong_field_count"}
+
+
+def test_merged_fanout_strict_vs_dedup(spark, wh, sheets):
+    strict = process_upload(spark, wh, sheets, run_ts="t1", strict_compat=True)
+    clean = process_upload(spark, wh, sheets, run_ts="t2")
+    n_strict = strict.merged.count()
+    n_clean = clean.merged.count()
+    # strict keeps duplicate dimension rows -> dup customers' txns fan out
+    assert n_strict > n_clean
+
+
+def test_summary_and_top_spenders_shape(spark, wh, sheets):
+    r = process_upload(spark, wh, sheets, run_ts="t1")
+    summary = r.summary.collect()
+    assert summary[0].rank == 1
+    amounts = [row.amount for row in summary]
+    assert amounts == sorted(amounts, reverse=True)
+    top = r.top_spenders.collect()
+    cats = [row.category for row in top]
+    assert cats == sorted(cats)
+    assert len(cats) == len(set(cats)) <= 4
+    nested = r.details_nested.limit(5).collect()
+    for row in nested:
+        assert all(d.customer_id is not None for d in row.details) or row.details
+
+
+def test_upload_log_ordering(spark, wh, sheets):
+    process_upload(spark, wh, sheets, filename="a.xlsx", run_ts="2024-01-01T00:00:00")
+    process_upload(spark, wh, sheets, filename="b.xlsx", run_ts="2024-01-02T00:00:00")
+    rows = list_uploads(wh).collect()
+    assert [r.filename for r in rows][:2] == ["b.xlsx", "a.xlsx"]
+    assert rows[0].customers_rows == 57  # 50 + 4 dups + 3 malformed
+    changes = list_address_changes(wh).collect()
+    assert changes[0].change_timestamp >= changes[-1].change_timestamp
+
+
+def test_amount_coercion_nulls_garbage(spark, wh, sheets):
+    r = process_upload(spark, wh, sheets, run_ts="t1")
+    # category totals must be finite sums (garbage 'N/A' -> NULL -> skipped)
+    total = r.category_totals.agg(F.sum("amount")).collect()[0][0]
+    assert total is not None and total > 0
