@@ -83,10 +83,12 @@ def customer_details_nested(cat_totals: DataFrame) -> DataFrame:
 
     ``collect_list`` order is nondeterministic across partitions, so the
     engine sorts the array (struct comparison is field-order
-    lexicographic) to make the result stable and hashable."""
+    lexicographic) to make the result stable and hashable. The detail
+    struct carries customer_id — the reference's drill-down records
+    (app.py:151, to_dict orient='records') include it."""
     rounded = cat_totals.withColumn("amount", money_round(F.col("amount")))
     return rounded.groupBy("customer_id").agg(
         F.sort_array(
-            F.collect_list(F.struct("category", "name", "amount"))
+            F.collect_list(F.struct("customer_id", "category", "name", "amount"))
         ).alias("details")
     )

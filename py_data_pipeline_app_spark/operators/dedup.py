@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.text import (
@@ -143,23 +143,45 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*aggs)
 
 
-def _in_bucket_pairs(ids: F.Column) -> F.Column:
-    """All (id_a < id_b) pairs within one bucket's sorted id array,
-    as an array of structs — generated with higher-order functions so
-    the bucket never leaves the JVM."""
-    n = F.size(ids)
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"),
-                    F.element_at(ids, j).alias("id_b"),
-                ),
-            ),
-        )
+def _bucket_member_pairs(
+    members: DataFrame,
+    bucket_cols: list[str],
+    member_col: str,
+    *,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All (a < b) member pairs within each bucket, emitted as rows
+    ``(_a, _b)`` — never materializing a bucket's full pair set in one
+    row (the round-1 scale-killer: one viral bucket of ~2,300 docs put
+    its 2.5M pairs in a single task's single row).
+
+    Shape: group → sorted member array (one row per bucket, O(bucket)
+    wide) → posexplode (one row per member, still O(bucket) wide) →
+    explode the member's pair-span slice. Peak per-row memory is the
+    bucket array, total work the pair count — spread across tasks.
+
+    ``max_bucket_size`` chunks each oversize bucket's sorted array into
+    runs of that size and pairs only within a run ("salted" splitting,
+    deterministic by sort order): recall degrades gracefully inside
+    viral buckets — which, for near-dup LSH, are dominated by
+    common-token false positives — instead of the pair count growing
+    quadratically. Leave None when every in-bucket pair is required."""
+    grouped = (
+        members.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(member_col)).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
     )
+    e = grouped.select(F.col("_ms"), F.posexplode("_ms").alias("_i", "_a"))
+    if max_bucket_size is None:
+        span = F.expr("slice(_ms, _i + 2, size(_ms))")
+    else:
+        b = int(max_bucket_size)
+        # pair member i (0-based) with members up to its chunk boundary
+        span = F.expr(f"slice(_ms, _i + 2, {b} * ((_i div {b}) + 1) - _i - 1)")
+    return e.select(F.col("_a"), F.explode(span).alias("_b"))
+
+
+DEFAULT_MAX_BUCKET = 1000
 
 
 def lsh_candidate_pairs(
@@ -168,7 +190,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perms: int = DEFAULT_NUM_PERMS,
     bands: int = DEFAULT_BANDS,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: hash each band of r = num_perms/bands signature
     values to a bucket key; documents sharing any bucket are candidate
@@ -178,10 +200,9 @@ def lsh_candidate_pairs(
     (band, bucket) and expanding combinations *inside* the bucket — the
     signature subplan executes once, versus a bucket self-join where
     Spark recomputes it for both join branches (measured 6-7× slower).
-    ``max_bucket_size`` optionally skips degenerate viral buckets whose
-    pair count grows quadratically; leave None when exact recall is
-    required (e.g. threshold-1.0 dedup, where every bucket member is a
-    true duplicate)."""
+    ``max_bucket_size`` (default 1000) chunks viral buckets — see
+    :func:`_bucket_member_pairs`; identical-content dedup should use
+    the exact :func:`token_set_dedup_pairs` path instead of LSH."""
     r = num_perms // bands
     band_keys = F.array(
         *[
@@ -199,16 +220,35 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(band_keys).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    grouped = buckets.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    grouped = grouped.filter(F.size("ids") >= 2)
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return (
-        grouped.select(F.explode(_in_bucket_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        _bucket_member_pairs(
+            buckets, ["band", "bucket"], id_col, max_bucket_size=max_bucket_size
+        )
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .distinct()
+    )
+
+
+def token_set_fingerprint(text_col: Column | str = "text") -> Column:
+    """md5 of the sorted distinct whitespace-token set — equal iff two
+    documents have identical word sets (Jaccard exactly 1.0)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " "))
+
+
+def token_set_dedup_pairs(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact word-set duplicate pairs (Jaccard = 1.0): group on the
+    16-byte token-set fingerprint and expand pairs inside each
+    true-duplicate group. Linear in the corpus, one shuffle on the
+    fingerprint — this is the scale path for threshold-1.0 dedup, where
+    LSH adds cost but no information (identical sets ⇒ identical
+    signatures ⇒ all bands collide)."""
+    members = df.select(token_set_fingerprint(text_col).alias("_k"), F.col(id_col))
+    return _bucket_member_pairs(members, ["_k"], id_col).select(
+        F.col("_a").alias("id_a"),
+        F.col("_b").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
     )
 
 
@@ -223,13 +263,22 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
-    Pipeline: signatures → banded LSH candidates → join token sets
-    back → exact word-set Jaccard ≥ threshold. With threshold = 1.0
-    (identical word sets) recall is provably 1.0 — identical sets give
-    identical signatures, which collide in every band — so the result
-    is deterministic, not probabilistic, and the DuckDB oracle can
-    check it. Lower thresholds trade recall for candidate volume (the
-    standard b/r S-curve); tests cover that regime."""
+    threshold = 1.0 (identical word sets) short-circuits to
+    :func:`token_set_dedup_pairs` — at that threshold LSH is pure
+    overhead: identical sets give identical signatures, which collide
+    in EVERY band, so each true-duplicate group of size g appears in
+    all ``bands`` buckets and generates b·g²/2 candidate pairs before
+    dedup (the measured round-1 scale-killer: 21.9M candidates for
+    5,000 docs). The fingerprint groupBy computes the identical result
+    with one linear shuffle, and matches the DuckDB oracle's shape.
+
+    threshold < 1.0 (probabilistic regime): signatures → banded LSH
+    candidates (viral buckets chunk-capped, see
+    :func:`lsh_candidate_pairs`) → join token sets back → exact
+    word-set Jaccard ≥ threshold. Recall follows the standard b/r
+    S-curve; tests measure it against the inverted-index baseline."""
+    if threshold >= 1.0:
+        return token_set_dedup_pairs(df, text_col=text_col, id_col=id_col)
     sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, num_perms=num_perms)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, num_perms=num_perms, bands=bands)
 
@@ -290,16 +339,45 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
     Blocking by the pigeonhole principle: split the 60-bit hash into
     ``chunks`` segments; any pair within Hamming ≤ chunks-1 must agree
-    on at least one whole segment, so candidates come from equi-joins
-    on (segment_idx, segment_value) — never a cross join. Exact Hamming
-    (bit_count of xor) verifies candidates."""
+    on at least one whole segment, so candidates come from segment
+    buckets — never a cross join.
+
+    Scale shape: all heavy work happens on DISTINCT simhash values,
+    not documents. A corpus with duplicate mass (the whole point of
+    dedup) collapses to far fewer distinct hashes; candidate
+    generation and Hamming verification run on those, and doc pairs
+    are recovered at the end by expanding each verified hash pair
+    through its member lists. Pairs inside one identical-hash group
+    are Hamming 0 by definition and skip verification entirely —
+    exactly the viral-bucket mass that made the naive in-bucket
+    expansion quadratic in round 1.
+
+    ``max_bucket_size`` chunk-caps segment buckets of distinct hashes
+    (recall loss only among distinct-hash pairs in viral segments);
+    None keeps the exact pigeonhole contract."""
     seg_bits = 60 // chunks
     sh = simhash64(df, text_col=text_col, id_col=id_col)
+    groups = sh.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+
+    # 1. Pairs within an identical-hash group: Hamming 0, no verification.
+    within = (
+        groups.filter(F.size("_ids") >= 2)
+        .select(F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
+        .select(
+            "id_a", F.explode(F.expr("slice(_ids, _i + 2, size(_ids))")).alias("id_b")
+        )
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+    # 2. Candidate pairs BETWEEN distinct hashes: segment blocking.
     segs = F.array(
         *[
             F.struct(
@@ -311,40 +389,33 @@ def simhash_near_dup_pairs(
             for ci in range(chunks)
         ]
     )
-    blocked = sh.select(id_col, "simhash", F.explode(segs).alias("s")).select(
-        id_col, "simhash", F.col("s.seg").alias("seg"), F.col("s.val").alias("val")
+    blocked = groups.select("simhash", F.explode(segs).alias("s")).select(
+        "simhash", F.col("s.seg").alias("seg"), F.col("s.val").alias("val")
     )
-    # Group per segment bucket and expand pairs in-bucket (carrying both
-    # simhashes) — the simhash subplan executes once; a self-join would
-    # recompute the 60-aggregate groupBy for both branches.
-    members = blocked.groupBy("seg", "val").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
-        ).alias("ms")
-    ).filter(F.size("ms") >= 2)
-    n = F.size(F.col("ms"))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(F.col("ms"), i)["id"].alias("id_a"),
-                    F.element_at(F.col("ms"), j)["id"].alias("id_b"),
-                    F.element_at(F.col("ms"), i)["simhash"].alias("sh_a"),
-                    F.element_at(F.col("ms"), j)["simhash"].alias("sh_b"),
-                ),
-            ),
+    hash_pairs = (
+        _bucket_member_pairs(
+            blocked, ["seg", "val"], "simhash", max_bucket_size=max_bucket_size
         )
-    )
-    return (
-        members.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+        .select(F.col("_a").alias("sh_a"), F.col("_b").alias("sh_b"))
         .distinct()
         .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+
+    # 3. Expand verified hash pairs back to doc pairs. Each unordered
+    # doc pair appears exactly once (hash groups are disjoint and
+    # sh_a < sh_b), normalized to id_a < id_b.
+    ma = groups.select(F.col("simhash").alias("sh_a"), F.explode("_ids").alias("_da"))
+    mb = groups.select(F.col("simhash").alias("sh_b"), F.explode("_ids").alias("_db"))
+    across = (
+        hash_pairs.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(across)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
+
 
 def dot(x: Column, y: Column) -> Column:
     """Sequential-fold double dot product — deterministic across
@@ -123,20 +125,33 @@ def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 def hyperplane_lsh_near_dup_pairs(
     corpus: DataFrame,
     *,
+    dim: int,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH near-dup: sign
     pattern of ``n_planes`` projections, banded into ``bands`` buckets;
     candidates = pairs sharing any band; verified with exact cosine.
 
+    ``dim`` is the embedding dimensionality, passed by the caller (a
+    driver-side ``.first()`` probe here would put an action inside
+    plan construction). The hyperplanes are a fixed xorshift sequence,
+    so the whole operator — bits, band keys, collisions, cosine — is
+    deterministic and oracle-reproducible.
+
+    Scale shape: candidate ids come from grouped band buckets
+    (chunk-capped via ``max_bucket_size``, see
+    operators.dedup._bucket_member_pairs — no single-row quadratic
+    expansion, no bucket self-join recomputing the projection subplan);
+    vectors are joined back by id only for the verification cosine.
+
     P[signs agree] = 1 - θ/π per plane, so high-cosine pairs collide in
     at least one band with high probability; recall measured in tests
     against the exact baseline."""
-    dim = len(corpus.select(vec_col).first()[0])
     planes = _deterministic_hyperplanes(dim, n_planes)
     proj = [
         F.aggregate(
@@ -164,19 +179,20 @@ def hyperplane_lsh_near_dup_pairs(
         ]
     )
     blocked = corpus.select(
-        F.col(id_col), F.col(vec_col), F.explode(band_keys).alias("bk")
-    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "band", "bucket"
-    )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "band", "bucket"
-    )
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        F.col(id_col), F.explode(band_keys).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    cands = (
+        _bucket_member_pairs(
+            blocked, ["band", "bucket"], id_col, max_bucket_size=max_bucket_size
+        )
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -198,25 +214,31 @@ def ivf_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse centroids = deterministic
-    sample of the corpus (every (N/n_centroids)-th vector by id);
-    vectors assigned to their nearest centroid once; each query probes
-    its ``nprobe`` nearest centroid buckets only.
+    hash-ordered sample of the corpus; vectors assigned to their
+    nearest centroid once; each query probes its ``nprobe`` nearest
+    centroid buckets only.
 
-    The corpus-assignment pass is one broadcast join + argmin; the
-    query pass scans ~nprobe/n_centroids of the corpus. A production
-    build would train the centroids with k-means (pyspark.ml.KMeans) —
-    the plumbing is identical; the deterministic sample keeps tests
-    reproducible without an iterative fit."""
-    w_first = Window.orderBy(id_col)
+    Centroid pick: order by xxhash64(id) and take ``n_centroids`` —
+    a pseudo-random but deterministic sample that Spark executes as
+    TakeOrderedAndProject (per-partition top-k, driver merge of
+    n_centroids rows; nothing ever funnels the corpus through one
+    task). The tiny result is then numbered with a window — fine on
+    n_centroids rows. The corpus-assignment pass is one broadcast join
+    + argmin; the query pass scans ~nprobe/n_centroids of the corpus.
+    A production build would train the centroids with k-means
+    (pyspark.ml.KMeans) — the plumbing is identical; the deterministic
+    sample keeps tests reproducible without an iterative fit."""
     cents = (
-        corpus.withColumn("_rn", F.row_number().over(w_first) - 1)
-        .withColumn("_total", F.count("*").over(Window.partitionBy()))
-        .filter(F.col("_rn") % F.greatest((F.col("_total") / n_centroids).cast("int"), F.lit(1)) == 0)
-        .limit(n_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("centroid_id"),
+        corpus.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("_hk"),
             F.col(vec_col).alias("cvec"),
         )
+        .orderBy("_hk")
+        .limit(n_centroids)
+        .withColumn(
+            "centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1
+        )
+        .select("centroid_id", "cvec")
     )
     cents = F.broadcast(cents)
 

@@ -427,7 +427,7 @@ def event_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_extract",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -496,8 +496,10 @@ from py_data_pipeline_app_spark.operators.dedup import (  # noqa: E402
     simhash_near_dup_pairs,
 )
 from py_data_pipeline_app_spark.operators.similarity import (  # noqa: E402
+    _deterministic_hyperplanes,
     brute_force_topk,
     embedding_near_dup_pairs,
+    hyperplane_lsh_near_dup_pairs,
     ivf_topk,
 )
 from py_data_pipeline_app_spark.functions import text as TXT  # noqa: E402
@@ -526,12 +528,14 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(ws)-2, 1)+1),
                i -> list_aggregate(ws[i:i+2], 'string_agg', ' ')))) AS shingle
       FROM toks
     ),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
@@ -549,9 +553,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs (threshold 0.5) via the
     inverted-index self-join — candidates come from shared shingles,
-    never a cross join."""
+    never a cross join. ``max_df=100`` drops stop-shingles (boilerplate
+    lines shared by >100 docs): each shingle's candidate pairs grow as
+    df², so one viral line otherwise dominates the shuffle at corpus
+    scale. The oracle mirrors the cap, so the gate stays exact."""
     return ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir), n=3, threshold=0.5
+        load_table(spark, "documents", sf_dir), n=3, threshold=0.5, max_df=100
     )
 
 
@@ -632,8 +639,66 @@ def _sql_cos(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
+def _hyperplane_oracle(
+    dim: int = 64, n_planes: int = 16, bands: int = 4, threshold: float = 0.4
+) -> str:
+    """DuckDB mirror of hyperplane_lsh_near_dup_pairs: same xorshift
+    hyperplanes, same sequential-fold projections, same band keys, same
+    verification cosine — the oracle checks the LSH algorithm itself,
+    not an approximation of it (its recall vs exact is probabilistic by
+    design and asserted in tests instead)."""
+    planes = _deterministic_hyperplanes(dim, n_planes)
+    bit_exprs = []
+    for pi, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i]), (x, y) -> x + y)"
+        )
+        bit_exprs.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END) AS b{pi}")
+    r = n_planes // bands
+    band_selects = [
+        "SELECT vec_id, {b} AS band, {key} AS bucket FROM proj".format(
+            b=bi, key=" || ".join(f"b{bi * r + j}::VARCHAR" for j in range(r))
+        )
+        for bi in range(bands)
+    ]
+    cos = _sql_cos("ea.embedding", "eb.embedding")
+    return f"""
+    WITH proj AS (SELECT vec_id, {", ".join(bit_exprs)} FROM embeddings),
+    bands AS ({" UNION ALL ".join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round({cos}, 9) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON id_a = ea.vec_id
+    JOIN embeddings eb ON id_b = eb.vec_id
+    WHERE round({cos}, 9) >= {threshold}
+    """
+
+
+@register("embedding_near_dup", _hyperplane_oracle())
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.4) via random-hyperplane
+    LSH — the registered scale path: candidates from banded
+    sign-pattern buckets (grouped expansion, chunk-capped), exact
+    cosine verification on candidates only. Never an all-pairs join.
+    The oracle replicates the deterministic LSH computation
+    bit-for-bit; recall vs the exact baseline is measured in tests."""
+    return hyperplane_lsh_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir),
+        dim=64,
+        threshold=0.4,
+        n_planes=16,
+        bands=4,
+    )
+
+
 @register(
-    "embedding_near_dup",
+    "embedding_near_dup_exact",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_sql_cos('a.embedding', 'b.embedding')}, 9) AS cos_sim
@@ -641,11 +706,11 @@ def _sql_cos(a: str, b: str) -> str:
     WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.4
     """,
 )
-def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.4), exact all-pairs
-    baseline. Cosine is a sequential double fold — bit-identical to the
-    DuckDB oracle. The scale path is hyperplane_lsh_near_dup_pairs
-    (recall measured in tests)."""
+def embedding_near_dup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.4), exact all-pairs — the
+    O(N²) correctness baseline the LSH path's recall is measured
+    against. Evaluation-scale only by design (reranking / ground
+    truth); the registered scale path is embedding_near_dup."""
     return embedding_near_dup_pairs(
         load_table(spark, "embeddings", sf_dir), threshold=0.4
     )

@@ -93,7 +93,7 @@ def test_hyperplane_lsh_recall_on_planted_dups(spark):
     found = {
         (r.id_a, r.id_b)
         for r in hyperplane_lsh_near_dup_pairs(
-            df, threshold=0.999, n_planes=16, bands=4
+            df, dim=16, threshold=0.999, n_planes=16, bands=4
         ).collect()
     }
     planted = {(2 * i, 2 * i + 1) for i in range(20)}

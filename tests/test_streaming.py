@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from py_data_pipeline_app_spark import schemas
+from py_data_pipeline_app_spark.sources.parquet import load_table
 from py_data_pipeline_app_spark.streaming.pipeline import (
     start_customer_stream,
     start_windowed_event_stream,
@@ -74,7 +75,7 @@ def test_checkpoint_prevents_refolding(spark, tmp_path):
 
 
 def test_tumbling_counts_batch(spark):
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = load_table(spark, "events", SF_DIR)
     out = tumbling_counts(events, window_dur="1 hour")
     rows = out.collect()
     assert sum(r.n_events for r in rows) == events.count()
@@ -83,7 +84,7 @@ def test_tumbling_counts_batch(spark):
 
 
 def test_sliding_counts_batch(spark):
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = load_table(spark, "events", SF_DIR)
     tumb = tumbling_counts(events, window_dur="1 hour")
     slid = sliding_counts(events, window_dur="1 hour", slide="30 minutes")
     # each event lands in dur/slide = 2 windows
@@ -92,7 +93,7 @@ def test_sliding_counts_batch(spark):
 
 
 def test_session_windows_batch(spark):
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = load_table(spark, "events", SF_DIR)
     out = session_windows(events, gap="5 minutes", key="user_id")
     rows = out.collect()
     assert sum(r.n_events for r in rows) == events.count()
@@ -103,7 +104,7 @@ def test_session_windows_batch(spark):
 def test_windowed_event_stream_matches_batch(spark, tmp_path):
     landing = str(tmp_path / "events_landing")
     ckpt = str(tmp_path / "ckpt")
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = load_table(spark, "events", SF_DIR)
     events.write.parquet(landing, mode="overwrite")
 
     q = start_windowed_event_stream(
