@@ -149,23 +149,32 @@ def write_excel_report(result: UploadResult, path: str) -> bool:
     (CategoryTotalsSummary / TopSpenders / MergedData, app.py:155-167).
 
     Post-aggregation frames are small, so they come to the driver via
-    Arrow and pandas writes the workbook. Returns False (after writing
-    a parquet mirror next to ``path``) when no Excel writer engine is
-    installed — the at-scale artifact is parquet either way."""
+    Arrow; pandas+xlsxwriter/openpyxl writes the workbook when
+    installed (byte-compatible with the reference sink), else the
+    stdlib codec (sources/xlsx.py) does. A parquet mirror is always
+    written next to ``path`` — the at-scale artifact. Returns True."""
     frames = {
         "CategoryTotalsSummary": result.summary.toPandas(),
         "TopSpenders": result.top_spenders.toPandas(),
         "MergedData": result.merged.toPandas(),
     }
+    base = path.rsplit(".", 1)[0]
+    for sheet, pdf in frames.items():
+        pdf.to_parquet(f"{base}_{sheet}.parquet")
     try:
         import pandas as pd
 
         with pd.ExcelWriter(path) as xw:  # engine: whatever is installed
             for sheet, pdf in frames.items():
                 pdf.to_excel(xw, sheet_name=sheet, index=False)
-        return True
     except (ImportError, ValueError, ModuleNotFoundError):
-        base = path.rsplit(".", 1)[0]
-        for sheet, pdf in frames.items():
-            pdf.to_parquet(f"{base}_{sheet}.parquet")
-        return False
+        from py_data_pipeline_app_spark.sources.xlsx import write_xlsx
+
+        write_xlsx(
+            path,
+            {
+                sheet: [list(pdf.columns)] + pdf.values.tolist()
+                for sheet, pdf in frames.items()
+            },
+        )
+    return True

@@ -482,6 +482,106 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-time windowed operators (streaming extension, SURVEY.md §2.8).
+# Each builder is a plain DataFrame function, so the batch run over the
+# full events table equals the final state of the streaming run after all
+# data arrives (streaming/windows.py docstring) — which is exactly what
+# the DuckDB oracle checks: tumbling/sliding = time-bucket grouping,
+# session = gaps-and-islands.
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.streaming.windows import (  # noqa: E402
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@register(
+    "tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type — batch mode of the
+    streaming operator (streaming/windows.py:tumbling_counts). Shuffles
+    once on (window, key) with map-side partial aggregation; streaming
+    state is bounded by the watermark horizon."""
+    return tumbling_counts(
+        load_table(spark, "events", sf_dir), window_dur="1 hour"
+    )
+
+
+@register(
+    "sliding_counts",
+    """
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute windows per event_type: each event lands
+    in exactly dur/slide = 2 windows (the oracle materializes both window
+    starts per event and groups)."""
+    return sliding_counts(
+        load_table(spark, "events", sf_dir), window_dur="1 hour", slide="30 minutes"
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    isl AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user — the native
+    session_window operator; in batch mode identical to the
+    gaps-and-islands computation the oracle runs (a session's end is
+    last-event + gap, and a new session starts when the gap to the
+    previous event is >= the gap duration, matching Spark's
+    half-open [start, end) merge rule)."""
+    return session_windows(
+        load_table(spark, "events", sf_dir), gap="5 minutes", key="user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data extensions: deduplication (exact / MinHash+LSH / SimHash /
 # n-gram Jaccard), embedding similarity, text analysis. No reference
 # evidence — these are the corpus-curation operators a 100 TB pipeline
