@@ -800,19 +800,22 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup_exact",
     f"""
+    WITH sample AS (SELECT * FROM embeddings WHERE vec_id % 8 = 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_sql_cos('a.embedding', 'b.embedding')}, 9) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.4
+    FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+    WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.25
     """,
 )
 def embedding_near_dup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (≥ 0.4), exact all-pairs — the
-    O(N²) correctness baseline the LSH path's recall is measured
-    against. Evaluation-scale only by design (reranking / ground
-    truth); the registered scale path is embedding_near_dup."""
+    """Embedding-cosine near-dup pairs (≥ 0.25), exact all-pairs over a
+    deterministic 1-in-8 corpus sample — the O(N²) correctness baseline
+    the LSH path's recall is measured against. Evaluation-scale only by
+    design (ground truth on a sample, like any ANN recall protocol);
+    the registered scale path is embedding_near_dup."""
     return embedding_near_dup_pairs(
-        load_table(spark, "embeddings", sf_dir), threshold=0.4
+        load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") % 8 == 0),
+        threshold=0.25,
     )
 
 
