@@ -1,0 +1,258 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A training-data pipeline treats images/audio/video as ``binary``
+columns with structured metadata (schemas.MEDIA) and derives numeric
+feature vectors from them (schemas.MEDIA_FEATURES). The reference app
+has no multimodal surface — this is a first-class extension per the
+builder's brief.
+
+Design for 100 TB:
+
+- Metadata filters and payload profiling are pure native expressions
+  (octet_length, md5, struct field access) — codegen'd, pushdown-
+  friendly, and the profile is one map-side-combined aggregation.
+- Feature extraction is the genuinely-Python step (real decoders are
+  C libraries behind Python APIs), so it runs as ``mapInPandas``:
+  Arrow-batched, zero shuffle (a pure map), schema declared up front.
+  The decode itself is pluggable; the image/audio codec libraries are
+  not installed in this environment, so those decoders are explicit
+  ``NotImplementedError`` stubs, while the default ``byte_histogram``
+  decoder is a deterministic fake with the same plumbing (batch shape,
+  Arrow types, per-kind frame counts) that the real ones would use.
+- Similarity over features reuses operators.similarity (broadcast
+  query set, corpus scanned once).
+
+The derivation in :func:`media_from_documents` builds a deterministic
+media table out of the driver's ``documents`` parquet — every formula
+is expressible in ANSI SQL, so the whole multimodal path (including
+the mapInPandas feature extraction) is value-checked against a DuckDB
+oracle rather than rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark import schemas
+from py_data_pipeline_app_spark.operators.similarity import brute_force_topk
+
+# ---------------------------------------------------------------------------
+# Deterministic media derivation (fixture source for the driver testdata)
+# ---------------------------------------------------------------------------
+
+_KINDS = ("image", "audio", "video")
+_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic MEDIA-shaped table from ``documents``.
+
+    The payload is the document's UTF-8 bytes standing in for an
+    encoded asset; kind/mime and the typed metadata are arithmetic on
+    (doc_id, n_chars) — deterministic, engine-agnostic, and cheap.
+    Nullability follows the modality: images have no duration or
+    sample rate, audio has no dimensions."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3).cast("int") + 1
+    )
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _MIMES.items() for x in kv]
+    )
+    width = (F.lit(64) + (F.col("n_chars") % 97) * 8).cast("int")
+    height = (F.lit(64) + (F.col("doc_id") % 53) * 8).cast("int")
+    duration_ms = (F.col("n_chars") * 25).cast("long")
+    sample_rate = (F.lit(16000) + (F.col("doc_id") % 4) * 8000).cast("int")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        mime_map[kind].alias("mime"),
+        F.struct(
+            F.when(kind != "audio", width).alias("width"),
+            F.when(kind != "audio", height).alias("height"),
+            F.when(kind != "image", duration_ms).alias("duration_ms"),
+            F.when(kind == "audio", sample_rate).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+# SQL mirror of media_from_documents for DuckDB oracles (documents is
+# ASCII in the testdata, so VARCHAR functions see the same bytes).
+MEDIA_SQL = """
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                      WHEN 1 THEN 'audio'
+                                      ELSE 'video' END AS kind,
+         text AS payload_text,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                                      WHEN 1 THEN 'audio/wav'
+                                      ELSE 'video/mp4' END AS mime,
+         CASE WHEN doc_id % 3 != 1
+              THEN CAST(64 + (n_chars % 97) * 8 AS INT) END AS width,
+         CASE WHEN doc_id % 3 != 1
+              THEN CAST(64 + (doc_id % 53) * 8 AS INT) END AS height,
+         CASE WHEN doc_id % 3 != 0
+              THEN CAST(n_chars * 25 AS BIGINT) END AS duration_ms,
+         CASE WHEN doc_id % 3 = 1
+              THEN CAST(16000 + (doc_id % 4) * 8000 AS INT) END AS sample_rate
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Metadata filters + payload profiling (native expressions)
+# ---------------------------------------------------------------------------
+
+
+def filter_media(
+    media: DataFrame,
+    *,
+    kinds: Iterable[str] | None = None,
+    mimes: Iterable[str] | None = None,
+    min_width: int | None = None,
+    min_height: int | None = None,
+    max_duration_ms: int | None = None,
+) -> DataFrame:
+    """Metadata predicate pushdown surface: every condition is a plain
+    column predicate on kind/mime/meta.*, so against a parquet MEDIA
+    table Catalyst pushes them into the scan and the (large) payload
+    column is never materialized for rejected rows."""
+    out = media
+    if kinds is not None:
+        out = out.filter(F.col("kind").isin(*kinds))
+    if mimes is not None:
+        out = out.filter(F.col("mime").isin(*mimes))
+    if min_width is not None:
+        out = out.filter(F.col("meta.width") >= min_width)
+    if min_height is not None:
+        out = out.filter(F.col("meta.height") >= min_height)
+    if max_duration_ms is not None:
+        out = out.filter(F.col("meta.duration_ms") <= max_duration_ms)
+    return out
+
+
+def payload_bytes(col: str = "payload") -> Column:
+    return F.octet_length(F.col(col))
+
+
+def payload_profile(media: DataFrame) -> DataFrame:
+    """Per (kind, mime) payload statistics: asset counts, byte volume,
+    exact-duplicate payloads by content hash.
+
+    One hash-aggregation pass (map-side partials); md5 of the payload
+    is computed per row before the shuffle, so only 16-byte digests and
+    counters move. At 100 TB this is the scan-bound 'how much of what
+    do I have' query — no joins, no windows."""
+    per_row = media.select(
+        "kind",
+        "mime",
+        payload_bytes().alias("_bytes"),
+        F.md5(F.col("payload")).alias("_digest"),
+    )
+    return per_row.groupBy("kind", "mime").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("_bytes").alias("total_bytes"),
+        F.max("_bytes").alias("max_bytes"),
+        F.count_distinct(F.col("_digest")).alias("n_distinct_payloads"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("_digest"))).alias("n_dup_payloads"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: mapInPandas with pluggable (stubbed) decoders
+# ---------------------------------------------------------------------------
+
+
+def _byte_histogram(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'decode': normalized histogram of payload
+    bytes bucketed into ``dim`` classes (byte // (256 // dim)). Stands
+    in for a real embedding with the same shape contract: fixed-dim
+    float32, norm > 0 for non-empty payloads."""
+    import numpy as np
+
+    if not payload:
+        return [0.0] * dim
+    b = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(b // (256 // dim), minlength=dim)[:dim]
+    return [float(x) for x in (counts / len(b)).astype(np.float32)]
+
+
+def _stub_decoder(name: str, requires: str):
+    def fn(payload: bytes, dim: int) -> list[float]:
+        raise NotImplementedError(
+            f"{name} decoding requires {requires}, which is not installed "
+            "in this environment; the Spark-side plumbing (schema, Arrow "
+            "batching, partitioning) is identical to byte_histogram."
+        )
+
+    return fn
+
+
+#: Pluggable decoders. ``byte_histogram`` is the deterministic fake used
+#: by tests and oracles; the real ones are explicit stubs (brief: image/
+#: audio libs are not in this container).
+DECODERS = {
+    "byte_histogram": _byte_histogram,
+    "image_rgb": _stub_decoder("image", "pillow/opencv"),
+    "audio_pcm": _stub_decoder("audio", "soundfile/librosa"),
+    "video_frames": _stub_decoder("video", "pyav/ffmpeg"),
+}
+
+
+def _n_frames(kind: str, duration_ms) -> int:
+    # images are single-frame; time media at 25 fps (40 ms/frame)
+    if kind == "image" or duration_ms is None:
+        return 1
+    return max(1, int(duration_ms) // 40)
+
+
+def extract_features(
+    media: DataFrame, *, dim: int = 16, decoder: str = "byte_histogram"
+) -> DataFrame:
+    """MEDIA → MEDIA_FEATURES via ``mapInPandas``.
+
+    A pure map — no shuffle; Arrow moves (media_id, kind, payload,
+    meta) into pandas in batches and float32 feature arrays back. The
+    decoder runs once per asset inside the batch loop; real decoders
+    (see DECODERS) drop in without touching the plumbing."""
+    if decoder not in DECODERS:
+        raise ValueError(f"Unknown decoder {decoder!r}; have {sorted(DECODERS)}")
+    decode = DECODERS[decoder]
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            durations = [
+                None if m is None else m.get("duration_ms") for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": [decode(p or b"", dim) for p in pdf["payload"]],
+                    "n_frames": [
+                        _n_frames(k, d) for k, d in zip(pdf["kind"], durations)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, schema=schemas.MEDIA_FEATURES)
+
+
+def media_feature_topk(
+    features: DataFrame, queries: DataFrame, *, k: int = 5
+) -> DataFrame:
+    """Nearest media assets by cosine over extracted features —
+    similarity search plumbing reused verbatim from
+    operators.similarity (broadcast queries, single corpus scan)."""
+    return brute_force_topk(
+        features.select("media_id", "feature"),
+        queries,
+        k=k,
+        id_col="media_id",
+        vec_col="feature",
+    )

@@ -971,3 +971,150 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp["min_gram_hash"].alias("min_gram_hash"),
         fp["max_gram_hash"].alias("max_gram_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal extension: binary payload columns + typed metadata
+# (operators/media.py; schemas.MEDIA / MEDIA_FEATURES). The media table
+# is derived deterministically from documents (MEDIA_SQL mirrors the
+# Spark derivation), so even the mapInPandas feature-extraction path is
+# value-checked cross-engine, not rows-only.
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.operators import media as M  # noqa: E402
+
+
+def _sql_dot_n(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _sql_cos_n(a: str, b: str, dim: int) -> str:
+    dot = _sql_dot_n(a, b, dim)
+    na = _sql_dot_n(a, a, dim)
+    nb = _sql_dot_n(b, b, dim)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+# float32 byte-class histogram, mirroring operators.media._byte_histogram
+# (documents are ASCII, so VARCHAR positions == payload bytes).
+_MEDIA_FEATS_SQL = f"""
+  feats AS (
+    SELECT media_id, kind,
+           list_transform(range(0, 16), b ->
+             CAST(CAST(len(list_filter(codes, c -> (c // 16) = b)) AS DOUBLE)
+                  / len(codes) AS REAL)) AS feature,
+           CAST(CASE WHEN kind = 'image' OR duration_ms IS NULL THEN 1
+                     ELSE greatest(1, duration_ms // 40) END AS INT) AS n_frames
+    FROM (
+      SELECT media_id, kind, duration_ms,
+             list_transform(range(1, length(payload_text) + 1),
+                            i -> unicode(payload_text[i])) AS codes
+      FROM media
+    )
+  )
+"""
+
+
+@register(
+    "media_metadata_filter",
+    f"""
+    WITH media AS ({M.MEDIA_SQL})
+    SELECT media_id, kind, mime,
+           CAST(octet_length(encode(payload_text)) AS INT) AS payload_bytes,
+           width, height, duration_ms
+    FROM media
+    WHERE kind IN ('image', 'video') AND width >= 400
+    """,
+)
+def media_metadata_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata filter: visual assets at least 400px wide.
+    Every predicate is a plain column/struct-field comparison — against
+    a parquet MEDIA table these push into the scan and the payload
+    column is only read for surviving rows (late materialization)."""
+    media = M.media_from_documents(load_table(spark, "documents", sf_dir))
+    return M.filter_media(media, kinds=("image", "video"), min_width=400).select(
+        "media_id",
+        "kind",
+        "mime",
+        M.payload_bytes().alias("payload_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@register(
+    "media_payload_profile",
+    f"""
+    WITH media AS ({M.MEDIA_SQL})
+    SELECT kind, mime,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(octet_length(encode(payload_text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(payload_text))) AS BIGINT) AS max_bytes,
+           CAST(count(DISTINCT md5(payload_text)) AS BIGINT) AS n_distinct_payloads,
+           CAST(count(*) - count(DISTINCT md5(payload_text)) AS BIGINT)
+             AS n_dup_payloads
+    FROM media
+    GROUP BY kind, mime
+    """,
+)
+def media_payload_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload volume + exact-duplicate profile per (kind, mime): one
+    hash aggregation; only digests and counters cross the shuffle."""
+    media = M.media_from_documents(load_table(spark, "documents", sf_dir))
+    prof = M.payload_profile(media)
+    return prof.select(
+        "kind",
+        "mime",
+        "n_assets",
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+        "n_distinct_payloads",
+        "n_dup_payloads",
+    )
+
+
+@register(
+    "media_feature_extract",
+    f"""
+    WITH media AS ({M.MEDIA_SQL}), {_MEDIA_FEATS_SQL}
+    SELECT media_id, kind, feature, n_frames FROM feats
+    """,
+)
+def media_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode→feature path itself: float32 features are
+    bit-identical cross-engine (both quantize count/len to float32), so
+    this Arrow-batched Python stage gets a full value-hash check."""
+    media = M.media_from_documents(load_table(spark, "documents", sf_dir))
+    return M.extract_features(media, dim=16)
+
+
+@register(
+    "media_feature_topk",
+    f"""
+    WITH media AS ({M.MEDIA_SQL}), {_MEDIA_FEATS_SQL}
+    SELECT query_id, media_id, score, rank FROM (
+      SELECT q.media_id AS query_id, c.media_id AS media_id,
+             round({_sql_cos_n('c.feature', 'q.feature', 16)}, 9) AS score,
+             row_number() OVER (
+               PARTITION BY q.media_id
+               ORDER BY round({_sql_cos_n('c.feature', 'q.feature', 16)}, 9) DESC,
+                        c.media_id
+             ) AS rank
+      FROM feats c, (SELECT * FROM feats WHERE media_id < 8) q
+    ) WHERE rank <= 5
+    """,
+)
+def media_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over extracted media features: cosine top-5
+    for 8 query assets — reuses the broadcast-queries/single-scan
+    brute-force kernel from operators.similarity."""
+    media = M.media_from_documents(load_table(spark, "documents", sf_dir))
+    feats = M.extract_features(media, dim=16)
+    queries = feats.filter(F.col("media_id") < 8).select(
+        F.col("media_id").alias("query_id"), F.col("feature")
+    )
+    return M.media_feature_topk(feats, queries, k=5)
