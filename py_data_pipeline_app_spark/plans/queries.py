@@ -1118,3 +1118,112 @@ def media_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("query_id"), F.col("feature")
     )
     return M.media_feature_topk(feats, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop dimension chains (nation/region/supplier). Extensions beyond
+# the reference surface: the reference joins at most 2 dims (app.py:131-132);
+# these exercise >2-table join planning — snowflake chains, a co-location
+# predicate across two chains, and dim-filter pushdown through the chain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regional_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def regional_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation inside one region, for one order year.
+
+    Scale plan: the orderdate range filter prunes orders at the scan
+    (pushed predicate); supplier/nation/region are broadcast so the
+    only shuffles are the two fact-sized exchanges (lineitem⋈orders on
+    orderkey, ⋈customer on custkey) and the final 5-group agg — the
+    same-nation predicate is evaluated as a cheap post-join filter on
+    two already-present int columns."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "returned_revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_returnflag = 'R'
+    GROUP BY r_name, n_name
+    """,
+)
+def returned_revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape rolled up the full snowflake chain
+    (customer→nation→region): lost revenue from returned items per
+    nation. The returnflag filter is pushed to the lineitem scan;
+    nation/region broadcast; count(DISTINCT c_custkey) rides the same
+    (r_name, n_name) agg shuffle via Spark's two-phase distinct-agg
+    expansion."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, "region", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count_distinct(F.col("c_custkey")).alias("n_customers"),
+        )
+    )
