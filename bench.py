@@ -29,11 +29,24 @@ HEADLINE = [
     "scd_change_log",
     "recent_events_top100",
     "event_type_breakdown",
+    # multi-hop dim chains:
+    "regional_supplier_volume",
+    "returned_revenue_by_nation",
+    # event-time windows (batch mode of the streaming operators):
+    "tumbling_counts",
+    "session_windows",
     # extensions (registered in plans/queries.py as they land):
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup",
     "similarity_topk",
     "text_quality",
+    "text_token_stats",
+    # multimodal:
+    "media_payload_profile",
+    "media_feature_topk",
 ]
 
 

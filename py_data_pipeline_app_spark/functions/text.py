@@ -160,15 +160,44 @@ def doc_fingerprint(col: Column | str, gram: int = 16) -> dict[str, Column]:
     """Document fingerprints: whole-text md5 plus min/max rolling-hash
     over character ``gram``-grams (winnowing-style selection of extreme
     shingle hashes — order-independent, robust to small edits at the
-    ends)."""
+    ends).
+
+    NB: each dict value is an independent expression tree, and
+    whole-stage codegen does NOT common-subexpression the ~|doc| md5
+    calls between min and max (measured 5.5× slower at sf0.1). In a
+    query, prefer :func:`with_doc_fingerprints`, which materializes the
+    gram-hash array once per row."""
     c = F.col(col) if isinstance(col, str) else col
     norm = normalize_text(c)
-    n = F.length(norm)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(gram - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: norm.substr(i, F.lit(gram)))
-    gram_hashes = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"))
+    gram_hashes = _gram_hashes(norm, gram)
     return {
         "md5_fingerprint": F.md5(norm),
         "min_gram_hash": F.array_min(gram_hashes),
         "max_gram_hash": F.array_max(gram_hashes),
     }
+
+
+def _gram_hashes(norm: Column, gram: int) -> Column:
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(gram - 1), F.lit(1)))
+    grams = F.transform(starts, lambda i: norm.substr(i, F.lit(gram)))
+    return F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+
+
+def with_doc_fingerprints(
+    df, col: Column | str = "text", gram: int = 16
+):
+    """Add ``md5_fingerprint`` / ``min_gram_hash`` / ``max_gram_hash``
+    columns, computing the per-row gram-hash array exactly once via
+    intermediate columns (the fast shape — see :func:`doc_fingerprint`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.withColumn("_fp_norm", normalize_text(c))
+        .withColumn("_fp_gh", _gram_hashes(F.col("_fp_norm"), gram))
+        .withColumn("md5_fingerprint", F.md5("_fp_norm"))
+        .withColumn("min_gram_hash", F.array_min("_fp_gh"))
+        .withColumn("max_gram_hash", F.array_max("_fp_gh"))
+        .drop("_fp_norm", "_fp_gh")
+    )
