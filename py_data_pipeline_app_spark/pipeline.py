@@ -93,11 +93,18 @@ def process_upload(
     # P1/P2/P3: blob parse with rejects channel
     parsed, rejects = parse_customer_blob(cust_raw)
 
-    # S6 + SNK2 + SNK3: order-aware SCD fold against current dim state
+    # S6 + SNK2 + SNK3: order-aware SCD fold against current dim state.
+    # upload_id provenance matches the reference (app.py:117-122 only
+    # INSERT OR REPLACEs rows present in the batch): batch rows carry
+    # this upload's id into the fold, dim-carried rows keep the id of
+    # the upload that last touched them.
     current = wh.read("customers")
-    if current is not None:
-        current = current.drop("upload_id")
-    scd = apply_scd_batch(current, parsed, key="customer_id", tracked="address")
+    scd = apply_scd_batch(
+        current,
+        parsed.withColumn("upload_id", F.lit(upload_id).cast("long")),
+        key="customer_id",
+        tracked="address",
+    )
     changes = scd.changes.select(
         "customer_id",
         "old_address",
@@ -106,10 +113,7 @@ def process_upload(
         F.lit(upload_id).cast("long").alias("upload_id"),
     )
     wh.append("address_changes", changes)
-    wh.overwrite(
-        "customers",
-        scd.new_state.withColumn("upload_id", F.lit(upload_id).cast("long")),
-    )
+    wh.overwrite("customers", scd.new_state)
 
     # J1/J2 + P6 + A1..A4/W1/O1: enrichment and report aggregates
     merged = enrich_transactions(

@@ -49,17 +49,30 @@ def start_customer_stream(
             return
         parsed, _rejects = parse_customer_blob(batch_df)
         current = wh.read("customers")
-        if current is not None and "upload_id" in current.columns:
-            current = current.drop("upload_id")
-        upload_id = wh.next_id("uploads")
+        # Idempotent replay: log appends are keyed by the micro-batch id
+        # (same token ⇒ same log subdir, overwritten not duplicated), and
+        # a replayed batch reuses the upload_id its first attempt logged
+        # instead of re-deriving max+1 from a log that already holds it.
+        token = f"batch-{batch_id}"
+        prior = wh.read_token("uploads", token)
+        if prior is not None:
+            upload_id = int(prior.select("id").head()[0])
+        else:
+            upload_id = wh.next_id("uploads")
         wh.append(
             "uploads",
             batch_df.sparkSession.createDataFrame(
                 [(upload_id, f"stream-batch-{batch_id}", str(batch_id), 0, batch_df.count(), 0)],
                 schemas.UPLOADS,
             ),
+            token=token,
         )
-        scd = apply_scd_batch(current, parsed, key="customer_id", tracked="address")
+        scd = apply_scd_batch(
+            current,
+            parsed.withColumn("upload_id", F.lit(upload_id).cast("long")),
+            key="customer_id",
+            tracked="address",
+        )
         wh.append(
             "address_changes",
             scd.changes.select(
@@ -69,11 +82,9 @@ def start_customer_stream(
                 F.lit(str(batch_id)).alias("change_timestamp"),
                 F.lit(upload_id).cast("long").alias("upload_id"),
             ),
+            token=token,
         )
-        wh.overwrite(
-            "customers",
-            scd.new_state.withColumn("upload_id", F.lit(upload_id).cast("long")),
-        )
+        wh.overwrite("customers", scd.new_state)
 
     return (
         stream.writeStream.foreachBatch(fold_batch)

@@ -8,8 +8,9 @@ version. This sidesteps Spark's read-from-path-you're-overwriting trap,
 makes every upsert atomic at directory granularity (a crashed write
 leaves no ``_SUCCESS`` and is ignored), and keeps history — the same
 shape a Delta/Iceberg table gives, expressed with plain Parquet so the
-engine has zero non-OSS dependencies. Appends go to unique subfiles of
-``v0`` -style append tables instead (log tables never rewrite).
+engine has zero non-OSS dependencies. Appends each write their own
+subdirectory of ``{table}/log`` (optionally named by an idempotency
+token — see :meth:`Warehouse.append`); log tables never rewrite.
 """
 
 from __future__ import annotations
@@ -73,18 +74,37 @@ class Warehouse:
         if os.path.isdir(append_dir) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(append_dir) for f in fs
         ):
-            return self.spark.read.parquet(append_dir)
+            # appends live in per-write subdirectories (see append())
+            return self.spark.read.option("recursiveFileLookup", "true").parquet(
+                append_dir
+            )
         if schema is not None:
             return self.spark.createDataFrame([], schema)
         return None
 
     # -- append logs ---------------------------------------------------------
 
-    def append(self, name: str, df: DataFrame) -> None:
-        log_dir = os.path.join(self._table_dir(name), "log")
-        # unique subdir per append: parquet append without file-name
-        # collisions, safe under concurrent writers
-        df.write.mode("append").parquet(log_dir)
+    def append(self, name: str, df: DataFrame, *, token: str | None = None) -> None:
+        """Append one batch of rows to the table's log.
+
+        Each append writes its own subdirectory (``log/{uuid}``), so
+        concurrent writers never share a ``_temporary`` staging dir. A
+        caller-supplied ``token`` names the subdirectory instead: the
+        same token overwrites the same subdir, making replays (e.g. an
+        interrupted foreachBatch re-running a micro-batch) idempotent
+        rather than duplicating log rows."""
+        sub = token if token is not None else uuid.uuid4().hex
+        df.write.mode("overwrite").parquet(
+            os.path.join(self._append_log_dir(name), sub)
+        )
+
+    def read_token(self, name: str, token: str) -> DataFrame | None:
+        """The rows a previous ``append(..., token=...)`` wrote, or None
+        if that append never completed (no ``_SUCCESS``)."""
+        d = os.path.join(self._append_log_dir(name), token)
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            return self.spark.read.parquet(d)
+        return None
 
     # -- helpers -------------------------------------------------------------
 

@@ -106,3 +106,36 @@ def test_amount_coercion_nulls_garbage(spark, wh, sheets):
     # category totals must be finite sums (garbage 'N/A' -> NULL -> skipped)
     total = r.category_totals.agg(F.sum("amount")).collect()[0][0]
     assert total is not None and total > 0
+
+
+def test_upload_id_provenance_on_partial_batch(spark, wh, sheets):
+    # Full load stamps everything with upload 1.
+    process_upload(spark, wh, sheets, run_ts="t1")
+    dim1 = {r.customer_id: r.upload_id for r in wh.read("customers").collect()}
+    assert set(dim1.values()) == {1}
+    # Second upload touches ONE customer: only that row moves to
+    # upload 2; untouched customers keep their original provenance
+    # (reference app.py:117-122 INSERT OR REPLACEs batch rows only).
+    some_id = sorted(dim1)[0]
+    partial = dict(sheets)
+    partial["Customers"] = spark.createDataFrame(
+        [(f"{{{some_id}_New Name_n@x.com_1990-01-01_99 Moved St_44000.5}}", 0)],
+        "raw string, _sheet_pos long",
+    )
+    process_upload(spark, wh, partial, run_ts="t2")
+    dim2 = {r.customer_id: r.upload_id for r in wh.read("customers").collect()}
+    assert dim2[some_id] == 2
+    untouched = {k: v for k, v in dim2.items() if k != some_id}
+    assert set(untouched.values()) == {1}
+
+
+def test_append_token_is_idempotent(spark, wh):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    wh.append("somelog", df, token="batch-7")
+    wh.append("somelog", df, token="batch-7")  # replay: same token
+    assert wh.read("somelog").count() == 1
+    wh.append("somelog", df)  # tokenless appends always add
+    wh.append("somelog", df)
+    assert wh.read("somelog").count() == 3
+    assert wh.read_token("somelog", "batch-7").count() == 1
+    assert wh.read_token("somelog", "nope") is None
