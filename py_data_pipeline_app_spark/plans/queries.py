@@ -1228,3 +1228,106 @@ def returned_revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("c_custkey")).alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal + grouping-set extensions (no reference evidence; Spark-first
+# additions a user of the engine gets for free).
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.operators.temporal import asof_join  # noqa: E402
+
+
+@register(
+    "asof_last_click_before_purchase",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side,
+             NULL::TIMESTAMP AS c_ts, NULL::BIGINT AS c_eid
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS side, ts AS c_ts, event_id AS c_eid
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(c_ts IGNORE NULLS) OVER w AS click_ts,
+             last_value(c_eid IGNORE NULLS) OVER w AS click_event_id
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts, click_event_id, click_ts,
+           CAST(date_diff('second', click_ts, ts) AS BIGINT) AS gap_seconds
+    FROM m WHERE side = 1
+    """,
+)
+def asof_last_click_before_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join, events self-paired: each purchase matched
+    to the same user's most recent click at-or-before it. Union-tag +
+    running-last shape (operators/temporal.py): one shuffle on user_id,
+    no join node, no per-key quadratic range expansion. The oracle
+    replicates the window formulation exactly (DuckDB's ASOF JOIN has
+    strictly-greater tie semantics — ours matches at equal ts)."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        id_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_ts").alias("click_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+@register(
+    "revenue_rollup_region_nation",
+    """
+    SELECT r_name, n_name,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def revenue_rollup_region_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: order revenue at (region, nation), (region), and
+    grand-total levels in ONE pass — Spark expands the rollup before
+    the single agg shuffle (Expand operator), so the fact is read and
+    shuffled once for all three granularities."""
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            money_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

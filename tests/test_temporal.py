@@ -1,0 +1,102 @@
+"""As-of join (operators/temporal.py): semantics vs pandas merge_asof,
+tie handling, tolerance, and no-match nulls."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (101, 1, _ts("2024-01-01T10:00:00")),
+            (102, 1, _ts("2024-01-01T12:00:00")),
+            (103, 2, _ts("2024-01-01T09:00:00")),  # before any right row
+            (104, 3, _ts("2024-01-01T11:00:00")),  # user with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T09:30:00")),
+            (2, 1, _ts("2024-01-01T10:00:00")),  # exactly at left 101 -> matches
+            (3, 1, _ts("2024-01-01T11:59:00")),
+            (4, 2, _ts("2024-01-01T09:30:00")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(frames):
+    left, right = frames
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", right_payload=["event_id"]
+        ).collect()
+    }
+    assert out[101].asof_event_id == 2  # equal-ts right row matches
+    assert out[102].asof_event_id == 3
+    assert out[103].asof_event_id is None  # left precedes all right rows
+    assert out[104].asof_event_id is None  # key has no right rows
+    assert len(out) == 4  # every left row survives
+
+
+def test_asof_matches_pandas_merge_asof(frames):
+    left, right = frames
+    got = (
+        asof_join(left, right, on="user_id", right_payload=["event_id"])
+        .orderBy("event_id")
+        .toPandas()
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts").rename(columns={"event_id": "r_eid"})
+    exp = (
+        pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["asof_event_id"].fillna(-1)) == list(exp["r_eid"].fillna(-1))
+
+
+def test_asof_tolerance(frames):
+    left, right = frames
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left,
+            right,
+            on="user_id",
+            right_payload=["event_id"],
+            tolerance_seconds=120,
+        ).collect()
+    }
+    assert out[101].asof_event_id == 2  # 0s gap, inside tolerance
+    assert out[102].asof_event_id == 3  # 60s gap
+    # 103/104 had no match anyway
+    assert out[103].asof_event_id is None
+
+
+def test_asof_plan_has_no_join(frames):
+    left, right = frames
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, on="user_id", right_payload=["event_id"]).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "Join" not in plan  # union + window, never a join node
+    # exactly one shuffle on the key (tree section lists "Exchange (N)")
+    assert plan.count("Exchange (") == 1
