@@ -1331,3 +1331,74 @@ def revenue_rollup_region_nation_q(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "event_value_quantiles",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(max(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling per event type: exact continuous-
+    interpolation percentiles (Spark ``percentile`` ⟷ DuckDB
+    ``quantile_cont`` — same definition, checked to 6dp).
+
+    Scale note: exact percentiles sort each group's values; the scale
+    path at 100 TB is ``approx_percentile`` (t-digest-style mergeable
+    sketch, map-side combined), which this query's shape swaps in
+    one-for-one — approximate results are engine-specific, so the
+    oracle pins the exact variant."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@register(
+    "event_value_histogram",
+    """
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN -1
+                     WHEN value >= 500 THEN 25
+                     ELSE floor(value / 20.0) END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS bucket_value
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def event_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned value histogram per event type (25 equal-width buckets
+    over [0, 500), under/overflow in sentinel buckets -1/25): one hash
+    aggregation, bucket assignment inside codegen — the scan-bound
+    distribution sketch for dashboards/quality monitors at any corpus
+    size.  Bucketing uses explicit ``floor(value / width)`` (not
+    ``width_bucket``) so both engines evaluate the exact same float
+    expression."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn(
+            "bucket",
+            F.when(F.col("value") < 0, F.lit(-1))
+            .when(F.col("value") >= 500, F.lit(25))
+            .otherwise(F.floor(F.col("value") / F.lit(20.0)))
+            .cast("int"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("bucket_value"),
+        )
+    )
