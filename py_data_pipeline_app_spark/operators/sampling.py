@@ -1,0 +1,145 @@
+"""Deterministic sampling / dataset-splitting operators for
+training-data curation (extension — no reference evidence; the
+reference app has no sampling surface).
+
+Why hash-based instead of ``df.sample()``: ``sample()`` draws per-task
+pseudo-random numbers, so membership depends on partitioning and task
+scheduling — re-running the pipeline (or the same pipeline at another
+scale factor / cluster size) assigns different rows. Training-data
+splits must be STABLE: a document's split is a pure function of its
+key, so the assignment survives re-partitioning, incremental re-runs,
+and engine swaps (the DuckDB oracle reproduces it bit-for-bit).
+
+Scale shape: every operator here is a narrow projection + filter — no
+shuffle, no state, fully codegen'd, and the md5 bucketing distributes
+uniformly regardless of key skew. At 100 TB a split/sample is exactly
+as fast as a scan.
+
+Cross-engine determinism: bucket = md5-derived 60-bit int (see
+functions.text.md5_long) mod a fixed denominator; DuckDB expresses the
+identical computation as
+``('0x' || substr(md5(key || ':' || seed), 1, 15))::UBIGINT % D``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.functions.text import md5_long
+
+#: Denominator for bucketing; fractions are resolved to integer
+#: thresholds out of this, so any fraction with <=4 decimal places is
+#: represented exactly (no float boundary ambiguity cross-engine).
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, seed: str, buckets: int = BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from a key column.
+
+    The seed is concatenated into the hashed string, so different
+    pipeline stages (split vs sample vs A/B assignment) draw
+    independent buckets from the same key.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return md5_long(F.concat(c.cast("string"), F.lit(f":{seed}"))) % F.lit(buckets)
+
+
+def sql_hash_bucket(key_expr: str, seed: str, buckets: int = BUCKETS) -> str:
+    """DuckDB expression computing exactly :func:`hash_bucket`."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{seed}'), 1, 15))"
+        f"::UBIGINT % {buckets})"
+    )
+
+
+def _thresholds(weights: Mapping[str, float]) -> list[tuple[str, int, int]]:
+    """Resolve split weights to [lo, hi) integer bucket ranges."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    out: list[tuple[str, int, int]] = []
+    lo = 0
+    names = list(weights)
+    for i, name in enumerate(names):
+        hi = BUCKETS if i == len(names) - 1 else lo + round(weights[name] / total * BUCKETS)
+        out.append((name, lo, hi))
+        lo = hi
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one of the named
+    splits (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``) by
+    deterministic hash of ``key_col``.
+
+    Rows sharing a key always land in the same split — pass the
+    dedup-stable document key so near-duplicate handling upstream
+    can't leak a document across the train/test boundary.
+    """
+    b = hash_bucket(key_col, seed)
+    expr: Column = F.lit(None).cast("string")
+    for name, lo, hi in reversed(_thresholds(weights)):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def sql_hash_split_case(
+    key_expr: str, weights: Mapping[str, float], seed: str = "split"
+) -> str:
+    """DuckDB CASE expression mirroring :func:`hash_split`."""
+    b = sql_hash_bucket(key_expr, seed)
+    arms = "\n".join(
+        f"WHEN {b} >= {lo} AND {b} < {hi} THEN '{name}'"
+        for name, lo, hi in _thresholds(weights)
+    )
+    return f"CASE {arms} END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 1.0,
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows — the
+    rebalancing move of corpus curation (e.g. downsample the head
+    language, keep the tail in full).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not
+    listed keep ``default_fraction``. Membership is by hash of
+    ``key_col``, so a row's fate is independent of partitioning and of
+    which other rows exist (incremental re-runs keep prior decisions).
+    """
+    b = hash_bucket(key_col, seed)
+    thr: Column = F.lit(round(default_fraction * BUCKETS))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == value, F.lit(round(frac * BUCKETS))).otherwise(
+            thr
+        )
+    return df.where(b < thr)
+
+
+def sql_stratified_keep(
+    key_expr: str,
+    strata_expr: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 1.0,
+    seed: str = "sample",
+) -> str:
+    """DuckDB WHERE predicate mirroring :func:`stratified_sample`."""
+    b = sql_hash_bucket(key_expr, seed)
+    arms = "\n".join(
+        f"WHEN {strata_expr} = '{v}' THEN {round(f * BUCKETS)}"
+        for v, f in fractions.items()
+    )
+    return f"{b} < CASE {arms} ELSE {round(default_fraction * BUCKETS)} END"

@@ -1402,3 +1402,176 @@ def event_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("value").alias("bucket_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / splitting / set ops / skew (training-data curation pillar)
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.operators.sampling import (  # noqa: E402
+    hash_split,
+    sql_hash_split_case,
+    sql_stratified_keep,
+    stratified_sample,
+)
+from py_data_pipeline_app_spark.operators.skew import salted_join  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LANG_FRACTIONS = {"en": 0.25}
+
+
+@register(
+    "dataset_split_profile",
+    f"""
+    SELECT {sql_hash_split_case('doc_id', _SPLIT_WEIGHTS)} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY split
+    """,
+)
+def dataset_split_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus keyed
+    on doc_id (operators/sampling.hash_split), profiled per split.
+
+    The split is a pure function of the key — stable across re-runs,
+    partitionings, and scale factors — and adds zero shuffle: the
+    assignment is a codegen'd projection, the profile is one hash
+    aggregation over 3 groups."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "stratified_lang_rebalance",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_stat_avg('n_chars')} AS avg_chars
+    FROM documents
+    WHERE {sql_stratified_keep('doc_id', 'lang', _LANG_FRACTIONS)}
+    GROUP BY lang
+    """,
+)
+def stratified_lang_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: deterministically downsample the head
+    language ('en' keeps 25%), keep the tail in full
+    (operators/sampling.stratified_sample) — the classic curation move
+    against head-language dominance. Filter is a hash predicate pushed
+    into the scan stage; no shuffle beyond the final small groupBy."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = stratified_sample(docs, "doc_id", "lang", _LANG_FRACTIONS)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        stat_avg("n_chars").alias("avg_chars"),
+    )
+
+
+@register(
+    "user_retention_set_ops",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+    SELECT 'retained' AS segment, CAST(count(*) AS BIGINT) AS n_users
+      FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'churned', CAST(count(*) AS BIGINT)
+      FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'new', CAST(count(*) AS BIGINT)
+      FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+)
+def user_retention_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort set algebra over event halves of the month: INTERSECT
+    (retained), EXCEPT (churned), reverse EXCEPT (new) — the set
+    operators the reference lacks (SURVEY §2.6), as DataFrame
+    ``intersect``/``exceptAll`` over distinct user sets.
+
+    Scale: each leg is a shuffle on user_id over already-distinct
+    (small) key sets; Catalyst plans INTERSECT/EXCEPT as left-semi /
+    left-anti hash joins, so no sort and no full-row comparison."""
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    a = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    b = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+
+    def seg(name: str, users: DataFrame) -> DataFrame:
+        return users.agg(
+            F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_users")
+        ).select("segment", "n_users")
+
+    return (
+        seg("retained", a.intersect(b))
+        .unionByName(seg("churned", a.exceptAll(b)))
+        .unionByName(seg("new", b.exceptAll(a)))
+    )
+
+
+@register(
+    "event_user_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_user_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type. Spark plans distinct-agg
+    as a two-level expand + hash aggregation (partial per partition,
+    re-agg on the group key) — no global sort.
+
+    Scale note: at 100 TB the exact distinct's expand doubles shuffle
+    volume; the one-for-one swap is ``approx_count_distinct`` (HLL++,
+    mergeable sketch, map-side combined — tested within 5% of exact in
+    tests/test_sampling.py). The oracle pins the exact variant because
+    sketch estimates are engine-specific."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "salted_segment_revenue",
+    f"""
+    SELECT c_mktsegment,
+           {sql_money_sum('o_totalprice')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_segment_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through a SALTED shuffle join
+    (operators/skew.salted_join, 8 salts from o_orderkey): each
+    customer key is spread over 8 reducers, the customer side is
+    exploded 8×. The oracle is the PLAIN join — proving the salted
+    plan is row-for-row identical while immunizing the shuffle against
+    whale-customer skew that AQE's partition splitting can't fix when
+    a single key exceeds one task."""
+    orders = load_table(spark, "orders", sf_dir).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, "custkey", salt_from="o_orderkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        money_sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

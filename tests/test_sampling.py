@@ -1,0 +1,129 @@
+"""Deterministic sampling/splitting and skew-mitigation operators.
+
+Properties under test (the contracts the 100 TB design leans on):
+- split/sample membership is a pure function of the key: stable under
+  repartitioning and under corpus growth (incremental re-runs);
+- split is total and exclusive; proportions track the weights;
+- salted join / salted agg are result-identical to their plain forms.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+from py_data_pipeline_app_spark.operators.skew import salted_agg, salted_join
+from py_data_pipeline_app_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).cache()
+
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_total_and_exclusive(docs):
+    split = hash_split(docs, "doc_id", WEIGHTS)
+    rows = split.groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in rows}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.8) < 0.1
+
+
+def test_split_stable_under_repartition(docs):
+    a = hash_split(docs, "doc_id", WEIGHTS).select("doc_id", "split")
+    b = hash_split(docs.repartition(7, "lang"), "doc_id", WEIGHTS).select(
+        "doc_id", "split"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_stable_under_corpus_growth(docs):
+    """A document's split must not change when the corpus grows — the
+    property that lets an incremental pipeline re-run without leaking
+    rows across the train/test boundary."""
+    subset = docs.where(F.col("doc_id") % 3 == 0)
+    full = hash_split(docs, "doc_id", WEIGHTS).where(F.col("doc_id") % 3 == 0)
+    sub = hash_split(subset, "doc_id", WEIGHTS)
+    assert (
+        full.select("doc_id", "split")
+        .exceptAll(sub.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_split_seed_independence(docs):
+    """Different seeds draw independent assignments: the overlap of
+    train(seed A) and train(seed B) is ~64%, not 100%."""
+    a = hash_split(docs, "doc_id", WEIGHTS, seed="s1").where("split = 'train'")
+    b = hash_split(docs, "doc_id", WEIGHTS, seed="s2").where("split = 'train'")
+    inter = a.select("doc_id").intersect(b.select("doc_id")).count()
+    assert inter < a.count()  # not the same set
+
+
+def test_stratified_fractions(docs):
+    kept = stratified_sample(docs, "doc_id", "lang", {"en": 0.25})
+    n_en_all = docs.where("lang = 'en'").count()
+    n_en_kept = kept.where("lang = 'en'").count()
+    # 25% +- generous tolerance at sf0.001 cardinality
+    assert 0.05 < n_en_kept / n_en_all < 0.5
+    # non-listed strata keep default_fraction=1.0: untouched
+    assert (
+        kept.where("lang <> 'en'").count() == docs.where("lang <> 'en'").count()
+    )
+
+
+def test_stratified_is_subset(docs):
+    kept = stratified_sample(docs, "doc_id", "lang", {"en": 0.25}, 0.5)
+    assert kept.exceptAll(docs).count() == 0
+
+
+def test_salted_join_parity(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    plain = orders.join(cust, "custkey")
+    salted = salted_join(orders, cust, "custkey", salt_from="o_orderkey", n_salts=4)
+    cols = sorted(plain.columns)
+    assert salted.select(*cols).exceptAll(plain.select(*cols)).count() == 0
+    assert plain.select(*cols).exceptAll(salted.select(*cols)).count() == 0
+
+
+def test_salted_agg_parity(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    direct = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    two_phase = salted_agg(
+        ev,
+        ["event_type"],
+        sums={"total": "value"},
+        salt_from="event_id",
+        n_salts=4,
+    )
+    a = {r["event_type"]: (r["total"], r["n"]) for r in direct.collect()}
+    b = {r["event_type"]: (r["total"], r["n"]) for r in two_phase.collect()}
+    assert a == b
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    """The documented 100 TB swap for event_user_distinct: HLL++ sketch
+    within 5% of the exact distinct count."""
+    ev = load_table(spark, "events", sf_dir)
+    rows = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05
