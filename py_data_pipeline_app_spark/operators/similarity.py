@@ -151,29 +151,32 @@ def hyperplane_lsh_near_dup_pairs(
 
     P[signs agree] = 1 - θ/π per plane, so high-cosine pairs collide in
     at least one band with high probability; recall measured in tests
-    against the exact baseline."""
+    against the exact baseline.
+
+    Plan-construction shape: the plane matrix is ONE nested array
+    literal + a ``transform`` over it (a single expression), not
+    n_planes × dim individual ``lit`` columns — the per-literal py4j
+    round trips cost more driver time than the whole query's
+    execution. Verification precomputes each vector's norm once (per
+    row, not per candidate pair — identical fold arithmetic, so
+    values are bit-equal to the inline form the oracle computes)."""
     planes = _deterministic_hyperplanes(dim, n_planes)
-    proj = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(c) for c in plane]),
-                lambda p, q: p.cast("double") * q,
-            ),
+    vec = F.col(vec_col)
+    projs = F.transform(
+        F.lit(planes),
+        lambda plane: F.aggregate(
+            F.zip_with(vec, plane, lambda p, q: p.cast("double") * q),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        for plane in planes
-    ]
-    bits = [F.when(p > 0, F.lit(1)).otherwise(F.lit(0)) for p in proj]
+        ),
+    )
+    bits = F.transform(projs, lambda p: F.when(p > 0, F.lit("1")).otherwise(F.lit("0")))
     r = n_planes // bands
     band_keys = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.concat_ws("", *[bits[bi * r + j].cast("string") for j in range(r)]).alias(
-                    "bucket"
-                ),
+                F.array_join(F.slice(bits, bi * r + 1, r), "").alias("bucket"),
             )
             for bi in range(bands)
         ]
@@ -188,15 +191,27 @@ def hyperplane_lsh_near_dup_pairs(
         .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("_norm_a"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("_norm_b"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("_norm_a") * F.col("_norm_b")),
+                9,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
