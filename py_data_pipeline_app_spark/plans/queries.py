@@ -1082,15 +1082,37 @@ def media_payload_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_feature_extract",
     f"""
     WITH media AS ({M.MEDIA_SQL}), {_MEDIA_FEATS_SQL}
-    SELECT media_id, kind, feature, n_frames FROM feats
+    SELECT media_id, kind,
+           list_aggregate(list_transform(feature,
+             x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9)) AS VARCHAR)),
+             'string_agg', ',') AS feature_csv,
+           n_frames
+    FROM feats
     """,
 )
 def media_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode→feature path itself: float32 features are
     bit-identical cross-engine (both quantize count/len to float32), so
-    this Arrow-batched Python stage gets a full value-hash check."""
+    this Arrow-batched Python stage gets a full value-hash check.
+
+    The gate-facing shape serializes the array<float> column to a CSV
+    string (fixed decimal(12,9) per element) because the driver's
+    canonicalizer sorts output columns and Python lists aren't
+    hashable — same pattern as customer_details_nested. The real API
+    (operators.media.extract_features) keeps the typed array column."""
     media = M.media_from_documents(load_table(spark, "documents", sf_dir))
-    return M.extract_features(media, dim=16)
+    feats = M.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"), lambda x: x.cast("decimal(12,9)").cast("string")
+            ),
+        ).alias("feature_csv"),
+        "n_frames",
+    )
 
 
 @register(
