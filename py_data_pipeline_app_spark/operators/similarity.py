@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
 
 
@@ -233,19 +234,20 @@ def ivf_topk(
     nearest centroid once; each query probes its ``nprobe`` nearest
     centroid buckets only.
 
-    Centroid pick: order by xxhash64(id) and take ``n_centroids`` —
+    Centroid pick: order by md5_long(id) and take ``n_centroids`` —
     a pseudo-random but deterministic sample that Spark executes as
     TakeOrderedAndProject (per-partition top-k, driver merge of
     n_centroids rows; nothing ever funnels the corpus through one
-    task). The tiny result is then numbered with a window — fine on
-    n_centroids rows. The corpus-assignment pass is one broadcast join
-    + argmin; the query pass scans ~nprobe/n_centroids of the corpus.
-    A production build would train the centroids with k-means
-    (pyspark.ml.KMeans) — the plumbing is identical; the deterministic
-    sample keeps tests reproducible without an iterative fit."""
+    task). md5_long (not xxhash64) so the whole computation — centroid
+    set, bucket assignment, probe set, scores — is reproducible in the
+    DuckDB oracle. The tiny result is then numbered with a window —
+    fine on n_centroids rows. The corpus-assignment pass is one
+    broadcast join + argmin; the query pass scans ~nprobe/n_centroids
+    of the corpus. For trained (k-means) centroids behind the same
+    probing plumbing see :func:`ivf_topk_trained`."""
     cents = (
         corpus.select(
-            F.xxhash64(F.col(id_col).cast("string")).alias("_hk"),
+            md5_long(F.col(id_col).cast("string")).alias("_hk"),
             F.col(vec_col).alias("cvec"),
         )
         .orderBy("_hk")

@@ -844,12 +844,60 @@ def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-@register("similarity_topk_ivf")  # approximate: rows-only check; recall tested
+def _ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of the FULL ivf_topk computation — md5-ordered
+    centroid sample, argmax bucket assignment, nprobe probing, rounded
+    scores — not an approximation of it. Every step is deterministic
+    (md5_long hash order; sequential-fold cosine is bit-identical
+    across engines), so the approximate operator still gets a full
+    value-hash check; its recall vs brute force is asserted in tests."""
+    cos_ec = _sql_cos("e.embedding", "c.cvec")
+    cos_qc = _sql_cos("q.embedding", "c.cvec")
+    cos_aq = _sql_cos("a.embedding", "p.qvec")
+    return f"""
+    WITH hk AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+               AS _hk
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY _hk) - 1 AS centroid_id, embedding AS cvec
+      FROM hk ORDER BY _hk LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             round({cos_aq}, 9) AS score,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round({cos_aq}, 9) DESC, a.vec_id) AS rank
+      FROM assigned a JOIN probes p USING (centroid_id)
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_ivf", _ivf_oracle())
 def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-5 (16 coarse buckets, nprobe 4):
     scans ~nprobe/n_centroids of the corpus per query. Approximate by
-    construction — recall vs the exact baseline is asserted in tests,
-    not the oracle gate."""
+    construction — the oracle replays the same deterministic IVF
+    computation (md5_long centroid sample); recall vs the exact
+    baseline is asserted in tests."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
