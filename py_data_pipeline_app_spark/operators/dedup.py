@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.text import (
@@ -157,6 +157,53 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*aggs)
 
 
+def _chunked_bucket_arrays(
+    members: DataFrame,
+    bucket_cols: list[str],
+    member_col: str,
+    *,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Group bucket members into sorted arrays with a HARD bound on any
+    single array's length: members of a bucket over ``max_bucket_size``
+    are salted into ``ceil(n / max_bucket_size)`` hash-chunks *before*
+    the ``collect_list`` — no row ever holds more than ~max_bucket_size
+    members (binomial variance around the mean chunk size, not O(n)).
+
+    The round-2 residual scale-killer lived here: chunking applied only
+    to the *pair expansion*, after a ``collect_list`` had already
+    materialized the viral bucket's full member array in one row of one
+    task — a 10⁷-member band bucket at corpus scale is a multi-GB row
+    that OOMs before any slicing runs. Salting the group key bounds the
+    array itself.
+
+    Plan shape: ONE shuffle. The per-bucket count comes from an
+    unordered window over the bucket key (not a count-agg + self-join,
+    which would recompute the upstream members subplan per branch —
+    measured 6-7× on the LSH queries); the following
+    ``groupBy(bucket, chunk)`` is satisfied by the window's hash
+    partitioning on the bucket prefix, so it aggregates in place.
+    Buckets at or under the cap get chunk 0 = exactly today's
+    semantics; the oracle queries model the uncapped computation and
+    stay valid as long as evaluation-scale buckets fit the cap."""
+    if max_bucket_size is None:
+        return (
+            members.groupBy(*bucket_cols)
+            .agg(F.sort_array(F.collect_list(member_col)).alias("_ms"))
+            .filter(F.size("_ms") >= 2)
+        )
+    b = int(max_bucket_size)
+    w = Window.partitionBy(*bucket_cols)
+    n_chunks = F.ceil(F.count(F.lit(1)).over(w) / F.lit(b))
+    chunk = F.pmod(md5_long(F.col(member_col).cast("string")), n_chunks).cast("int")
+    return (
+        members.withColumn("_chunk", chunk)
+        .groupBy(*bucket_cols, "_chunk")
+        .agg(F.sort_array(F.collect_list(member_col)).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
+    )
+
+
 def _bucket_member_pairs(
     members: DataFrame,
     bucket_cols: list[str],
@@ -164,34 +211,26 @@ def _bucket_member_pairs(
     *,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """All (a < b) member pairs within each bucket, emitted as rows
-    ``(_a, _b)`` — never materializing a bucket's full pair set in one
-    row (the round-1 scale-killer: one viral bucket of ~2,300 docs put
-    its 2.5M pairs in a single task's single row).
+    """All (a < b) member pairs within each bucket (or bucket-chunk),
+    emitted as rows ``(_a, _b)`` — never materializing a bucket's full
+    pair set OR member set in one row (see
+    :func:`_chunked_bucket_arrays` for the memory bound).
 
-    Shape: group → sorted member array (one row per bucket, O(bucket)
-    wide) → posexplode (one row per member, still O(bucket) wide) →
-    explode the member's pair-span slice. Peak per-row memory is the
-    bucket array, total work the pair count — spread across tasks.
+    Shape: chunked group → sorted member array (≤ max_bucket_size
+    wide) → posexplode (one row per member) → explode the member's
+    pair-span slice. Peak per-row memory is one chunk array, total
+    work the pair count — spread across tasks.
 
-    ``max_bucket_size`` chunks each oversize bucket's sorted array into
-    runs of that size and pairs only within a run ("salted" splitting,
-    deterministic by sort order): recall degrades gracefully inside
-    viral buckets — which, for near-dup LSH, are dominated by
+    With ``max_bucket_size`` set, pairs inside an oversize bucket are
+    generated only within a hash-chunk: recall degrades gracefully
+    inside viral buckets — which, for near-dup LSH, are dominated by
     common-token false positives — instead of the pair count growing
     quadratically. Leave None when every in-bucket pair is required."""
-    grouped = (
-        members.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(member_col)).alias("_ms"))
-        .filter(F.size("_ms") >= 2)
+    grouped = _chunked_bucket_arrays(
+        members, bucket_cols, member_col, max_bucket_size=max_bucket_size
     )
     e = grouped.select(F.col("_ms"), F.posexplode("_ms").alias("_i", "_a"))
-    if max_bucket_size is None:
-        span = F.expr("slice(_ms, _i + 2, size(_ms))")
-    else:
-        b = int(max_bucket_size)
-        # pair member i (0-based) with members up to its chunk boundary
-        span = F.expr(f"slice(_ms, _i + 2, {b} * ((_i div {b}) + 1) - _i - 1)")
+    span = F.expr("slice(_ms, _i + 2, size(_ms))")
     return e.select(F.col("_a"), F.explode(span).alias("_b"))
 
 

@@ -127,3 +127,45 @@ def test_simhash_blocking_contract_vs_brute_force(corpus):
     }
     assert got == expected
     assert (1, 3) in got  # identical word sets: hamming 0, always found
+
+
+def test_viral_bucket_arrays_are_bounded(spark):
+    # A planted ~50k-member bucket must never materialize as one
+    # collect_list row: chunk arrays stay near max_bucket_size, every
+    # chunk-internal pair is produced, and small buckets are untouched.
+    from py_data_pipeline_app_spark.operators.dedup import (
+        _bucket_member_pairs,
+        _chunked_bucket_arrays,
+    )
+
+    members = spark.range(50_000).select(
+        F.lit("viral").alias("bucket"), F.col("id").alias("member")
+    ).union(
+        spark.range(10).select(F.lit("small").alias("bucket"), F.col("id").alias("member"))
+    )
+    cap = 100
+    chunks = _chunked_bucket_arrays(
+        members, ["bucket"], "member", max_bucket_size=cap
+    ).select(
+        "bucket", F.size("_ms").alias("n"), F.col("_ms").alias("ms")
+    )
+    sizes = chunks.groupBy("bucket").agg(
+        F.max("n").alias("mx"), F.sum("n").alias("total"), F.count("*").alias("k")
+    ).collect()
+    by_bucket = {r.bucket: r for r in sizes}
+    # hash-salting: chunk sizes concentrate around the cap (binomial
+    # tail, not O(n)); 3x the cap is far beyond any realistic deviation
+    assert by_bucket["viral"].mx <= 3 * cap
+    assert by_bucket["viral"].total == 50_000
+    assert by_bucket["viral"].k == 500
+    # the small bucket is a single untouched chunk == old semantics
+    assert by_bucket["small"].k == 1 and by_bucket["small"].mx == 10
+
+    # pair expansion matches sum over chunks of C(size, 2)
+    expected_pairs = chunks.select(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")
+    ).collect()[0].p
+    got = _bucket_member_pairs(
+        members, ["bucket"], "member", max_bucket_size=cap
+    ).count()
+    assert got == int(expected_pairs)
