@@ -80,12 +80,22 @@ def process_upload(
         sheets["Products"],
     )
 
-    # SNK1: run metadata with max+1 id (distributed analog of lastrowid)
+    # SNK1: run metadata with max+1 id (distributed analog of lastrowid).
+    # The three sheet counts come from ONE action: each .count() would be
+    # its own job (three scans of the input before any real work — two
+    # wasted full passes against staged 100-TB parquet); cross-joining
+    # the single-row aggregates folds them into a single job.
     upload_id = wh.next_id("uploads")
+    counts = (
+        txn.agg(F.count(F.lit(1)).alias("_n_txn"))
+        .crossJoin(cust_raw.agg(F.count(F.lit(1)).alias("_n_cust")))
+        .crossJoin(products.agg(F.count(F.lit(1)).alias("_n_prod")))
+        .first()
+    )
     wh.append(
         "uploads",
         spark.createDataFrame(
-            [(upload_id, filename, run_ts, txn.count(), cust_raw.count(), products.count())],
+            [(upload_id, filename, run_ts, counts._n_txn, counts._n_cust, counts._n_prod)],
             schemas.UPLOADS,
         ),
     )
