@@ -35,6 +35,7 @@ from py_data_pipeline_app_spark.operators.aggregates import (
     customer_spend_summary,
     top_spender_per_category,
 )
+from py_data_pipeline_app_spark.operators.enrich import enrich_transactions
 from py_data_pipeline_app_spark.operators.parse import parse_customer_blob
 from py_data_pipeline_app_spark.operators.scd import apply_scd_batch
 from py_data_pipeline_app_spark.sources.parquet import load_table
@@ -229,6 +230,100 @@ def customer_details_nested_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.array_join(F.sort_array(F.collect_list("detail")), ";").alias("details"))
     )
+
+
+_FANOUT_CUSTOMERS_SQL = """
+      SELECT c_custkey AS customer_id, c_mktsegment AS segment, 0 AS pos
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'DUP-' || c_mktsegment, 1
+      FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+@register(
+    "enrich_strict_vs_dedup",
+    f"""
+    WITH txn AS (
+      SELECT o_custkey AS customer_id, l_partkey AS product_code,
+             l_extendedprice * (1 - l_discount) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    customers AS ({_FANOUT_CUSTOMERS_SQL}),
+    dedup_customers AS (
+      SELECT customer_id, segment FROM (
+        SELECT *, row_number() OVER (PARTITION BY customer_id
+                                     ORDER BY pos DESC) AS rn
+        FROM customers
+      ) WHERE rn = 1
+    )
+    SELECT 'strict' AS mode, segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_money_sum('revenue')} AS revenue
+    FROM txn t
+    JOIN part ON t.product_code = p_partkey
+    JOIN customers c ON t.customer_id = c.customer_id
+    GROUP BY segment
+    UNION ALL
+    SELECT 'dedup', segment, CAST(count(*) AS BIGINT),
+           {sql_money_sum('revenue')}
+    FROM txn t
+    JOIN part ON t.product_code = p_partkey
+    JOIN dedup_customers c ON t.customer_id = c.customer_id
+    GROUP BY segment
+    """,
+)
+def enrich_strict_vs_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 both ways (reference app.py:132): the reference keeps
+    duplicate customer_ids in the join side, fanning out and
+    double-counting those customers downstream — a documented
+    reference bug the engine reproduces only under
+    ``strict_compat=True``, defaulting to last-write-wins dedup.
+
+    The batch dimension plants every 10th customer twice (second
+    occurrence with a 'DUP-' segment and a later sheet position), runs
+    :func:`enrich_transactions` in BOTH modes over the same fact, and
+    aggregates per segment: strict mode shows the fan-out (planted
+    customers contribute under both segment values), dedup mode shows
+    only the last occurrence. One oracle row set pins both semantics."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("product_code")
+    )
+    txn = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_partkey").alias("product_code"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    base = customer.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).alias("_sheet_pos"),
+    )
+    dups = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.concat(F.lit("DUP-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit(1).alias("_sheet_pos"),
+    )
+    customers = base.unionByName(dups)
+
+    def agg(df: DataFrame, mode: str) -> DataFrame:
+        return (
+            df.groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                money_sum("revenue").alias("revenue"),
+            )
+            .select(F.lit(mode).alias("mode"), "segment", "n_rows", "revenue")
+        )
+
+    strict = enrich_transactions(txn, part, customers, strict_compat=True)
+    dedup = enrich_transactions(txn, part, customers, strict_compat=False)
+    return agg(strict, "strict").unionByName(agg(dedup, "dedup"))
 
 
 # ---------------------------------------------------------------------------
