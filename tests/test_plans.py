@@ -1,0 +1,98 @@
+"""Plan-shape regression tests: a future edit that silently
+de-optimizes a headline plan (loses parquet pushdown, widens the scan,
+or introduces a corpus-scale cartesian) must fail here, not in a
+100-TB run.
+
+These assert on `explain` output, not timings — the properties that
+survive a 1000-executor scale-up: predicate pushdown + column pruning
+at the scan, and blocked (equi-join) candidate generation in the
+near-dup family. Broadcast cross joins against an intentionally tiny
+side (query sets, centroid tables) are legitimate and NOT banned;
+CartesianProduct (a non-broadcast cartesian) is banned everywhere.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from py_data_pipeline_app_spark.plans.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+# Near-dup operators whose candidate generation must stay *blocked*:
+# an equi-join/groupBy on a compact key, never a quadratic join against
+# the corpus. (similarity_topk / *_ivf / *_exact intentionally use
+# broadcast cross joins against tiny query/centroid sides and the
+# sampled O(N^2) baseline, so they are excluded from the BNLJ ban.)
+BLOCKED_NEAR_DUP = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_near_dup",
+]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {
+        name: plan_of(QUERIES[name](spark, sf_dir))
+        for name in BLOCKED_NEAR_DUP
+        + ["pricing_summary", "regional_supplier_volume", "enrich_strict_vs_dedup"]
+    }
+
+
+def test_pricing_summary_pushdown_and_pruning(plans):
+    plan = plans["pricing_summary"]
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: 7-column ReadSchema, not the 16-column table
+    assert "ReadSchema" in plan
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_regional_supplier_volume_pushdown(plans):
+    plan = plans["regional_supplier_volume"]
+    # the orderdate range predicate and the region name filter both push
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    # pruning: no comment columns from any of the 6 tables
+    assert "_comment" not in plan
+
+
+def test_near_dup_candidate_generation_is_blocked(plans):
+    for name in BLOCKED_NEAR_DUP:
+        plan = plans[name]
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_plain_cartesian_anywhere(plans):
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_covers_pricing_summary(spark, sf_dir):
+    # the scan->filter->partial-agg pipeline must stay inside codegen.
+    # AQE finalizes the physical plan only on execution, so run the
+    # query, then read the final adaptive plan.
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators carry the `*` marker in the final plan:
+    # scan-side filter and partial aggregate must both be inside a
+    # WholeStageCodegen span
+    assert "* Filter" in plan
+    assert "* HashAggregate" in plan
