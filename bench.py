@@ -32,9 +32,19 @@ HEADLINE = [
     # multi-hop dim chains:
     "regional_supplier_volume",
     "returned_revenue_by_nation",
+    # rollup / profiling / skew / join-mode surfaces:
+    "revenue_rollup_region_nation",
+    "salted_segment_revenue",
+    "event_value_quantiles",
+    "event_value_histogram",
+    "enrich_strict_vs_dedup",
     # event-time windows (batch mode of the streaming operators):
     "tumbling_counts",
+    "sliding_counts",
     "session_windows",
+    # temporal + sampling:
+    "asof_last_click_before_purchase",
+    "dataset_split_profile",
     # extensions (registered in plans/queries.py as they land):
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -42,6 +52,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "embedding_near_dup",
     "similarity_topk",
+    "similarity_topk_ivf",
     "text_quality",
     "text_token_stats",
     # multimodal:
