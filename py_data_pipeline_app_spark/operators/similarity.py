@@ -257,6 +257,85 @@ def ivf_topk(
         )
         .select("centroid_id", "cvec")
     )
+    return _ivf_probe_topk(
+        corpus,
+        queries,
+        cents,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """IVF top-k with *trained* coarse centroids: fit
+    ``pyspark.ml.KMeans`` (deterministic seed) on the corpus vectors
+    and probe exactly like :func:`ivf_topk`. Trained centroids track
+    the data distribution, so each bucket's Voronoi cell is tighter and
+    recall at the same ``nprobe`` improves over the hash-sample pick —
+    measured in tests against the brute-force baseline.
+
+    Scale shape: the k-means fit is Spark ML's distributed Lloyd's
+    (per-iteration map + tiny reduce of k×dim partials); the resulting
+    k×dim centroid table collects to the driver (a few KB) and
+    re-enters the plan as a broadcast literal — the probing plan is
+    byte-for-byte the hash-sample one. The gate keeps the hash-sample
+    variant (an iterative fit has no SQL oracle); this one is
+    recall-tested."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    cents = corpus.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "centroid_id int, cvec array<double>",
+    )
+    return _ivf_probe_topk(
+        corpus,
+        queries,
+        cents,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def _ivf_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF probing plan: assign corpus vectors to their nearest
+    centroid (broadcast join + argmax cosine), probe each query's
+    ``nprobe`` nearest buckets, exact-rank the scanned candidates."""
     cents = F.broadcast(cents)
 
     # assign: argmin over centroids by max cosine

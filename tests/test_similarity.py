@@ -105,3 +105,27 @@ def test_near_dup_exact_threshold_filtering(emb):
     for r in out:
         assert r.cos_sim >= 0.4
         assert r.id_a < r.id_b
+
+
+def test_trained_ivf_recall_at_least_hash_sample(emb):
+    from py_data_pipeline_app_spark.operators.similarity import ivf_topk_trained
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    r_hash = recall(ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2))
+    r_train = recall(
+        ivf_topk_trained(emb, queries, k=5, n_centroids=8, nprobe=2, seed=7)
+    )
+    # trained centroids track the distribution: at the same probe
+    # budget they must not lose to a random sample, and measured they
+    # beat it (see commit); >= keeps the assertion robust to ml-lib
+    # version drift in the k-means init.
+    assert r_train >= r_hash
+    assert r_train >= 0.5
