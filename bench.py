@@ -55,6 +55,14 @@ HEADLINE = [
     "similarity_topk_ivf",
     "text_quality",
     "text_token_stats",
+    # curation passes:
+    "text_repetition_filter",
+    "text_pii_scrub",
+    "benchmark_decontamination",
+    "sequence_packing",
+    "training_set_curation",
+    "embedding_dim_stats",
+    "scd2_state_history",
     # multimodal:
     "media_payload_profile",
     "media_feature_topk",

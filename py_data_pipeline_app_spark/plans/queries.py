@@ -1118,6 +1118,358 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py): repetition filters, PII
+# redaction, benchmark decontamination, sequence packing, and the
+# composed training-set build. Extensions — the standard passes an LLM
+# pretraining pipeline runs between ingestion and tokenization.
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.operators import curation as CUR  # noqa: E402
+from py_data_pipeline_app_spark.operators.sampling import (  # noqa: E402
+    hash_split,
+    sql_hash_split_case,
+)
+
+_SQL_2GRAMS = (
+    "list_transform(range(1, greatest(len(w) - 1, 1) + 1), "
+    "i -> array_to_string(list_slice(w, i, i + 1), ' '))"
+)
+_SQL_5GRAMS = (
+    "list_transform(range(1, greatest(len(w) - 4, 1) + 1), "
+    "i -> array_to_string(list_slice(w, i, i + 4), ' '))"
+)
+
+
+@register(
+    "text_repetition_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WS}) AS word FROM documents
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+    ws AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct_words,
+             max(c) AS top_word_count
+      FROM wc GROUP BY doc_id
+    ),
+    gr AS (
+      SELECT doc_id, unnest({_SQL_2GRAMS}) AS g
+      FROM (SELECT doc_id, {_SQL_WS} AS w FROM documents)
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g),
+    gs AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_2
+      FROM gc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, n_words, n_distinct_words,
+           round(top_word_count::DOUBLE / n_words, 6) AS top_word_frac,
+           round(dup_2::DOUBLE / n_2grams, 6) AS dup_2gram_frac,
+           (round(top_word_count::DOUBLE / n_words, 6) > 0.10
+            OR round(dup_2::DOUBLE / n_2grams, 6) > 0.60) AS flagged
+    FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+    """,
+)
+def text_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality flags per document: the top
+    word's occurrence share and the duplicate-2-gram occurrence share
+    against frozen budgets. Word/gram occurrences explode and collapse
+    back to one row per document with map-side partials — shuffles
+    move per-document summaries, never token streams."""
+    return CUR.repetition_filter(
+        load_table(spark, "documents", sf_dir),
+        max_top_word_frac=0.10,
+        max_dup_2gram_frac=0.60,
+    )
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH contact AS (
+      SELECT c_custkey,
+             c_name || ' in ' || c_mktsegment || ' call '
+               || lpad(CAST(10 + c_nationkey % 90 AS VARCHAR), 2, '0') || '-'
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+               || ' mail ' || lower(replace(c_name, '#', '')) || '@example.com'
+               AS contact_text
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact_text, '{CUR.EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(contact_text, '{CUR.PHONE_RE}')) AS INT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(contact_text, '{CUR.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{CUR.PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM contact
+    """,
+)
+def text_pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a contact-card text derived from the
+    customer dimension (name/segment plus a deterministic phone and
+    e-mail — the testdata carries no real PII columns): count then
+    scrub emails and phone numbers with shared conservative regexes —
+    all codegen'd regexp expressions, scan-bound at corpus scale."""
+    cust = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((F.col("c_nationkey") % 90 + 10).cast("string"), 2, "0"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 13) % 10000).cast("string"), 4, "0"),
+    )
+    contact = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" in "),
+            F.col("c_mktsegment"),
+            F.lit(" call "),
+            phone,
+            F.lit(" mail "),
+            F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+            F.lit("@example.com"),
+        ).alias("contact_text"),
+    )
+    return CUR.pii_scrub(contact, text_col="contact_text").select(
+        "c_custkey", "n_emails", "n_phones", "scrubbed"
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_SQL_5GRAMS}) AS g
+      FROM (SELECT doc_id, {_SQL_WS} AS w FROM documents)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    doc_g AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(b.g) AS BIGINT) AS n_hits,
+           round(count(b.g)::DOUBLE / count(*), 6) AS contamination_frac
+    FROM doc_g LEFT JOIN bench b ON doc_g.g = b.g
+    GROUP BY doc_id
+    """,
+)
+def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per-document word-5-gram overlap with
+    a benchmark set (stand-in: every 97th document). The deduplicated
+    benchmark gram set is broadcast; the corpus scans once and only
+    per-document rollups shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return CUR.contamination_stats(rest, bench, n=5)
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+             len({_SQL_WS}) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM d
+    )
+    SELECT shard, CAST(floor(off / 2048) AS INT) AS seq_bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM o GROUP BY shard, seq_bin
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (2048-token budget, 8 shards):
+    documents lay end-to-end per shard in id order; a document joins
+    the sequence where its first token lands. Windowed PER SHARD —
+    no global sort; shard count scales with the cluster. Rolled up to
+    per-(shard, bin) doc/token counts for the gate."""
+    docs = load_table(spark, "documents", sf_dir)
+    packed = CUR.pack_sequences(docs, seq_len=2048, n_shards=8)
+    return packed.groupBy("shard", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+@register(
+    "scd2_state_history",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, event_type, ts, event_id FROM ch
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL)
+             AS is_current
+    FROM st
+    """,
+)
+def scd2_state_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 on top of the order-aware change detection (S6):
+    collapse consecutive repeats of each user's event-type state, then
+    derive [valid_from, valid_to) intervals with lead() — the
+    dimension-history view the reference's change log only approximates.
+    Two windows over the same (user, order) partitioning: one shuffle."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    st = (
+        events.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return st.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_CURATION_SPLIT = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "training_set_curation",
+    f"""
+    WITH canon AS (
+      SELECT doc_id, text, lang,
+             row_number() OVER (PARTITION BY md5({_SQL_NORM})
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text, lang,
+             len({_SQL_WS}) AS n_tokens,
+             round(least(len({_SQL_WS})::DOUBLE / 100.0, 1.0) * 0.4
+                   + (len(list_distinct({_SQL_WS}))::DOUBLE
+                      / greatest(len({_SQL_WS}), 1)) * 0.4
+                   + (1.0 - least((length(text) - length(regexp_replace(text,
+                        '[^\\w\\s]', '', 'g')))::DOUBLE
+                        / greatest(length(text), 1) * 5.0, 1.0)) * 0.1
+                   + (1.0 - least((length(text) - length(regexp_replace(text,
+                        '[0-9]', '', 'g')))::DOUBLE
+                        / greatest(length(text), 1) * 5.0, 1.0)) * 0.1,
+                   6) AS quality_score
+      FROM canon WHERE rn = 1
+    ),
+    split AS (
+      SELECT *, {sql_hash_split_case('doc_id', _CURATION_SPLIT)} AS split
+      FROM kept WHERE quality_score >= 0.5
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {sql_stat_avg('quality_score', 6)} AS avg_quality
+    FROM split GROUP BY split, lang
+    """,
+)
+def training_set_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-set build — the flagship curation
+    pipeline: exact-dedup to canonical documents (min doc_id per
+    normalized-text fingerprint), quality-score filter, deterministic
+    hash split, then per-(split, lang) corpus statistics.
+
+    One pass over the corpus: the dedup window shuffles on the 16-byte
+    fingerprint, everything else is narrow projection/filter, and the
+    final rollup aggregates map-side into |splits|x|langs| rows."""
+    from py_data_pipeline_app_spark.functions.text import (
+        normalize_text,
+        quality_features,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    canon = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    feats = quality_features("text")
+    kept = canon.select(
+        "doc_id",
+        "lang",
+        token_count_ws("text").alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    ).filter(F.col("quality_score") >= 0.5)
+    split = hash_split(kept, "doc_id", _CURATION_SPLIT)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        stat_avg("quality_score", 6).alias("avg_quality"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH x AS (
+      SELECT CAST(i - 1 AS INT) AS dim, embedding[CAST(i AS INT)] AS v
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_v,
+           round(sqrt(greatest(
+             (CAST(sum(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+              - CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                * CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) - 1.0), 0.0)), 6) AS std_v,
+           CAST(min(v) AS DOUBLE) AS min_v,
+           CAST(max(v) AS DOUBLE) AS max_v
+    FROM x GROUP BY dim
+    """,
+)
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the normalization profile an
+    ANN index build needs): posexplode to (dim, value), one 64-group
+    aggregation with map-side partials — only 64 rows per partition
+    cross the shuffle. Mean/std from exact decimal sums (order
+    independent), identical double arithmetic in the oracle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    vd = F.col("v").cast("double")
+    n_d = F.count(F.lit(1)).cast("double")
+    sum_d = F.sum(vd.cast("decimal(18,6)")).cast("double")
+    sumsq_d = F.sum((vd * vd).cast("decimal(18,6)")).cast("double")
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(sum_d / n_d, 6).alias("mean_v"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (sumsq_d - sum_d * sum_d / n_d) / (n_d - F.lit(1.0)),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("std_v"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal extension: binary payload columns + typed metadata
 # (operators/media.py; schemas.MEDIA / MEDIA_FEATURES). The media table
 # is derived deterministically from documents (MEDIA_SQL mirrors the

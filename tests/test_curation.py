@@ -1,0 +1,96 @@
+"""Curation operators: repetition flags on crafted documents, PII
+scrub counts, planted contamination, and sequence-packing invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from py_data_pipeline_app_spark.operators.curation import (
+    contamination_stats,
+    pack_sequences,
+    pii_scrub,
+    repetition_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),  # one word
+        (2, "the quick brown fox jumps over the lazy dog today"),  # prose-ish
+        (3, "go go stop go go stop go go stop go go stop"),  # repeated 2-grams
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_filter_flags_degenerate_docs(docs):
+    out = {r.doc_id: r for r in repetition_filter(docs).collect()}
+    assert out[1].flagged  # top_word_frac == 1.0
+    assert out[1].top_word_frac == 1.0
+    assert not out[4].flagged  # all-distinct words, no repeated grams
+    assert out[4].dup_2gram_frac == 0.0
+    assert out[3].flagged  # 'go go' dominates the 2-grams
+    assert out[3].dup_2gram_frac > 0.6
+    # doc 2: 'the' twice in 10 words = 0.2 > 0.10 budget -> flagged by
+    # top word, but its gram repetition stays low
+    assert out[2].top_word_frac == 0.2
+    assert out[2].dup_2gram_frac == 0.0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at a.b#1@mail.example or 12-345-678-9012"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.z and q@r.s plus 99-111-222-3333"),
+        ],
+        ["id", "t"],
+    )
+    out = {r.id: r for r in pii_scrub(df, text_col="t").collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].scrubbed and "<PHONE>" in out[1].scrubbed
+    assert "mail.example" not in out[1].scrubbed
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+    assert out[2].scrubbed == "no pii here at all"
+    assert out[3].n_emails == 2 and out[3].n_phones == 1
+    assert out[3].scrubbed.count("<EMAIL>") == 2
+
+
+def test_contamination_finds_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),  # identical -> frac 1.0
+            (2, "zero one two three four five nine"),  # shares 'one..five' 5-gram
+            (3, "alpha beta gamma delta epsilon zeta"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in contamination_stats(docs, bench, n=5).collect()}
+    assert out[1].contamination_frac == 1.0
+    assert out[3].n_hits == 0 and out[3].contamination_frac == 0.0
+    assert 0.0 < out[2].contamination_frac < 1.0
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 50 + 1)) for i in range(200)], ["doc_id", "text"]
+    )
+    packed = pack_sequences(docs, seq_len=64, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        # offsets are the exclusive running sum in id order
+        run = 0
+        for r in rows:
+            assert r.shard == r.doc_id % 4
+            assert r.offset == run
+            assert r.seq_bin == r.offset // 64
+            run += r.n_tokens
