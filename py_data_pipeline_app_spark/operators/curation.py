@@ -40,38 +40,94 @@ from py_data_pipeline_app_spark.functions.text import tokens
 # ---------------------------------------------------------------------------
 
 
+def run_length_stats(sorted_arr: Column) -> Column:
+    """Occurrence statistics of a SORTED string array via one
+    sequential fold (``F.aggregate`` with a struct accumulator):
+    ``struct(top_count, n_distinct, dup_occurrences)`` where
+    ``top_count`` is the longest equal-run (= the most frequent
+    element's count), ``n_distinct`` the number of runs, and
+    ``dup_occurrences`` the total length of runs longer than 1.
+
+    This is the zero-shuffle shape for per-document occurrence stats:
+    a document's tokens all live in its own row, so counting them
+    never needs an exchange — O(n log n) sort + O(n) fold per row,
+    entirely inside whole-stage codegen, versus the explode →
+    groupBy(doc, word) → groupBy(doc) alternative whose first shuffle
+    moves a row per distinct (doc, word)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("nd"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        ended = acc["prev"].isNotNull() & (acc["prev"] != x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(ended, F.greatest(acc["top"], acc["run"]))
+            .otherwise(acc["top"])
+            .alias("top"),
+            F.when(ended, acc["nd"] + 1).otherwise(acc["nd"]).alias("nd"),
+            F.when(ended & (acc["run"] > 1), acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            F.greatest(acc["top"], acc["run"]).alias("top_count"),
+            (
+                acc["nd"]
+                + F.when(acc["prev"].isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_distinct"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup_occurrences"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
 def word_repetition_stats(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document word-occurrence statistics: total/ distinct word
     counts, the most frequent word's share, and the share of
-    occurrences belonging to repeated words.
+    occurrences belonging to repeated words — computed per row with
+    :func:`run_length_stats` (zero shuffle, scan-bound).
 
-    Shape: explode → count per (doc, word) → roll up per doc. Both
-    aggregations combine map-side; only (doc, word, count) rows — and
-    after the second partial, one row per document — cross a shuffle."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
-    wc = tok.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
-    return wc.groupBy(id_col).agg(
-        F.sum("_c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-        F.max("_c").alias("top_word_count"),
-        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias(
-            "dup_word_occurrences"
-        ),
+    The token array and the fold result are materialized once as
+    intermediate columns — whole-stage codegen does not CSE an
+    expression repeated across output columns, and CollapseProject
+    keeps non-cheap multi-referenced projections in their own step."""
+    d = df.withColumn("_toks", tokens(text_col)).withColumn(
+        "_ws", run_length_stats(F.sort_array(F.col("_toks")))
     )
+    return d.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_words"),
+        F.col("_ws.n_distinct").alias("n_distinct_words"),
+        F.col("_ws.top_count").alias("top_word_count"),
+        F.col("_ws.dup_occurrences").alias("dup_word_occurrences"),
+    )
+
+
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Word ``n``-grams of a token array as space-joined strings;
+    arrays shorter than ``n`` yield their whole run as the single gram
+    (never an empty array, so downstream explodes keep every
+    document)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def ngram_array(text_col: Column | str, n: int) -> Column:
-    """Word ``n``-grams of the text as an array of space-joined
-    strings; texts shorter than ``n`` words yield their whole token
-    run as the single gram (never an empty array, so downstream
-    explodes keep every document)."""
-    toks = tokens(text_col)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, i, n), " ")
-    )
+    """Word ``n``-grams of the text — see :func:`ngrams_of`."""
+    return ngrams_of(tokens(text_col), n)
 
 
 def gram_repetition_stats(
@@ -79,15 +135,15 @@ def gram_repetition_stats(
 ) -> DataFrame:
     """Per-document ``n``-gram repetition: total grams, the top gram's
     share, and the share of occurrences in repeated grams — same
-    two-level rollup shape as :func:`word_repetition_stats`."""
-    g = df.select(F.col(id_col), F.explode(ngram_array(text_col, n)).alias("_g"))
-    gc = g.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-    return gc.groupBy(id_col).agg(
-        F.sum("_c").alias(f"n_{n}grams"),
-        F.max("_c").alias(f"top_{n}gram_count"),
-        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias(
-            f"dup_{n}gram_occurrences"
-        ),
+    zero-shuffle fold shape as :func:`word_repetition_stats`."""
+    d = df.withColumn("_g", ngram_array(text_col, n)).withColumn(
+        "_gs", run_length_stats(F.sort_array(F.col("_g")))
+    )
+    return d.select(
+        F.col(id_col),
+        F.size("_g").cast("long").alias(f"n_{n}grams"),
+        F.col("_gs.top_count").alias(f"top_{n}gram_count"),
+        F.col("_gs.dup_occurrences").alias(f"dup_{n}gram_occurrences"),
     )
 
 
@@ -103,20 +159,28 @@ def repetition_filter(
     occurrence share and the duplicate-2-gram occurrence share, each
     rounded and compared against its budget. Returns one row per
     document with the fractions and a ``flagged`` verdict (True =
-    drop candidate)."""
-    w = word_repetition_stats(df, text_col=text_col, id_col=id_col)
-    g = gram_repetition_stats(df, n=2, text_col=text_col, id_col=id_col)
-    j = w.join(g, id_col)
+    drop candidate).
+
+    One narrow projection — both folds run in the same scan over
+    materialized-once intermediate columns; no explode, no shuffle,
+    no join. A document's repetition profile is a pure function of its
+    own row, and the plan says so."""
+    d = (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn("_ws", run_length_stats(F.sort_array(F.col("_toks"))))
+        .withColumn("_g2", ngrams_of(F.col("_toks"), 2))
+        .withColumn("_gs", run_length_stats(F.sort_array(F.col("_g2"))))
+    )
     top_word_frac = F.round(
-        F.col("top_word_count").cast("double") / F.col("n_words"), 6
+        F.col("_ws.top_count").cast("double") / F.size("_toks"), 6
     )
     dup_2gram_frac = F.round(
-        F.col("dup_2gram_occurrences").cast("double") / F.col("n_2grams"), 6
+        F.col("_gs.dup_occurrences").cast("double") / F.size("_g2"), 6
     )
-    return j.select(
+    return d.select(
         id_col,
-        F.col("n_words"),
-        F.col("n_distinct_words"),
+        F.size("_toks").cast("long").alias("n_words"),
+        F.col("_ws.n_distinct").alias("n_distinct_words"),
         top_word_frac.alias("top_word_frac"),
         dup_2gram_frac.alias("dup_2gram_frac"),
         (

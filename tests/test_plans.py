@@ -83,6 +83,16 @@ def test_no_plain_cartesian_anywhere(plans):
         assert "CartesianProduct" not in plan, name
 
 
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    # a document's repetition profile is a pure function of its own
+    # row: the plan must be a narrow projection — no Exchange, no
+    # Generate (explode), no join
+    plan = plan_of(QUERIES["text_repetition_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
+
+
 def test_whole_stage_codegen_covers_pricing_summary(spark, sf_dir):
     # the scan->filter->partial-agg pipeline must stay inside codegen.
     # AQE finalizes the physical plan only on execution, so run the
