@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_cluster_assignment",
     "embedding_near_dup",
     "similarity_topk",
     "similarity_topk_ivf",

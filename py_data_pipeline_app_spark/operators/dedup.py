@@ -472,3 +472,56 @@ def simhash_near_dup_pairs(
         )
     )
     return within.unionByName(across)
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the (undirected) pair graph by
+    iterative min-label propagation: every node's label converges to
+    the minimum node id in its component. Returns (node, component).
+
+    This is the operator that turns near-dup PAIRS into duplicate
+    CLUSTERS (pick one canonical doc per component). Each iteration is
+    one keyed shuffle — neighbor labels unioned with own labels,
+    groupBy-min — and converges in O(cluster diameter) rounds;
+    duplicate clusters are star-like, so 2-4 rounds in practice, with
+    ``max_iter`` as the safety bound. ``localCheckpoint`` truncates
+    the iterative lineage so each round's plan stays constant-size
+    (and the labels frame is reused, not recomputed, by the
+    convergence probe — the measured subplan-recompute trap).
+
+    Reference for the algorithmic shape: the min-label "small-star"
+    round of Kiveris et al., 'Connected Components in MapReduce and
+    Beyond' — expressed as DataFrame union+groupBy, not RDDs."""
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -685,6 +685,7 @@ def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from py_data_pipeline_app_spark.operators.dedup import (  # noqa: E402
+    connected_components,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -719,10 +720,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, "documents", sf_dir))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+_NGRAM_PAIR_CTES = f"""toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
     sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(len(ws)-2, 1)+1),
@@ -736,13 +734,22 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(nc::DOUBLE / (sa.n + sb.n - nc), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5
+    ),
+    njpairs AS (
+      SELECT id_a, id_b,
+             round(nc::DOUBLE / (sa.n + sb.n - nc), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM njpairs
     """,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +785,40 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (probabilistic regime) are covered by tests."""
     return minhash_dedup_pairs(
         load_table(spark, "documents", sf_dir), threshold=1.0
+    )
+
+
+@register(
+    "dedup_cluster_assignment",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM njpairs
+      UNION
+      SELECT id_b, id_a FROM njpairs
+    ),
+    reach(node, m) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src
+    )
+    SELECT node AS doc_id, least(node, min(m)) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: connected components of
+    the trigram-Jaccard pair graph by iterative min-label propagation
+    (operators.dedup.connected_components) — the step that picks one
+    canonical document per duplicate group, honoring transitive chains
+    (a~b, b~c ⇒ one cluster even without a~c). The oracle computes the
+    true transitive closure with a recursive CTE, so the iterative
+    Spark algorithm is value-checked against exact reachability."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), n=3, threshold=0.5, max_df=100
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
 
 

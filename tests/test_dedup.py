@@ -169,3 +169,26 @@ def test_viral_bucket_arrays_are_bounded(spark):
         members, ["bucket"], "member", max_bucket_size=cap
     ).count()
     assert got == int(expected_pairs)
+
+
+def test_connected_components_merges_chains(spark):
+    from py_data_pipeline_app_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (no direct 1-3 edge), pair 10-11, isolated-pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path(spark):
+    from py_data_pipeline_app_spark.operators.dedup import connected_components
+
+    # a 12-node path stresses multi-round propagation (diameter 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11, 0, -1)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(got.values()) == {1}
+    assert len(got) == 12
