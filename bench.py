@@ -57,6 +57,8 @@ HEADLINE = [
     "text_quality",
     "text_token_stats",
     # curation passes:
+    "corpus_vocab_topk",
+    "tfidf_top_terms",
     "text_repetition_filter",
     "text_pii_scrub",
     "benchmark_decontamination",

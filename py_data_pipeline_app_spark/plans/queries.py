@@ -1158,6 +1158,87 @@ def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_vocab_topk",
+    f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest({_SQL_WS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def corpus_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the top-100 tokens by
+    occurrence with their document frequency — the profile a tokenizer
+    build or stop-list starts from. Explode → one hash agg (map-side
+    partials) → TakeOrderedAndProject: the full vocabulary never sorts
+    globally, only per-partition top-k rows reach the driver merge."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_WS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+           GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             round(tf * ln(n_docs / df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tf * ln(n_docs / df), 6) DESC, token
+             ) AS rank
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rank FROM scored WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF — the classic keyword
+    extraction pass. Term frequencies and document frequencies are two
+    rollups of one exploded token stream; the document count enters as
+    a broadcast single-row cross join; ranking windows only over a
+    document's own distinct terms. Scores round before ranking so the
+    cross-engine tie-break is on stable values."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation (operators/curation.py): repetition filters, PII
 # redaction, benchmark decontamination, sequence packing, and the
