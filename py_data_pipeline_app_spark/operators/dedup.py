@@ -498,9 +498,15 @@ def connected_components(
     Reference for the algorithmic shape: the min-label "small-star"
     round of Kiveris et al., 'Connected Components in MapReduce and
     Beyond' — expressed as DataFrame union+groupBy, not RDDs."""
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # materialize the edge list ONCE: it re-enters the plan every
+        # propagation round, and without this the whole upstream pair
+        # computation (an LSH/Jaccard query) re-executes per iteration
+        # (measured 10.4s -> ~4s on the registered cluster query)
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
