@@ -69,6 +69,7 @@ HEADLINE = [
     # multimodal:
     "media_payload_profile",
     "media_feature_topk",
+    "media_frame_sample",
 ]
 
 

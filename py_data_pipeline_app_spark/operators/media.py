@@ -256,3 +256,42 @@ def media_feature_topk(
         id_col="media_id",
         vec_col="feature",
     )
+
+
+def sample_frames(media: DataFrame, *, every: int = 5, fps_ms: int = 40) -> DataFrame:
+    """Deterministic frame sampling for time-based media: every
+    ``every``-th frame of each video/audio asset becomes a row
+    (media_id, frame_idx, ts_ms, frame_digest) — the fan-out a
+    vision/audio encoder consumes downstream.
+
+    Pure generate: the frame-index sequence is arithmetic on the
+    asset's duration (no decode — a real decoder slots into the
+    mapInPandas stage of :func:`extract_features`), the digest is a
+    per-frame content fingerprint (md5 of payload + index) standing in
+    for the decoded frame hash. No shuffle; output rows ~ n_frames /
+    every, generated inside the scan task that read the asset."""
+    timed = media.filter(F.col("kind") != "image").select(
+        "media_id",
+        "kind",
+        F.decode(F.col("payload"), "UTF-8").alias("_ptext"),
+        F.greatest(
+            F.floor(F.col("meta.duration_ms") / fps_ms).cast("long"), F.lit(1)
+        ).alias("_n_frames"),
+    )
+    idxs = F.sequence(
+        F.lit(0), (F.col("_n_frames") - 1).cast("int"), F.lit(every)
+    )
+    return timed.select(
+        "media_id",
+        "kind",
+        F.explode(idxs).alias("frame_idx"),
+        "_ptext",
+    ).select(
+        "media_id",
+        "kind",
+        "frame_idx",
+        (F.col("frame_idx") * fps_ms).cast("long").alias("ts_ms"),
+        F.md5(
+            F.concat(F.col("_ptext"), F.lit("#"), F.col("frame_idx").cast("string"))
+        ).alias("frame_digest"),
+    )

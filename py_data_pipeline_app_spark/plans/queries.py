@@ -1760,6 +1760,33 @@ def media_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_feature_topk(feats, queries, k=5)
 
 
+@register(
+    "media_frame_sample",
+    f"""
+    WITH media AS ({M.MEDIA_SQL}),
+    timed AS (
+      SELECT media_id, kind, payload_text,
+             greatest(CAST(duration_ms // 40 AS BIGINT), 1) AS n_frames
+      FROM media WHERE kind <> 'image'
+    )
+    SELECT media_id, kind, CAST(i AS INT) AS frame_idx,
+           CAST(i * 40 AS BIGINT) AS ts_ms,
+           md5(payload_text || '#' || CAST(i AS VARCHAR)) AS frame_digest
+    FROM (SELECT media_id, kind, payload_text,
+                 unnest(range(0, n_frames, 5)) AS i
+          FROM timed)
+    """,
+)
+def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over time-based media: every 5th
+    frame of each video/audio asset as a (media_id, frame_idx, ts_ms,
+    frame_digest) row — pure generate inside the scan task, no
+    shuffle; a real decoder slots into the mapInPandas feature stage
+    downstream."""
+    media = M.media_from_documents(load_table(spark, "documents", sf_dir))
+    return M.sample_frames(media, every=5)
+
+
 # ---------------------------------------------------------------------------
 # Multi-hop dimension chains (nation/region/supplier). Extensions beyond
 # the reference surface: the reference joins at most 2 dims (app.py:131-132);

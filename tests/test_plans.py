@@ -83,6 +83,22 @@ def test_no_plain_cartesian_anywhere(plans):
         assert "CartesianProduct" not in plan, name
 
 
+def test_decontamination_broadcasts_benchmark_grams(spark, sf_dir):
+    # the benchmark gram set must be the broadcast build side — a
+    # shuffled (sort-merge) gram join would move the whole exploded
+    # corpus gram stream
+    plan = plan_of(QUERIES["benchmark_decontamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_frame_sample_is_shuffle_free(spark, sf_dir):
+    # frame fan-out happens inside the scan task: generate, no Exchange
+    plan = plan_of(QUERIES["media_frame_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
 def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     # a document's repetition profile is a pure function of its own
     # row: the plan must be a narrow projection — no Exchange, no
