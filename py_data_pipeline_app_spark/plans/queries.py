@@ -1541,6 +1541,49 @@ def training_set_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_leakage_audit",
+    f"""
+    WITH {_NGRAM_PAIR_CTES},
+    assigned AS (
+      SELECT id_a, id_b,
+             {sql_hash_split_case('id_a', _CURATION_SPLIT)} AS split_a,
+             {sql_hash_split_case('id_b', _CURATION_SPLIT)} AS split_b
+      FROM njpairs
+    )
+    SELECT least(split_a, split_b) AS split_lo,
+           greatest(split_a, split_b) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation self-audit: do near-duplicate pairs straddle the
+    train/val/test boundary? Hash-splitting by doc_id alone cannot see
+    near-dups, so any cross-split pair here is benchmark leakage the
+    pipeline must resolve (assign splits by dedup-cluster canonical id
+    instead — see dedup_cluster_assignment). Joins nothing heavier
+    than the pair list: split assignment is a pure hash expression on
+    each endpoint."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), n=3, threshold=0.5, max_df=100
+    )
+    assigned = hash_split(
+        pairs.select("id_a", "id_b", F.col("id_a").alias("_k")), "_k", _CURATION_SPLIT
+    ).withColumnRenamed("split", "split_a")
+    assigned = hash_split(
+        assigned.withColumn("_k", F.col("id_b")), "_k", _CURATION_SPLIT
+    ).withColumnRenamed("split", "split_b")
+    return (
+        assigned.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
     "embedding_dim_stats",
     """
     WITH x AS (

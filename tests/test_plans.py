@@ -122,3 +122,21 @@ def test_whole_stage_codegen_covers_pricing_summary(spark, sf_dir):
     # WholeStageCodegen span
     assert "* Filter" in plan
     assert "* HashAggregate" in plan
+
+
+def test_results_stable_under_partitioning(spark, sf_dir):
+    # the determinism contract: results are pure functions of the
+    # data, independent of shuffle partitioning / task scheduling
+    def canon(df):
+        return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+    names = ["training_set_curation", "dedup_minhash_lsh", "sequence_packing"]
+    base = {n: canon(QUERIES[n](spark, sf_dir)) for n in names}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {n: canon(QUERIES[n](spark, sf_dir)) for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert base[n] == again[n], n
