@@ -1541,6 +1541,100 @@ def training_set_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_set_curation_leakage_safe",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM njpairs
+      UNION
+      SELECT id_b, id_a FROM njpairs
+    ),
+    reach(node, m) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    comp AS (
+      SELECT node, least(node, min(m)) AS c FROM reach GROUP BY node
+    ),
+    canon AS (
+      SELECT doc_id, text, lang,
+             row_number() OVER (PARTITION BY md5({_SQL_NORM})
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang,
+             len({_SQL_WS}) AS n_tokens,
+             round(least(len({_SQL_WS})::DOUBLE / 100.0, 1.0) * 0.4
+                   + (len(list_distinct({_SQL_WS}))::DOUBLE
+                      / greatest(len({_SQL_WS}), 1)) * 0.4
+                   + (1.0 - least((length(text) - length(regexp_replace(text,
+                        '[^\\w\\s]', '', 'g')))::DOUBLE
+                        / greatest(length(text), 1) * 5.0, 1.0)) * 0.1
+                   + (1.0 - least((length(text) - length(regexp_replace(text,
+                        '[0-9]', '', 'g')))::DOUBLE
+                        / greatest(length(text), 1) * 5.0, 1.0)) * 0.1,
+                   6) AS quality_score
+      FROM canon WHERE rn = 1
+    ),
+    skeyed AS (
+      SELECT k.*, coalesce(c.c, k.doc_id) AS split_key
+      FROM kept k LEFT JOIN comp c ON k.doc_id = c.node
+      WHERE quality_score >= 0.5
+    ),
+    split AS (
+      SELECT *, {sql_hash_split_case('split_key', _CURATION_SPLIT)} AS split
+      FROM skeyed
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {sql_stat_avg('quality_score', 6)} AS avg_quality
+    FROM split GROUP BY split, lang
+    """,
+)
+def training_set_curation_leakage_safe_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The leakage-safe training-set build — training_set_curation
+    with the split keyed by the near-dup CLUSTER canonical id instead
+    of the raw doc_id: every document in a duplicate cluster lands in
+    the same split, so the cross-split pairs that split_leakage_audit
+    counts cannot occur. Composes the Jaccard pair graph, iterative
+    connected components, exact-dedup canonicalization, quality
+    filter, and hash split; the oracle replays all of it (recursive
+    CTE for the closure)."""
+    from py_data_pipeline_app_spark.functions.text import (
+        normalize_text,
+        quality_features,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100)
+    labels = connected_components(pairs)
+    w = Window.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    canon = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    feats = quality_features("text")
+    kept = canon.select(
+        "doc_id",
+        "lang",
+        token_count_ws("text").alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    ).filter(F.col("quality_score") >= 0.5)
+    skeyed = kept.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("split_key", F.coalesce(F.col("comp"), F.col("doc_id")))
+    split = hash_split(skeyed, "split_key", _CURATION_SPLIT)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        stat_avg("quality_score", 6).alias("avg_quality"),
+    )
+
+
+@register(
     "split_leakage_audit",
     f"""
     WITH {_NGRAM_PAIR_CTES},

@@ -94,3 +94,27 @@ def test_pack_sequences_invariants(spark):
             assert r.offset == run
             assert r.seq_bin == r.offset // 64
             run += r.n_tokens
+
+
+def test_cluster_keyed_split_has_zero_leakage(spark):
+    # assigning splits by the cluster canonical id puts every near-dup
+    # pair in one split — the property the leakage-safe build relies on
+    from py_data_pipeline_app_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from py_data_pipeline_app_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100)
+    labels = connected_components(pairs)
+    assigned = hash_split(
+        labels, "comp", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("node", "split")
+    a = assigned.withColumnRenamed("node", "id_a").withColumnRenamed("split", "sa")
+    b = assigned.withColumnRenamed("node", "id_b").withColumnRenamed("split", "sb")
+    crossing = (
+        pairs.join(a, "id_a").join(b, "id_b").filter("sa <> sb").count()
+    )
+    assert pairs.count() > 0  # the property is vacuous without pairs
+    assert crossing == 0
