@@ -37,6 +37,7 @@ HEADLINE = [
     "salted_segment_revenue",
     "event_value_quantiles",
     "event_value_histogram",
+    "event_funnel",
     "enrich_strict_vs_dedup",
     # event-time windows (batch mode of the streaming operators):
     "tumbling_counts",

@@ -1469,6 +1469,76 @@ def scd2_state_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_funnel",
+    """
+    WITH t1s AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    t2s AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM t1s
+    ),
+    t3s AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM t2s
+    ),
+    per_user AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM t3s GROUP BY user_id
+    )
+    SELECT 'view' AS stage, CAST(count(t1) AS BIGINT) AS n_users FROM per_user
+    UNION ALL
+    SELECT 'view>click', CAST(count(t2) AS BIGINT) FROM per_user
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(count(t3) AS BIGINT) FROM per_user
+    """,
+)
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click after the first view →
+    purchase after that click): three sequential-stage timestamps as
+    stacked window minimums over ONE per-user partitioning — a single
+    shuffle, three window passes over the same sort, then a per-user
+    rollup and three tiny counts. The reference has no funnel surface;
+    this is the classic product-analytics operator at event scale."""
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    staged = (
+        events.select("user_id", "ts", "event_type")
+        .withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w)
+        )
+        .withColumn(
+            "t3",
+            F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    # one aggregation for all three stage counts (three separate agg
+    # branches would recompute the window pipeline per branch), then
+    # unpivot the single row with stack
+    counts = per_user.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', c1, 'view>click', c2, "
+            "'view>click>purchase', c3) AS (stage, n_users)"
+        )
+    )
+
+
 _CURATION_SPLIT = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
