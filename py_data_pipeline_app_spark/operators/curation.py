@@ -207,12 +207,22 @@ def pii_scrub(
     """Redact emails and phone numbers from ``text_col``, adding the
     scrubbed text and per-row redaction counts. Counts are taken
     before replacement (size of regexp_extract_all), the scrub is two
-    chained regexp_replace calls — all codegen'd, scan-bound."""
+    chained regexp_replace calls — all codegen'd, scan-bound.
+
+    Phones are scrubbed BEFORE emails: the email pattern's domain
+    class ``[A-Za-z0-9.-]+`` greedily spans digits and hyphens, so an
+    email directly abutting a phone ('a@b.c12-345-678-9012') would
+    otherwise swallow the phone digits into <EMAIL>, leaving the
+    pre-replacement phone count inconsistent with the scrubbed text.
+    Phone-first keeps counts and redactions consistent (the phone
+    count matches the original text either way — the phone pattern
+    is digits-and-hyphens only, which the email pattern's local part
+    cannot start consuming mid-string)."""
     c = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
     n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
     scrubbed = F.regexp_replace(
-        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        F.regexp_replace(c, PHONE_RE, "<PHONE>"), EMAIL_RE, "<EMAIL>"
     )
     return df.withColumn("n_emails", n_emails).withColumn(
         "n_phones", n_phones

@@ -497,7 +497,14 @@ def connected_components(
 
     Reference for the algorithmic shape: the min-label "small-star"
     round of Kiveris et al., 'Connected Components in MapReduce and
-    Beyond' — expressed as DataFrame union+groupBy, not RDDs."""
+    Beyond' — expressed as DataFrame union+groupBy, not RDDs.
+
+    Raises ``RuntimeError`` if labels are still changing when
+    ``max_iter`` is exhausted: downstream leakage-safe splits
+    (training_set_curation_leakage_safe) depend on EXACT convergence —
+    an unconverged labeling would silently split one duplicate
+    component across train/test, so failing loudly is the only safe
+    exit."""
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -513,6 +520,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.node).select(
             F.col("src").alias("node"), F.col("comp")
@@ -530,4 +538,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (labels still changing); raise max_iter — component "
+            "diameter exceeds the bound, and an unconverged labeling would "
+            "leak duplicates across split boundaries"
+        )
     return labels

@@ -1326,8 +1326,8 @@ def text_repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(contact_text, '{CUR.PHONE_RE}')) AS INT)
              AS n_phones,
            regexp_replace(
-             regexp_replace(contact_text, '{CUR.EMAIL_RE}', '<EMAIL>', 'g'),
-             '{CUR.PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+             regexp_replace(contact_text, '{CUR.PHONE_RE}', '<PHONE>', 'g'),
+             '{CUR.EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed
     FROM contact
     """,
 )
@@ -2369,26 +2369,41 @@ def stratified_lang_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_retention_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort set algebra over event halves of the month: INTERSECT
     (retained), EXCEPT (churned), reverse EXCEPT (new) — the set
-    operators the reference lacks (SURVEY §2.6), as DataFrame
-    ``intersect``/``exceptAll`` over distinct user sets.
+    operators the reference lacks (SURVEY §2.6).
 
-    Scale: each leg is a shuffle on user_id over already-distinct
-    (small) key sets; Catalyst plans INTERSECT/EXCEPT as left-semi /
-    left-anti hash joins, so no sort and no full-row comparison."""
+    SINGLE-SCAN formulation (round-4 rewrite; the naive
+    intersect/exceptAll version scanned ``events`` six times): one
+    ``groupBy(user_id)`` computes per-user presence flags for both
+    halves (map-side partial max over booleans), one tiny rollup
+    counts the three flag combinations, and a 3-row literal frame
+    left-join keeps empty segments at 0 — matching the
+    always-3-rows contract of the per-leg aggregations. One shuffle
+    on user_id, one scan of events; identical results to the set-op
+    algebra, pinned by the unchanged oracle."""
     ev = load_table(spark, "events", sf_dir)
     cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
-    a = ev.where(F.col("ts") < cut).select("user_id").distinct()
-    b = ev.where(F.col("ts") >= cut).select("user_id").distinct()
-
-    def seg(name: str, users: DataFrame) -> DataFrame:
-        return users.agg(
-            F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_users")
-        ).select("segment", "n_users")
-
-    return (
-        seg("retained", a.intersect(b))
-        .unionByName(seg("churned", a.exceptAll(b)))
-        .unionByName(seg("new", b.exceptAll(a)))
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("ts") < cut).cast("int")).alias("in_a"),
+        F.max((F.col("ts") >= cut).cast("int")).alias("in_b"),
+    )
+    counted = (
+        # null-ts-only users belong to neither half (both flags null),
+        # exactly as they appeared in neither distinct set originally
+        flags.where(F.col("in_a").isNotNull())
+        .select(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), "retained")
+            .when(F.col("in_a") == 1, "churned")
+            .otherwise("new")
+            .alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    segments = spark.createDataFrame(
+        [("retained",), ("churned",), ("new",)], "segment string"
+    )
+    return segments.join(F.broadcast(counted), "segment", "left").select(
+        "segment", F.coalesce(F.col("_n"), F.lit(0)).alias("n_users")
     )
 
 

@@ -49,11 +49,31 @@ def read_jsonl(
     """Read a JSONL file/directory into (good, rejects): ``good`` has
     exactly ``schema``'s columns, ``rejects`` carries the raw
     malformed lines — same contract as the blob parser's P2 rejects
-    channel (operators/parse.py), applied to the corpus front door."""
-    parsed = parse_jsonl(spark.read.text(path), schema)
-    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    rejects = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+    channel (operators/parse.py), applied to the corpus front door.
+
+    Blank/whitespace-only lines are dropped before parsing (they are
+    separators, not records). Non-blank lines that parse to a fully
+    null struct (``null``, ``{}``) are routed to ``rejects`` — a
+    document with no fields at all is not a usable corpus row, and
+    letting it through as an all-null "good" row poisons downstream
+    dedup/curation group keys."""
+    raw = spark.read.text(path).where(F.length(F.trim(F.col("value"))) > 0)
+    full = _with_corrupt(schema)
+    parsed = raw.select(
+        F.col("value").alias("_raw"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_j"),
+    ).select("_raw", "_j.*")
+    all_null = F.lit(True)
+    for f in schema.fieldNames():
+        all_null = all_null & F.col(f).isNull()
+    bad = F.col(CORRUPT_COL).isNotNull() | all_null
+    good = parsed.filter(~bad).drop(CORRUPT_COL, "_raw")
+    rejects = parsed.filter(bad).select(
+        F.coalesce(F.col(CORRUPT_COL), F.col("_raw")).alias("raw_line")
     )
     return good, rejects
 

@@ -58,18 +58,28 @@ def start_dedup_stream(
     watermark: str = "1 hour",
     query_name: str = "deduped_docs",
 ) -> StreamingQuery:
-    """File-landing → watermarked exact dedup → parquet append sink
+    """File-landing → watermarked exact dedup → parquet sink
     (foreachBatch, so the query recovers from its checkpoint across
     restarts — the memory sink cannot). ``availableNow`` drains the
     landing dir and terminates, so repeated calls with one checkpoint
-    fold newly landed files incrementally."""
+    fold newly landed files incrementally.
+
+    The sink is IDEMPOTENT under micro-batch replay: each batch writes
+    its own ``batch-{id}`` subdirectory in overwrite mode, so when
+    Structured Streaming re-runs the last uncommitted batch after a
+    crash, the retry overwrites the partial output instead of
+    appending duplicates — exactly-once output, not just
+    at-least-once (same pattern as warehouse.append's token subdirs).
+    Read the result with ``read_dedup_output`` (recursive lookup over
+    the batch subdirectories)."""
     stream = spark.readStream.schema(schema).parquet(landing)
     deduped = streaming_exact_dedup(
         stream, text_col=text_col, ts_col=ts_col, watermark=watermark
     )
+    base = out_path.rstrip("/")
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{base}/batch-{batch_id:08d}")
 
     return (
         deduped.writeStream.foreachBatch(sink)
@@ -78,4 +88,13 @@ def start_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_dedup_output(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read every committed micro-batch's rows from the sink's
+    ``batch-*`` subdirectories (recursive file lookup — no partition
+    column is inferred, the schema is exactly what the stream wrote)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_path.rstrip("/"))
     )

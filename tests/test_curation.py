@@ -58,6 +58,18 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert out[3].scrubbed.count("<EMAIL>") == 2
 
 
+def test_pii_scrub_email_abutting_phone(spark):
+    # The email domain class spans digits/hyphens, so an email glued to
+    # a phone would swallow the phone digits if emails scrubbed first;
+    # phone-first keeps counts consistent with the scrubbed text.
+    df = spark.createDataFrame([(1, "ping a@b.c12-345-678-9012 now")], ["id", "t"])
+    row = pii_scrub(df, text_col="t").collect()[0]
+    assert row.n_phones == 1
+    assert row.scrubbed.count("<PHONE>") == 1
+    assert row.scrubbed.count("<EMAIL>") == row.n_emails == 1
+    assert "9012" not in row.scrubbed
+
+
 def test_contamination_finds_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "one two three four five six seven")], ["doc_id", "text"]

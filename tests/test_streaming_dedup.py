@@ -7,7 +7,10 @@ from datetime import datetime
 
 from pyspark.sql import types as T
 
-from py_data_pipeline_app_spark.streaming.dedup import start_dedup_stream
+from py_data_pipeline_app_spark.streaming.dedup import (
+    read_dedup_output,
+    start_dedup_stream,
+)
 
 SCHEMA = T.StructType(
     [
@@ -38,7 +41,7 @@ def test_streaming_dedup_within_and_beyond_watermark(spark, tmp_path):
             watermark="1 hour", query_name=qn,
         )
         q.awaitTermination(180)
-        return spark.read.parquet(out)
+        return read_dedup_output(spark, out)
 
     # batch 1: A, B, and an in-batch duplicate of A
     land(
@@ -71,3 +74,9 @@ def test_streaming_dedup_within_and_beyond_watermark(spark, tmp_path):
     land("b3", [(6, "alpha doc", _ts(13, 5))])
     ids3 = {r.doc_id for r in run("dedup_s3").collect()}
     assert 6 in ids3
+
+    # sink layout is replay-idempotent: one overwrite-mode subdir per
+    # micro-batch, so a crashed batch's retry replaces its partial
+    # output instead of appending duplicates
+    subdirs = [p.name for p in (tmp_path / "out").iterdir() if p.is_dir()]
+    assert subdirs and all(s.startswith("batch-") for s in subdirs)
