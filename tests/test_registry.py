@@ -24,3 +24,28 @@ def test_query_executes(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+def test_entry_rotation_puts_least_recently_verified_first():
+    """The driver verifies only a prefix of the registry each round;
+    __spark_entry__ must order entries least-recently-verified first so
+    no query goes permanently unchecked (round-3 verdict finding #1)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_spark_entry_under_test",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    names = list(mod.queries())
+    assert set(names) == set(QUERIES)
+    assert names == list(mod.oracle_sql()), "queries/oracles order must agree"
+
+    last = mod._last_verified_round()
+    priorities = [last.get(n, -1) for n in names]
+    assert priorities == sorted(priorities), (
+        "rotation must be non-decreasing in last-verified round"
+    )
