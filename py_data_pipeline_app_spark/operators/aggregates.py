@@ -1,20 +1,20 @@
 """Report aggregations — operators A1/A2/A3/A4, W1, O1 of SURVEY.md §2.
 
 All are single groupBy/window compositions: Spark gives partial
-(map-side) aggregation and whole-stage codegen for free. The global
-dense_rank window is unpartitioned by design — it ranks one row per
-customer (≤|customers| rows post-aggregation), so the single-partition
-sort is tiny even when the fact table is 100 TB. The expensive part
-(fact-table aggregation) happens BEFORE the window, partitioned on the
-group keys.
+(map-side) aggregation and whole-stage codegen for free. Global
+ranking goes through the two-phase range-partitioned dense rank
+(operators/ranking.py) — the expensive part (fact-table aggregation)
+happens BEFORE the rank, partitioned on the group keys, and the rank
+itself never sorts the whole relation in one task.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.scalar import money_round, null_safe_double
+from py_data_pipeline_app_spark.operators.ranking import global_dense_rank
 
 
 def category_totals(merged: DataFrame) -> DataFrame:
@@ -34,12 +34,14 @@ def customer_spend_summary(cat_totals: DataFrame) -> DataFrame:
     ranked descending, sorted by rank.
 
     Rank is computed on the ROUNDED amount (reference app.py:140 runs
-    before :141), so post-round ties share a dense rank."""
+    before :141), so post-round ties share a dense rank. The rank uses
+    the two-phase global dense rank (operators/ranking.py) so the only
+    single-partition step is the final ORDER BY the caller asked for —
+    never a full-relation rank sort."""
     totals = cat_totals.groupBy("customer_id", "name").agg(
         money_round(F.sum("amount")).alias("amount")
     )
-    w = Window.orderBy(F.col("amount").desc())
-    return totals.withColumn("rank", F.dense_rank().over(w)).orderBy(
+    return global_dense_rank(totals, "amount", "rank").orderBy(
         "rank", "customer_id"
     )
 

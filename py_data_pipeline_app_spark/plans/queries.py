@@ -36,6 +36,7 @@ from py_data_pipeline_app_spark.operators.aggregates import (
     top_spender_per_category,
 )
 from py_data_pipeline_app_spark.operators.enrich import enrich_transactions
+from py_data_pipeline_app_spark.operators.ranking import global_dense_rank
 from py_data_pipeline_app_spark.operators.parse import parse_customer_blob
 from py_data_pipeline_app_spark.operators.scd import apply_scd_batch
 from py_data_pipeline_app_spark.sources.parquet import load_table
@@ -110,9 +111,10 @@ def customer_spend_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-even rounded, dense-ranked descending.
 
     Scale notes: the heavy agg happens first, partitioned by customer
-    key with map-side partial aggregation; the unpartitioned dense_rank
-    window only sees one row per customer (post-agg), which is the
-    ranking's intrinsic output size."""
+    key with map-side partial aggregation; the rank is then a two-phase
+    global dense rank (operators/ranking.py) — range-partitioned local
+    ranks plus broadcast offsets — so even at 10⁹ customers no task
+    ever sorts the whole relation."""
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     totals = (
@@ -120,8 +122,7 @@ def customer_spend_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(money_sum("o_totalprice").alias("amount"))
     )
-    w = Window.orderBy(F.col("amount").desc())
-    return totals.withColumn("spend_rank", F.dense_rank().over(w))
+    return global_dense_rank(totals, "amount", "spend_rank")
 
 
 def _category_totals_df(spark: SparkSession, sf_dir: str) -> DataFrame:
