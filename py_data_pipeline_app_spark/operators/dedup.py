@@ -237,6 +237,37 @@ def _bucket_member_pairs(
 DEFAULT_MAX_BUCKET = 1000
 
 
+def band_buckets(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_NUM_PERMS,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame: each band of
+    r = num_perms/bands signature values md5-hashed to a bucket key.
+    One Generate (explode of a ``bands``-element literal-shaped array),
+    no shuffle — shared by batch LSH and the incremental index fold so
+    both sides bucket identically by construction."""
+    r = num_perms // bands
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"mh_{bi * r + j}") for j in range(r)]
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_keys).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -256,23 +287,9 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` (default 1000) chunks viral buckets — see
     :func:`_bucket_member_pairs`; identical-content dedup should use
     the exact :func:`token_set_dedup_pairs` path instead of LSH."""
-    r = num_perms // bands
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "_", *[F.col(f"mh_{bi * r + j}") for j in range(r)]
-                    )
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
+    buckets = band_buckets(
+        signatures, id_col=id_col, num_perms=num_perms, bands=bands
     )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(band_keys).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     return (
         _bucket_member_pairs(
             buckets, ["band", "bucket"], id_col, max_bucket_size=max_bucket_size
@@ -334,8 +351,22 @@ def minhash_dedup_pairs(
         return token_set_dedup_pairs(df, text_col=text_col, id_col=id_col)
     sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, num_perms=num_perms)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, num_perms=num_perms, bands=bands)
+    return _verify_jaccard(cands, df, text_col=text_col, id_col=id_col, threshold=threshold)
 
-    toksets = df.select(
+
+def _verify_jaccard(
+    cands: DataFrame,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float,
+) -> DataFrame:
+    """Exact word-set Jaccard over candidate ``(id_a, id_b)`` pairs:
+    token sets joined back from ``docs``, pairs under ``threshold``
+    dropped. Runs on the candidate set only — the corpus is scanned
+    once per side for the tokset projection, never cross-joined."""
+    toksets = docs.select(
         F.col(id_col),
         F.array_sort(F.array_distinct(tokens(text_col))).alias("tokset"),
     )
