@@ -158,23 +158,51 @@ def list_address_changes(wh: Warehouse) -> DataFrame:
     return df.orderBy(F.desc("change_timestamp"), F.desc("upload_id"))
 
 
-def write_excel_report(result: UploadResult, path: str) -> bool:
+# Excel's hard sheet limit is 1,048,576 rows; one is spent on the header.
+EXCEL_MAX_DATA_ROWS = 1_048_575
+
+
+def write_merged_mirror(merged: DataFrame, mirror_path: str) -> None:
+    """The at-scale MergedData artifact (SURVEY §2.1 SNK4: "MergedData
+    may be large → also persist Parquet").
+
+    Executor-side ``DataFrameWriter.parquet`` — the frame NEVER touches
+    the driver. At 100 TB the merged fact is the full enriched
+    transaction log; a ``toPandas()`` here is a guaranteed driver OOM,
+    so this helper is the only writer for the mirror and is
+    plan-asserted (test_ingest) to stay distributed."""
+    merged.write.mode("overwrite").parquet(mirror_path)
+
+
+def write_excel_report(
+    result: UploadResult, path: str, *, excel_merged_rows: int = EXCEL_MAX_DATA_ROWS
+) -> bool:
     """SNK4: the reference's 3-sheet Excel report
     (CategoryTotalsSummary / TopSpenders / MergedData, app.py:155-167).
 
-    Post-aggregation frames are small, so they come to the driver via
-    Arrow; pandas+xlsxwriter/openpyxl writes the workbook when
-    installed (byte-compatible with the reference sink), else the
-    stdlib codec (sources/xlsx.py) does. A parquet mirror is always
-    written next to ``path`` — the at-scale artifact. Returns True."""
+    Post-aggregation frames (Summary/TopSpenders) are small, so they
+    come to the driver via Arrow; pandas+xlsxwriter/openpyxl writes the
+    workbook when installed (byte-compatible with the reference sink),
+    else the stdlib codec (sources/xlsx.py) does.
+
+    The full merged fact is handled scale-first: the authoritative
+    mirror is written DISTRIBUTED to ``{base}_MergedData`` parquet via
+    :func:`write_merged_mirror`, and only the first
+    ``excel_merged_rows`` rows (default = Excel's 1,048,575-row sheet
+    budget) are brought to the driver for the human-readable sheet.
+    Returns True."""
+    base = path.rsplit(".", 1)[0]
+    # At-scale artifact first: executor-side write, no driver collect.
+    write_merged_mirror(result.merged, f"{base}_MergedData")
     frames = {
         "CategoryTotalsSummary": result.summary.toPandas(),
         "TopSpenders": result.top_spenders.toPandas(),
-        "MergedData": result.merged.toPandas(),
+        # Sheet view only — capped to Excel's row budget; the mirror
+        # above holds the complete data.
+        "MergedData": result.merged.limit(excel_merged_rows).toPandas(),
     }
-    base = path.rsplit(".", 1)[0]
-    for sheet, pdf in frames.items():
-        pdf.to_parquet(f"{base}_{sheet}.parquet")
+    for sheet in ("CategoryTotalsSummary", "TopSpenders"):
+        frames[sheet].to_parquet(f"{base}_{sheet}.parquet")
     try:
         import pandas as pd
 

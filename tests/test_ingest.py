@@ -147,3 +147,43 @@ def test_excel_report_sink_roundtrips(spark, tmp_path):
     # header row + one row per summary line
     assert len(back["CategoryTotalsSummary"]) == result.summary.count() + 1
     assert back["TopSpenders"][0][:2] == ["customer_id", "name"]
+
+
+def test_merged_mirror_is_distributed_and_excel_sheet_is_capped(spark, tmp_path):
+    """SNK4 at scale: the MergedData parquet mirror is written
+    executor-side (a partitioned parquet directory, full row count —
+    never via toPandas), while the Excel sheet view is capped to the
+    requested row budget."""
+    import inspect
+    import os
+
+    from py_data_pipeline_app_spark.pipeline import (
+        write_excel_report,
+        write_merged_mirror,
+    )
+
+    # Code-level guard: the mirror writer must never collect to the
+    # driver — a toPandas()/collect() here is a driver OOM at 100 TB.
+    # (Inspect the executable body only; the docstring discusses the
+    # anti-pattern by name.)
+    import ast
+
+    fn_ast = ast.parse(inspect.getsource(write_merged_mirror)).body[0]
+    body_src = "\n".join(ast.unparse(stmt) for stmt in fn_ast.body[1:])
+    assert "toPandas" not in body_src and "collect" not in body_src
+
+    _, sheets = _workbook_file(spark, tmp_path, n_txns=30, n_customers=6)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    result = process_upload(spark, wh, sheets, run_ts="t")
+    out = str(tmp_path / "capped.xlsx")
+    assert write_excel_report(result, out, excel_merged_rows=5) is True
+
+    mirror = str(tmp_path / "capped_MergedData")
+    # Distributed write ⇒ a directory of part files, not one driver file.
+    assert os.path.isdir(mirror)
+    merged_back = spark.read.parquet(mirror)
+    assert merged_back.count() == result.merged.count()
+    assert set(merged_back.columns) == set(result.merged.columns)
+
+    back = read_xlsx_sheets(out)
+    assert len(back["MergedData"]) == 5 + 1  # capped rows + header
