@@ -14,11 +14,13 @@ Design for 100 TB:
 - Feature extraction is the genuinely-Python step (real decoders are
   C libraries behind Python APIs), so it runs as ``mapInPandas``:
   Arrow-batched, zero shuffle (a pure map), schema declared up front.
-  The decode itself is pluggable; the image/audio codec libraries are
-  not installed in this environment, so those decoders are explicit
-  ``NotImplementedError`` stubs, while the default ``byte_histogram``
-  decoder is a deterministic fake with the same plumbing (batch shape,
-  Arrow types, per-kind frame counts) that the real ones would use.
+  The decode is pluggable: ``byte_histogram`` is the deterministic
+  fake used by the DuckDB value-hash oracle; ``audio_pcm`` is a REAL
+  RIFF/WAVE PCM decode via the stdlib ``wave`` module (fully
+  exercised in-container); ``image_rgb`` is a REAL decode via Pillow,
+  imported lazily on the executor so environments without Pillow get
+  a clear error instead of an import failure; only ``video_frames``
+  still needs an absent codec stack and stays an explicit stub.
 - Similarity over features reuses operators.similarity (broadcast
   query set, corpus scanned once).
 
@@ -180,6 +182,76 @@ def _byte_histogram(payload: bytes, dim: int) -> list[float]:
     return [float(x) for x in (counts / len(b)).astype(np.float32)]
 
 
+def _image_rgb(payload: bytes, dim: int) -> list[float]:
+    """REAL image decode: bytes → Pillow → RGB array → per-channel
+    intensity histogram (dim//3 buckets per channel, zero-padded to
+    ``dim``), normalized by pixel count. Same shape contract as
+    byte_histogram: fixed-dim float32, norm > 0 for decodable payloads.
+
+    Pillow is imported lazily INSIDE the decoder (i.e. on the executor,
+    once per python worker) so the module stays importable where Pillow
+    is absent; in that case calling the decoder raises a clear
+    NotImplementedError naming the missing dependency."""
+    try:
+        from PIL import Image
+    except ModuleNotFoundError as exc:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "image_rgb decoding requires Pillow, which is not installed "
+            "in this environment; the Spark-side plumbing (schema, Arrow "
+            "batching, partitioning) is identical to byte_histogram."
+        ) from exc
+    import io
+
+    import numpy as np
+
+    if not payload:
+        return [0.0] * dim
+    with Image.open(io.BytesIO(payload)) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    n_px = arr.shape[0] * arr.shape[1]
+    buckets = max(1, dim // 3)
+    out = np.zeros(dim, dtype=np.float32)
+    for c in range(3):
+        counts = np.bincount(
+            arr[..., c].reshape(-1) // max(1, 256 // buckets), minlength=buckets
+        )[:buckets]
+        lo = c * buckets
+        if lo >= dim:
+            break
+        span = min(buckets, dim - lo)
+        out[lo : lo + span] = (counts[:span] / n_px).astype(np.float32)
+    return [float(x) for x in out]
+
+
+def _audio_pcm(payload: bytes, dim: int) -> list[float]:
+    """REAL audio decode: RIFF/WAVE PCM bytes → stdlib ``wave`` →
+    normalized amplitude histogram over ``dim`` buckets spanning
+    [-1, 1). Supports 8-bit unsigned and 16-bit signed PCM (the WAV
+    encodings ``wave`` itself can emit); no third-party codec needed,
+    so this path is fully exercised in-container (test_media)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not payload:
+        return [0.0] * dim
+    with wave.open(io.BytesIO(payload)) as wf:
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width} (want 1 or 2 bytes)")
+    if samples.size == 0:
+        return [0.0] * dim
+    idx = np.clip(((samples + 1.0) / 2.0 * dim).astype(np.int64), 0, dim - 1)
+    counts = np.bincount(idx, minlength=dim)[:dim]
+    return [float(x) for x in (counts / samples.size).astype(np.float32)]
+
+
 def _stub_decoder(name: str, requires: str):
     def fn(payload: bytes, dim: int) -> list[float]:
         raise NotImplementedError(
@@ -192,12 +264,14 @@ def _stub_decoder(name: str, requires: str):
 
 
 #: Pluggable decoders. ``byte_histogram`` is the deterministic fake used
-#: by tests and oracles; the real ones are explicit stubs (brief: image/
-#: audio libs are not in this container).
+#: by tests and oracles. ``audio_pcm`` (stdlib wave) and ``image_rgb``
+#: (Pillow, lazily imported) are REAL decoders behind the same
+#: mapInPandas plumbing; only video still needs an absent codec stack
+#: (pyav/ffmpeg) and remains an explicit stub.
 DECODERS = {
     "byte_histogram": _byte_histogram,
-    "image_rgb": _stub_decoder("image", "pillow/opencv"),
-    "audio_pcm": _stub_decoder("audio", "soundfile/librosa"),
+    "image_rgb": _image_rgb,
+    "audio_pcm": _audio_pcm,
     "video_frames": _stub_decoder("video", "pyav/ffmpeg"),
 }
 

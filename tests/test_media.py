@@ -88,12 +88,111 @@ def test_n_frames_per_modality(media):
 
 def test_stub_decoders_raise(media):
     with pytest.raises(Exception) as ei:
-        M.extract_features(media, decoder="image_rgb").collect()
+        M.extract_features(media, decoder="video_frames").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
     with pytest.raises(ValueError):
         M.extract_features(media, decoder="nope")
+
+
+def _wav_bytes(samples, *, rate=16000, width=2):
+    """Encode float samples in [-1, 1) as a real RIFF/WAVE PCM file
+    using only the stdlib — the decoder's input is a genuine WAV."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        if width == 2:
+            pcm = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+        else:
+            pcm = ((np.asarray(samples) * 127) + 128).astype(np.uint8).tobytes()
+        wf.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_audio_pcm_real_wav_decode_through_arrow(spark):
+    """A REAL codec decode (stdlib wave: RIFF parsing + PCM frames)
+    survives the mapInPandas Arrow batch path: WAV bytes go in as a
+    binary column, fixed-dim float features come back, and the values
+    match a direct numpy recomputation of the amplitude histogram."""
+    from py_data_pipeline_app_spark import schemas
+
+    rng = np.random.default_rng(7)
+    clips = {mid: rng.uniform(-1, 1, size=400) for mid in (1, 2, 3)}
+    rows = [
+        (mid, "audio", _wav_bytes(s), "audio/wav", (None, None, 25, 16000))
+        for mid, s in clips.items()
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA)
+    feats = {r.media_id: r.feature for r in M.extract_features(
+        df, dim=16, decoder="audio_pcm"
+    ).collect()}
+    assert set(feats) == {1, 2, 3}
+    for mid, s in clips.items():
+        # recompute: quantize to int16 and back, then bucket amplitudes
+        q = (s * 32767).astype("<i2").astype(np.float64) / 32768.0
+        idx = np.clip(((q + 1.0) / 2.0 * 16).astype(np.int64), 0, 15)
+        expected = (np.bincount(idx, minlength=16)[:16] / q.size).astype(np.float32)
+        got = np.array(feats[mid], dtype=np.float32)
+        assert np.array_equal(got, expected), mid
+        assert abs(float(got.sum()) - 1.0) < 1e-3
+
+
+def test_audio_pcm_8bit_and_errors():
+    dec = M.DECODERS["audio_pcm"]
+    eight = _wav_bytes(np.linspace(-0.9, 0.9, 50), width=1)
+    feat = np.array(dec(eight, 8), dtype=np.float32)
+    assert feat.shape == (8,) and abs(float(feat.sum()) - 1.0) < 1e-3
+    assert dec(b"", 8) == [0.0] * 8
+    with pytest.raises(Exception):
+        dec(b"not a wav at all", 8)
+
+
+def test_image_rgb_real_png_decode_through_arrow(spark):
+    """A REAL C-library decode (Pillow PNG) survives the Arrow batch
+    path. Skips cleanly where Pillow is not installed."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from py_data_pipeline_app_spark import schemas
+
+    def png(color):
+        im = Image.new("RGB", (4, 4), color)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png((255, 0, 0)), "image/png", (4, 4, None, None)),
+        (2, "image", png((0, 0, 255)), "image/png", (4, 4, None, None)),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA)
+    feats = {r.media_id: np.array(r.feature, np.float32) for r in M.extract_features(
+        df, dim=12, decoder="image_rgb"
+    ).collect()}
+    # dim=12 → 4 buckets per channel; solid red: all R mass in the top
+    # R bucket, all G/B mass in the bottom buckets of their channels.
+    red, blue = feats[1], feats[2]
+    assert red[3] == 1.0 and red[4] == 1.0 and red[8] == 1.0
+    assert blue[0] == 1.0 and blue[4] == 1.0 and blue[11] == 1.0
+
+
+def test_image_rgb_raises_cleanly_without_pillow():
+    """Where Pillow IS missing the decoder must raise the documented
+    NotImplementedError (not an opaque ImportError)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; the missing-dependency path is moot")
+    except ModuleNotFoundError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M.DECODERS["image_rgb"](b"\x89PNG", 12)
 
 
 def test_feature_topk_self_rank_one(media):
