@@ -518,13 +518,19 @@ def connected_components(
 
     This is the operator that turns near-dup PAIRS into duplicate
     CLUSTERS (pick one canonical doc per component). Each iteration is
-    one keyed shuffle — neighbor labels unioned with own labels,
-    groupBy-min — and converges in O(cluster diameter) rounds;
+    ONE Spark job and one keyed shuffle: neighbor labels unioned with
+    own labels, groupBy-min, with the convergence probe folded into the
+    same pass — each node's previous label rides through the aggregate
+    (own-label rows carry it, neighbor rows carry null, ``max``
+    recovers it), so ``any(new != old)`` is a one-row aggregate over
+    the SAME frame whose action also materializes the lazy
+    ``localCheckpoint``. The previous shape ran a second join +
+    limit(1).count() job per iteration purely as the probe — one
+    scheduler round-trip per round on the hot path of the slowest
+    bench query. Convergence takes O(cluster diameter) rounds;
     duplicate clusters are star-like, so 2-4 rounds in practice, with
     ``max_iter`` as the safety bound. ``localCheckpoint`` truncates
-    the iterative lineage so each round's plan stays constant-size
-    (and the labels frame is reused, not recomputed, by the
-    convergence probe — the measured subplan-recompute trap).
+    the iterative lineage so each round's plan stays constant-size.
 
     Reference for the algorithmic shape: the min-label "small-star"
     round of Kiveris et al., 'Connected Components in MapReduce and
@@ -551,25 +557,32 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    changed = 1
+    comp_type = labels.schema["comp"].dataType.simpleString()
+    changed = True
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.node).select(
-            F.col("src").alias("node"), F.col("comp")
+            F.col("src").alias("node"),
+            F.col("comp"),
+            F.lit(None).cast(comp_type).alias("_old"),
         )
-        new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        own = labels.select("node", "comp", F.col("comp").alias("_old"))
+        # One groupBy carries both the new min-label and (via max over
+        # the single non-null own-label row) the previous label.
+        folded = (
+            own.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
+            .select("node", "comp", (F.col("comp") != F.col("_old")).alias("_delta"))
+            .localCheckpoint(eager=False)
         )
-        labels = new_labels
-        if changed == 0:
+        # Single action: materializes the checkpoint AND answers the
+        # convergence probe (no second join+count job per round).
+        row = folded.agg(F.max(F.col("_delta").cast("int")).alias("c")).first()
+        changed = bool(row.c)
+        labels = folded.select("node", "comp")
+        if not changed:
             break
-    if changed != 0:
+    if changed:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds (labels still changing); raise max_iter — component "
