@@ -49,6 +49,7 @@ HEADLINE = [
     # extensions (registered in plans/queries.py as they land):
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_assignment",

@@ -247,8 +247,10 @@ def band_buckets(
     """(id, band, bucket) rows from a signature frame: each band of
     r = num_perms/bands signature values md5-hashed to a bucket key.
     One Generate (explode of a ``bands``-element literal-shaped array),
-    no shuffle — shared by batch LSH and the incremental index fold so
-    both sides bucket identically by construction."""
+    no shuffle — shared by batch LSH (:func:`lsh_candidate_pairs`) and
+    the incremental index fold
+    (:func:`~py_data_pipeline_app_spark.operators.dedup_incremental.incremental_lsh_fold`)
+    so both sides bucket identically by construction."""
     r = num_perms // bands
     band_keys = F.array(
         *[

@@ -1,0 +1,226 @@
+"""Incremental MinHash+LSH near-dup index: fold NEW document batches
+against a persisted band index without re-running LSH over history.
+
+Batch :func:`~py_data_pipeline_app_spark.operators.dedup.minhash_dedup_pairs`
+recomputes signatures and buckets for the WHOLE corpus every run — at
+100 TB that is a full-corpus shuffle to answer "is this new crawl
+snapshot a dup of anything we already have". The incremental fold keeps
+two append-only parquet tables (the index):
+
+- ``bands/``   — (doc_id, band, bucket): every historical document's
+  LSH band buckets, produced by the SAME
+  :func:`~py_data_pipeline_app_spark.operators.dedup.band_buckets`
+  generator as the batch path, so both sides bucket identically by
+  construction.
+- ``toksets/`` — (doc_id, tokset): the sorted distinct word set per
+  historical document, the only payload exact-Jaccard verification
+  needs (no re-tokenization of history at fold time). Only written
+  for ``threshold < 1.0``; at threshold 1.0 the fold mirrors the
+  batch short-circuit — the band table holds token-set fingerprints
+  (one band) and verification is unnecessary.
+
+Per batch the work is proportional to ``|new| + |matching index
+rows|``, never ``|history|``:
+
+1. signatures + band buckets for the new docs only (one groupBy);
+2. candidates = within-batch pairs (grouped bucket expansion, viral
+   buckets chunk-capped) ∪ new×history pairs (keyed equi-join of the
+   new buckets against the index on (band, bucket) — Catalyst
+   broadcast-joins the new side when small, and AQE handles skewed
+   buckets);
+3. exact word-set Jaccard verification on candidates only, token sets
+   joined from the new batch and the index;
+4. the new batch's bands + toksets are appended to the index under an
+   idempotent ``batch-{token}`` subdirectory (same exactly-once
+   pattern as streaming/dedup.py's sink and warehouse.append).
+
+Parity contract (tested in test_dedup_incremental.py): folding batches
+B1..Bn sequentially and unioning the emitted pairs yields EXACTLY the
+pairs of one batch LSH run over B1∪..∪Bn (with the same uncapped
+bucket setting) — within-batch pairs surface at their own fold,
+cross-batch pairs at the later batch's fold.
+
+Scale notes: history is only ever touched through the (band, bucket)
+equi-join and the verification join on candidate doc_ids — both keyed,
+both prunable. Writing the index bucketed/partitioned by ``bucket``
+would make the candidate join shuffle-free on the history side; at
+testdata scale plain parquet keeps the surface simple.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.functions.text import tokens
+from py_data_pipeline_app_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_MAX_BUCKET,
+    DEFAULT_NUM_PERMS,
+    _bucket_member_pairs,
+    band_buckets,
+    minhash_signatures,
+    token_set_fingerprint,
+)
+
+BANDS_SUBDIR = "bands"
+TOKSETS_SUBDIR = "toksets"
+
+
+def _pinned_history(
+    spark: SparkSession,
+    index_path: str,
+    subdir: str,
+    like: DataFrame,
+    *,
+    exclude_token: str,
+) -> DataFrame:
+    """Read the index table as it exists NOW, pinned to the concrete
+    batch subdirectories present at call time. Pinning matters for
+    laziness: the returned plan lists explicit paths, so a pairs frame
+    built by one fold does not silently absorb batches appended by
+    later folds when it is finally collected. The current fold's own
+    ``batch-{exclude_token}`` subdirectory is skipped, so a RETRIED
+    fold (crash after the index write, foreachBatch replay) does not
+    compare its documents against their own half-committed copies —
+    that would emit self-pairs and double-report within-batch pairs.
+    Empty index → empty frame with the live schema (from ``like``)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return spark.createDataFrame([], like.schema)
+    dirs = [
+        str(s.getPath())
+        for s in fs.listStatus(jvm_path)
+        if s.isDirectory()
+        and s.getPath().getName().startswith("batch-")
+        and s.getPath().getName() != f"batch-{exclude_token}"
+    ]
+    if not dirs:
+        return spark.createDataFrame([], like.schema)
+    return spark.read.parquet(*sorted(dirs))
+
+
+def _append_batch(df: DataFrame, index_path: str, subdir: str, token: str) -> None:
+    """Idempotent append: each fold writes its own ``batch-{token}``
+    subdirectory in overwrite mode, so a retried fold replaces its
+    partial output instead of duplicating it."""
+    df.write.mode("overwrite").parquet(f"{index_path}/{subdir}/batch-{token}")
+
+
+def incremental_lsh_fold(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = DEFAULT_NUM_PERMS,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    batch_token: str | None = None,
+) -> DataFrame:
+    """Fold one batch of new documents into the persisted LSH index.
+
+    Returns the VERIFIED near-dup pairs the batch introduces — both
+    within the batch and between the batch and every previously folded
+    document — with exact word-set Jaccard ≥ ``threshold``. Pairs are
+    normalized ``id_a < id_b``. The batch's bands and token sets are
+    appended to the index before returning (eager write; the returned
+    pairs frame itself stays lazy but is pinned to the pre-fold index
+    state).
+
+    ``max_bucket_size`` chunk-caps WITHIN-BATCH viral buckets exactly
+    like the batch path; the new×history side is a keyed equi-join
+    whose skew is AQE's job. Pass ``None`` for the exact uncapped
+    contract (and exact batch parity on pathological data).
+
+    ``threshold >= 1.0`` mirrors the batch short-circuit
+    (:func:`~py_data_pipeline_app_spark.operators.dedup.minhash_dedup_pairs`):
+    identical word sets collide in every band, so banded LSH is pure
+    overhead there — the index key becomes the token-set FINGERPRINT
+    (stored as a single band-0 bucket), no signatures are computed, and
+    verification is skipped because fingerprint equality IS Jaccard
+    1.0. The fold stays linear in the batch. One index = one
+    (threshold, num_perms, bands) configuration — band keys from
+    different configurations never match, so don't mix folds."""
+    exact = threshold >= 1.0
+    docs = new_docs.select(F.col(id_col), F.col(text_col))
+    if exact:
+        new_buckets = docs.select(
+            F.col(id_col),
+            F.lit(0).alias("band"),
+            token_set_fingerprint(text_col).alias("bucket"),
+        ).localCheckpoint(eager=True)  # reused by: within-pairs, history join, append
+    else:
+        sigs = minhash_signatures(
+            docs, text_col=text_col, id_col=id_col, num_perms=num_perms
+        )
+        new_buckets = band_buckets(
+            sigs, id_col=id_col, num_perms=num_perms, bands=bands
+        ).localCheckpoint(eager=True)
+
+    token = batch_token or uuid.uuid4().hex[:12]
+    hist_buckets = _pinned_history(
+        spark, index_path, BANDS_SUBDIR, new_buckets, exclude_token=token
+    )
+
+    within = (
+        _bucket_member_pairs(
+            new_buckets, ["band", "bucket"], id_col, max_bucket_size=max_bucket_size
+        )
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+    )
+    across = (
+        new_buckets.alias("n")
+        .join(
+            hist_buckets.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bucket") == F.col("h.bucket")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"h.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"h.{id_col}")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    cands = within.unionByName(across).distinct()
+
+    if exact:
+        verified = cands.select(
+            "id_a", "id_b", F.lit(1.0).alias("jaccard")
+        )
+        _append_batch(new_buckets, index_path, BANDS_SUBDIR, token)
+        return verified
+
+    new_toksets = docs.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(tokens(text_col))).alias("tokset"),
+    ).localCheckpoint(eager=True)
+    hist_toksets = _pinned_history(
+        spark, index_path, TOKSETS_SUBDIR, new_toksets, exclude_token=token
+    )
+    all_toksets = new_toksets.unionByName(hist_toksets)
+    ta = all_toksets.select(F.col(id_col).alias("id_a"), F.col("tokset").alias("set_a"))
+    tb = all_toksets.select(F.col(id_col).alias("id_b"), F.col("tokset").alias("set_b"))
+    verified = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+    _append_batch(new_buckets, index_path, BANDS_SUBDIR, token)
+    _append_batch(new_toksets, index_path, TOKSETS_SUBDIR, token)
+    return verified

@@ -692,6 +692,9 @@ from py_data_pipeline_app_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from py_data_pipeline_app_spark.operators.dedup_incremental import (  # noqa: E402
+    incremental_lsh_fold,
+)
 from py_data_pipeline_app_spark.operators.similarity import (  # noqa: E402
     _deterministic_hyperplanes,
     brute_force_topk,
@@ -787,6 +790,44 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(
         load_table(spark, "documents", sf_dir), threshold=1.0
     )
+
+
+@register(
+    "dedup_incremental_lsh",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             md5(list_aggregate(list_sort(list_distinct({_SQL_WS})),
+                 'string_agg', ' ')) AS k
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0::DOUBLE AS jaccard
+    FROM s a JOIN s b ON a.k = b.k AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index fold (operators/dedup_incremental.py):
+    the corpus arrives as TWO batches split by doc_id parity, each
+    folded against a persisted band index — history is touched only
+    through the (band, bucket) equi-join, never re-LSHed. The union of
+    the per-fold emissions must equal one batch LSH run over the whole
+    corpus, so the oracle is the SAME set-identity self-join as
+    ``dedup_minhash_lsh`` (recall is provably 1.0 at threshold 1.0).
+    A green row here IS the batch-vs-incremental parity check, value-
+    hashed cross-engine."""
+    import tempfile
+
+    docs = load_table(spark, "documents", sf_dir)
+    index = tempfile.mkdtemp(prefix="lsh_index_")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    p1 = incremental_lsh_fold(
+        spark, index, even, threshold=1.0, batch_token="even"
+    )
+    p2 = incremental_lsh_fold(
+        spark, index, odd, threshold=1.0, batch_token="odd"
+    )
+    return p1.unionByName(p2)
 
 
 @register(

@@ -1,0 +1,110 @@
+"""Incremental LSH index (operators/dedup_incremental.py): two-batch
+replay parity against the batch path, index idempotency, and the
+band_buckets contract both paths share."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.operators.dedup import (
+    band_buckets,
+    minhash_dedup_pairs,
+    minhash_signatures,
+)
+from py_data_pipeline_app_spark.operators.dedup_incremental import (
+    incremental_lsh_fold,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "how vexingly quick daft zebras jump",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t))  # exact word-set dup of each base doc
+        rows.append((i * 10 + 2, t + " extra trailing words appended here"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+
+def test_band_buckets_schema_and_determinism(spark, docs):
+    """Direct contract test for the shared bucket generator: schema is
+    (id, band, bucket), every doc emits exactly `bands` rows, and
+    identical signatures produce identical (band, bucket) rows."""
+    sigs = minhash_signatures(docs).cache()
+    bk = band_buckets(sigs)
+    assert bk.columns == ["doc_id", "band", "bucket"]
+    per_doc = bk.groupBy("doc_id").count().collect()
+    assert per_doc and all(r["count"] == 8 for r in per_doc)
+    # docs 0 and 1 share a word set -> identical signatures -> every
+    # band bucket identical
+    b0 = sorted((r.band, r.bucket) for r in bk.filter(F.col("doc_id") == 0).collect())
+    b1 = sorted((r.band, r.bucket) for r in bk.filter(F.col("doc_id") == 1).collect())
+    assert b0 == b1
+    # a different word set must not collide in all 8 bands
+    b20 = sorted((r.band, r.bucket) for r in bk.filter(F.col("doc_id") == 20).collect())
+    assert b0 != b20
+
+
+@pytest.mark.parametrize("threshold", [1.0, 0.5])
+def test_two_batch_replay_matches_batch_lsh(spark, docs, tmp_path, threshold):
+    """Folding batch A then batch B emits exactly the pairs of one
+    batch LSH run over A∪B: within-A at fold 1, within-B plus B×A at
+    fold 2, nothing twice, nothing missed."""
+    index = str(tmp_path / "index")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    p1 = incremental_lsh_fold(
+        spark, index, a, threshold=threshold, max_bucket_size=None, batch_token="a"
+    )
+    got1 = _pairs(p1)
+    p2 = incremental_lsh_fold(
+        spark, index, b, threshold=threshold, max_bucket_size=None, batch_token="b"
+    )
+    got = sorted(got1 + _pairs(p2))
+
+    if threshold >= 1.0:
+        # batch path short-circuits to the exact fingerprint groupBy at
+        # 1.0; LSH recall is provably 1.0 there, so parity still holds
+        expected = _pairs(minhash_dedup_pairs(docs, threshold=1.0))
+    else:
+        expected = _pairs(minhash_dedup_pairs(docs, threshold=0.5))
+    assert got == expected
+    # fold-1 pairs involve only batch-A ids (no history yet)
+    a_ids = {r.doc_id for r in a.collect()}
+    assert all(x in a_ids and y in a_ids for x, y, _ in got1)
+    # cross-batch dups were found at fold 2 without re-running LSH on A
+    assert any((x in a_ids) != (y in a_ids) for x, y, _ in _pairs(p2))
+
+
+def test_fold_is_idempotent_under_retry(spark, docs, tmp_path):
+    """Replaying a fold with the same batch token overwrites its index
+    subdirectory instead of double-counting history (the streaming
+    foreachBatch retry contract)."""
+    index = str(tmp_path / "index")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    incremental_lsh_fold(spark, index, a, threshold=0.5, batch_token="a").collect()
+    # retry batch a (crash-replay): same token, same content
+    incremental_lsh_fold(spark, index, a, threshold=0.5, batch_token="a").collect()
+    p2 = incremental_lsh_fold(spark, index, b, threshold=0.5, batch_token="b")
+    # each cross pair appears once despite the replay
+    pairs = [(r.id_a, r.id_b) for r in p2.collect()]
+    assert len(pairs) == len(set(pairs))
+    expected = _pairs(minhash_dedup_pairs(docs, threshold=0.5))
+    all_pairs = sorted(
+        _pairs(
+            incremental_lsh_fold(
+                spark, str(tmp_path / "other"), docs, threshold=0.5, batch_token="x"
+            )
+        )
+    )
+    assert all_pairs == expected
