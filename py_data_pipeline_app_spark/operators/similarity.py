@@ -106,6 +106,25 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_recall_estimate(threshold: float, n_planes: int, bands: int) -> float:
+    """Expected hyperplane-LSH recall for a pair at exactly
+    ``threshold`` cosine: per-plane sign-agreement probability is
+    p = 1 - acos(t)/π, a band of r = n_planes/bands bits hits with
+    p^r, and the pair is a candidate if ANY band hits —
+    1 - (1 - p^r)^bands. Pairs above the threshold do better; use this
+    to pick (n_planes, bands) for a target threshold REGIME before
+    paying for a measurement run. The flip side, the random-pair
+    candidate fraction, is ≈ 1 - (1 - 2^-r)^bands (p = 1/2 for
+    orthogonal-ish vectors) — wider bands cut candidates
+    exponentially, but drop low-threshold recall the same way (see
+    the measured table on :func:`hyperplane_lsh_near_dup_pairs`)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    r = n_planes // bands
+    return 1.0 - (1.0 - p**r) ** bands
+
+
 def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Pseudo-random unit-ish hyperplanes from a fixed LCG — no RNG
     state, reproducible everywhere."""
@@ -130,8 +149,8 @@ def hyperplane_lsh_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 32,
+    bands: int = 8,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH near-dup: sign
@@ -153,6 +172,31 @@ def hyperplane_lsh_near_dup_pairs(
     P[signs agree] = 1 - θ/π per plane, so high-cosine pairs collide in
     at least one band with high probability; recall measured in tests
     against the exact baseline.
+
+    Choosing (n_planes, bands) — band WIDTH must match the threshold
+    regime (:func:`lsh_recall_estimate`); measured on the sf0.01
+    embeddings at threshold 0.4 (59 exact pairs, cosine mass ≤ 0.51):
+
+    ======================  ========  ==============  ==============
+    config                  recall    sf0.1 wall      random-pair
+                                                      candidate frac
+    ======================  ========  ==============  ==============
+    16 planes / 4×4-bit     0.56      4.7s            0.23
+    32 planes / 4×8-bit     0.10      4.4s            0.016
+    32 planes / 8×4-bit     0.81      6.9s            0.40
+    ======================  ========  ==============  ==============
+
+    8-bit bands cut random candidates ~16×/band but their S-curve
+    midpoint sits far above 0.4, so recall collapses — they are the
+    right config for the HIGH-threshold regime real dedup runs in
+    (recall ≥ 0.75 at cosine 0.9, ≥ 0.99 at 0.99, with ~1.6% random
+    candidates; asserted on planted dups in test_similarity). At
+    threshold 0.4 no banding is scale-safe: every config's candidate
+    set is a constant fraction of all pairs, because 0.4 is barely
+    above the random regime (p = 0.63 vs 0.5). The low-threshold
+    default here favors recall (32/8); flip to (32, 4) when your
+    threshold is ≥ 0.85 — candidates drop ~25× and recall rises with
+    the threshold instead of falling.
 
     Plan-construction shape: the plane matrix is ONE nested array
     literal + a ``transform`` over it (a single expression), not

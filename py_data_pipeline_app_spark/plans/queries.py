@@ -918,7 +918,7 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 def _hyperplane_oracle(
-    dim: int = 64, n_planes: int = 16, bands: int = 4, threshold: float = 0.4
+    dim: int = 64, n_planes: int = 32, bands: int = 8, threshold: float = 0.4
 ) -> str:
     """DuckDB mirror of hyperplane_lsh_near_dup_pairs: same xorshift
     hyperplanes, same sequential-fold projections, same band keys, same
@@ -965,13 +965,19 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-pattern buckets (grouped expansion, chunk-capped), exact
     cosine verification on candidates only. Never an all-pairs join.
     The oracle replicates the deterministic LSH computation
-    bit-for-bit; recall vs the exact baseline is measured in tests."""
+    bit-for-bit; recall vs the exact baseline is measured in tests.
+
+    32 planes / 8×4-bit bands: measured recall 0.81 at this data's
+    low-similarity regime (vs 0.56 for 16/4 and 0.10 for the 8-bit
+    band config — see the tuning table on
+    hyperplane_lsh_near_dup_pairs; 8-bit bands are the high-threshold
+    scale config, tested on planted dups)."""
     return hyperplane_lsh_near_dup_pairs(
         load_table(spark, "embeddings", sf_dir),
         dim=64,
         threshold=0.4,
-        n_planes=16,
-        bands=4,
+        n_planes=32,
+        bands=8,
     )
 
 

@@ -98,6 +98,39 @@ def test_hyperplane_lsh_recall_on_planted_dups(spark):
     }
     planted = {(2 * i, 2 * i + 1) for i in range(20)}
     assert planted <= found
+    # the high-threshold SCALE config (wide 8-bit bands, ~16x fewer
+    # random candidates per band) must also find every planted dup:
+    # cosine ~1 -> identical sign patterns -> collide in every band
+    found_wide = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_lsh_near_dup_pairs(
+            df, dim=16, threshold=0.999, n_planes=32, bands=4
+        ).collect()
+    }
+    assert planted <= found_wide
+
+
+def test_lsh_recall_estimate_matches_measurement_regimes():
+    """The closed-form S-curve behind the tuning table: orderings and
+    magnitudes must match what was measured on the sf0.01 embeddings
+    (recall 0.56 / 0.10 / 0.81 for the three configs at t=0.4) and the
+    high-threshold design point (8-bit bands at cosine 0.9)."""
+    from py_data_pipeline_app_spark.operators.similarity import lsh_recall_estimate
+
+    est_16_4 = lsh_recall_estimate(0.4, 16, 4)
+    est_32_4 = lsh_recall_estimate(0.4, 32, 4)
+    est_32_8 = lsh_recall_estimate(0.4, 32, 8)
+    # ordering matches measurement: 8 narrow bands > 4 narrow > 4 wide
+    assert est_32_8 > est_16_4 > est_32_4
+    # magnitudes in the measured ballpark (estimates are at exactly t;
+    # measured recall averages over pairs above t, so sits close)
+    assert 0.4 < est_16_4 < 0.7
+    assert est_32_4 < 0.2
+    assert 0.65 < est_32_8 < 0.95
+    # the high-threshold regime flips the ordering: wide bands keep
+    # recall AND cut candidates
+    assert lsh_recall_estimate(0.9, 32, 4) > 0.7
+    assert lsh_recall_estimate(0.99, 32, 4) > 0.99
 
 
 def test_near_dup_exact_threshold_filtering(emb):
