@@ -49,3 +49,49 @@ def test_entry_rotation_puts_least_recently_verified_first():
     assert priorities == sorted(priorities), (
         "rotation must be non-decreasing in last-verified round"
     )
+
+
+def test_no_registered_query_is_stale():
+    """The rotation's guarantee as a failing test instead of a
+    convention: given the committed CORRECTNESS files, every registered
+    query must have a fully-green row no older than (latest round − 1).
+    Queries registered after the latest gate run (no row in any file)
+    are exempt but must sort inside the next round's gate prefix, and
+    the registry must stay small enough that one round always covers
+    everything the previous round rotated out."""
+    import glob
+    import importlib.util
+    import os
+    import re
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "_spark_entry_stale_test", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    assert rounds, "no committed CORRECTNESS files"
+    current = max(rounds)
+    gate_cap = 50  # driver verifies at most this many entries per round
+
+    last = mod._last_verified_round()
+    order = list(mod.queries())
+    stale = [
+        n for n in order if n in last and last[n] < current - 1
+    ]
+    assert stale == [], f"queries with no green row since round {current - 1}: {stale}"
+
+    never = [n for n in order if n not in last]
+    for n in never:
+        assert order.index(n) < gate_cap, (
+            f"new query {n} would not fit the next gate prefix"
+        )
+    # structural bound: what rotates out of one round (N - cap) must fit
+    # in the next round's prefix alongside the never-verified entries
+    assert len(order) - gate_cap + len(never) <= gate_cap
