@@ -507,6 +507,120 @@ def simhash_near_dup_pairs(
     return within.unionByName(across)
 
 
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond') — converges in O(log n) rounds on ANY graph shape, versus
+    :func:`connected_components`' O(diameter) label propagation.
+    Returns (node, component) with component = min node id, identical
+    to the default operator (parity-tested).
+
+    Per round, each star operation is one groupBy + one join — no
+    per-node neighbor arrays (a hub node's adjacency never
+    materializes in one row):
+
+    - large-star: every node u computes m(u) = min(Γ(u) ∪ {u}) and
+      reconnects its STRICTLY LARGER neighbors to m(u);
+    - small-star: u reconnects its ≤ neighbors (and itself) to m≤(u),
+      the min over that subset.
+
+    Use this variant when clusters can be long chains (transcript
+    near-dup graphs, temporal drift chains) — min-label propagation
+    needs diameter rounds there, each a full pass; star rounds halve
+    chain length geometrically. For star-like duplicate clusters (the
+    common corpus case) the default operator needs fewer rounds and
+    less per-round work, so it stays the default.
+
+    Fixpoint: the star edge set reproduces itself once every member
+    points at its component min, so convergence is detected by a
+    (count, order-insensitive hash-sum) checksum of consecutive
+    rounds' edge sets — ONE tiny aggregate per round, which also
+    materializes the lazy checkpoint — and confirmed EXACTLY with a
+    single ``exceptAll`` probe only at the detected fixpoint (so a
+    checksum collision cannot silently mis-cluster; downstream
+    leakage-safe splits need exact components)."""
+    sym = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+
+    cur = sym
+    prev_chk: tuple | None = None
+    converged = False
+    for _ in range(max_iter):
+        und = (
+            cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # large-star: m(u) = min(Γ(u) ∪ {u}); reattach neighbors v > u
+        mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            und.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (big → small) edges: every node in
+        # Γ(u) ∪ {u} reattaches to the group min
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode makes a long sum of 64-bit hashes
+            # throw on overflow
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        chk = (row.n, row.h)
+        if chk == prev_chk:
+            # exact confirmation of the checksum fixpoint
+            if small.exceptAll(cur).limit(1).count() == 0:
+                cur = small
+                converged = True
+                break
+        prev_chk = chk
+        cur = small
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter — an unconverged labeling would leak "
+            "duplicates across split boundaries"
+        )
+    # at fixpoint every edge is (member, component-min); singletons
+    # (nodes whose every edge collapsed) map to themselves
+    comp = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

@@ -687,6 +687,7 @@ def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from py_data_pipeline_app_spark.operators.dedup import (  # noqa: E402
     connected_components,
+    connected_components_star,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -830,9 +831,7 @@ def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionByName(p2)
 
 
-@register(
-    "dedup_cluster_assignment",
-    f"""
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE {_NGRAM_PAIR_CTES},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM njpairs
@@ -846,8 +845,10 @@ def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, least(node, min(m)) AS component_id
     FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@register("dedup_cluster_assignment", _CLUSTER_ORACLE)
 def dedup_cluster_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: connected components of
     the trigram-Jaccard pair graph by iterative min-label propagation
@@ -860,6 +861,24 @@ def dedup_cluster_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir), n=3, threshold=0.5, max_df=100
     )
     return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+@register("dedup_cluster_assignment_star", _CLUSTER_ORACLE)
+def dedup_cluster_assignment_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as ``dedup_cluster_assignment`` but via
+    the O(log n)-round large-star/small-star algorithm
+    (operators.dedup.connected_components_star) — the variant for
+    graphs whose components can be long CHAINS (temporal drift,
+    transcript families), where min-label propagation needs diameter
+    rounds. Identical oracle: both must reproduce exact transitive
+    reachability, so the two algorithms are pinned to each other
+    cross-engine."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), n=3, threshold=0.5, max_df=100
+    )
+    return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
 

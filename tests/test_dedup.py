@@ -192,3 +192,52 @@ def test_connected_components_long_path(spark):
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert set(got.values()) == {1}
     assert len(got) == 12
+
+
+def test_connected_components_star_parity(spark):
+    """The O(log n) large-star/small-star variant must produce the
+    exact same (node, component) labeling as min-label propagation on
+    chains, stars, random graphs, and the empty graph."""
+    import random
+
+    from py_data_pipeline_app_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    random_edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(50)
+    ]
+    cases = [
+        [(2, 1), (2, 3), (10, 11), (21, 20)],                    # chain + pairs
+        [(i, i + 1) for i in range(23, 0, -1)],                  # 24-node path
+        [(0, i) for i in range(1, 9)],                           # star
+        [e for e in random_edges if e[0] != e[1]],               # random
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        base = {r.node: r.comp for r in connected_components(df).collect()}
+        star = {r.node: r.comp for r in connected_components_star(df).collect()}
+        assert star == base, edges[:4]
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+
+
+def test_connected_components_star_beats_diameter_bound(spark):
+    """On a 40-node path the star variant converges within ~log2(n)
+    rounds — min-label propagation would need 39; max_iter=8 proves
+    the geometric halving actually happens."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39, 0, -1)], ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.comp
+        for r in connected_components_star(edges, max_iter=8).collect()
+    }
+    assert set(got.values()) == {1}
+    assert len(got) == 40
