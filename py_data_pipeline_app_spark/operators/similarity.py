@@ -198,6 +198,14 @@ def hyperplane_lsh_near_dup_pairs(
     threshold is ≥ 0.85 — candidates drop ~25× and recall rises with
     the threshold instead of falling.
 
+    The 10× rehearsal (BENCH_sf1.json) confirms the decade behavior:
+    at 20k vectors the recall config is ×16.6 (quadratic candidate
+    verification — true output grows linearly, random collisions
+    quadratically) while the 8-bit config is ×1.39 (linear) and 25×
+    faster absolute. Low-threshold recall is a small-data affordance;
+    pick band width for the threshold AND the corpus size
+    (2^r ≳ N / desired_bucket_occupancy).
+
     Plan-construction shape: the plane matrix is ONE nested array
     literal + a ``transform`` over it (a single expression), not
     n_planes × dim individual ``lit`` columns — the per-literal py4j

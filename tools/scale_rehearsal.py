@@ -1,0 +1,168 @@
+"""10x scale rehearsal for the dedup/similarity/curation/media family.
+
+The driver ships sf0.001/0.01/0.1; the 100-TB design claims are argued
+from plan shape. This tool manufactures ONE more decade of scale
+(sf1-equivalent: 50k documents / 20k embeddings) deterministically
+from sf0.1 and measures every documents/embeddings-family query at
+both scales, writing BENCH_sf1.json with per-query wall times and
+scaling ratios. A family whose ratio is ~10 scales linearly; ratios
+well above 10 flag superlinear behavior (df-cap / chunk-cap constants
+failing at the next decade).
+
+Scaling construction (in /tmp — the driver testdata is read-only):
+
+- documents ×10: each copy k rewrites every token t -> "t" + "x{k}"
+  (copy 0 keeps the original text). Token vocabularies of different
+  copies are DISJOINT, so the corpus is 10 independent shards, each
+  isomorphic to sf0.1: exact-dup groups, near-dup clusters, shingle
+  document frequencies, and skew all replicate exactly; no cross-shard
+  pairs are introduced (pair counts scale linearly, as they would in
+  a real corpus 10x the size with the same dup rate).
+- embeddings ×10: copy k applies the k-th power of a fixed cyclic
+  dimension rotation. Rotations are orthogonal, so WITHIN a copy every
+  pairwise cosine is bit-identical to sf0.1; ACROSS copies vectors
+  decorrelate (generic vectors under disjoint rotations), so near-dup
+  structure replicates without manufacturing 10-clone clusters.
+
+Run:  python tools/scale_rehearsal.py            # full family
+      python tools/scale_rehearsal.py dedup_exact similarity_topk
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_BASE = "/root/testdata/sf0.1"
+X10_DIR = "/tmp/sf1_rehearsal"
+SCALE = 10
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json")
+
+FAMILY = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_assignment",
+    "embedding_near_dup",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "embedding_dim_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "corpus_vocab_topk",
+    "tfidf_top_terms",
+    "text_repetition_filter",
+    "benchmark_decontamination",
+    "sequence_packing",
+    "training_set_curation",
+    "training_set_curation_leakage_safe",
+    "split_leakage_audit",
+    "dataset_split_profile",
+    "stratified_lang_rebalance",
+    "media_payload_profile",
+    "media_feature_extract",
+    "media_feature_topk",
+    "media_frame_sample",
+]
+
+
+def build_x10(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(X10_DIR, "_SUCCESS_REHEARSAL")):
+        return
+    docs = spark.read.parquet(f"{SF_BASE}/documents.parquet")
+    n_docs = docs.count()
+    copies = []
+    for k in range(SCALE):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+        if k > 0:
+            suffixed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit(f"x{k}")),
+                ),
+                " ",
+            )
+            c = c.withColumn("text", suffixed)
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(f"{X10_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF_BASE}/embeddings.parquet")
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    ecopies = []
+    for k in range(SCALE):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_vec))
+        if k > 0:
+            # k-th power of the +7 cyclic rotation (7 coprime to 64)
+            shift = (7 * k) % dim
+            rotated = F.concat(
+                F.slice(F.col("embedding"), shift + 1, dim - shift),
+                F.slice(F.col("embedding"), 1, shift),
+            )
+            c = c.withColumn("embedding", rotated)
+        ecopies.append(c)
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.repartition(32).write.mode("overwrite").parquet(f"{X10_DIR}/embeddings.parquet")
+    open(os.path.join(X10_DIR, "_SUCCESS_REHEARSAL"), "w").write("ok")
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from py_data_pipeline_app_spark.session import get_spark
+
+    spark = get_spark("scale-rehearsal")
+    names = sys.argv[1:] or FAMILY
+    build_x10(spark)
+    qs = entry_mod.queries()
+    spark.read.parquet(f"{SF_BASE}/region.parquet").count()  # warmup
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        t_base = time_query(fn, spark, SF_BASE)
+        t_x10 = time_query(fn, spark, X10_DIR)
+        ratio = round(t_x10 / t_base, 2) if t_base > 0 else None
+        results[name] = {"sf0.1_sec": t_base, "x10_sec": t_x10, "ratio": ratio}
+        flag = "  <-- SUPERLINEAR" if ratio and ratio > 12 else ""
+        print(f"{name}: {t_base:.2f}s -> {t_x10:.2f}s (x{ratio}){flag}", flush=True)
+
+    artifact = {
+        "metric": "scale_rehearsal_x10",
+        "base_sf": 0.1,
+        "scale_factor": SCALE,
+        "construction": "token-suffixed doc shards + dimension-rotated embedding shards (see tools/scale_rehearsal.py docstring)",
+        "queries": results,
+        "superlinear": sorted(
+            n for n, r in results.items() if r["ratio"] and r["ratio"] > 12
+        ),
+    }
+    with open(OUT, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"\nwrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
