@@ -98,3 +98,77 @@ def read_dedup_output(spark: SparkSession, out_path: str) -> DataFrame:
     return (
         spark.read.option("recursiveFileLookup", "true").parquet(out_path.rstrip("/"))
     )
+
+
+def start_near_dup_stream(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    schema: T.StructType,
+    index_path: str,
+    pairs_out: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perms: int | None = None,
+    bands: int | None = None,
+    query_name: str = "near_dup_docs",
+) -> StreamingQuery:
+    """Streaming NEAR-dup detection: every arriving micro-batch is
+    folded into the persisted MinHash+LSH band index
+    (operators.dedup_incremental), emitting the verified near-dup
+    pairs the batch introduces — within the batch AND against all
+    previously streamed documents — without re-running LSH over
+    history.
+
+    This is the incremental twin of the batch
+    ``minhash_dedup_pairs``: the union of every micro-batch's emitted
+    pairs equals one batch run over everything streamed so far
+    (parity-tested). Exactly-once pair output under micro-batch
+    replay: the fold's ``batch_token`` is the micro-batch id, so a
+    retried batch excludes its own half-committed index write from
+    history (no self-pairs) and overwrites both its index and pairs
+    subdirectories.
+
+    State design vs the watermarked exact-dedup stream above: the LSH
+    band index deliberately covers UNBOUNDED history — that is the
+    product (a near-dup of anything ever seen must be caught), and it
+    lives in parquet on shared storage, not in executor state, so the
+    streaming state store stays empty. Growth is linear in corpus
+    size; prune or compact the ``batch-*`` subdirs out-of-band when a
+    retention horizon applies."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_PERMS,
+    )
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        incremental_lsh_fold,
+    )
+
+    np_, b_ = num_perms or DEFAULT_NUM_PERMS, bands or DEFAULT_BANDS
+    stream = spark.readStream.schema(schema).parquet(landing)
+    base = pairs_out.rstrip("/")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_lsh_fold(
+            spark,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_perms=np_,
+            bands=b_,
+            batch_token=f"{batch_id:08d}",
+        )
+        pairs.write.mode("overwrite").parquet(f"{base}/batch-{batch_id:08d}")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
