@@ -63,3 +63,44 @@ def test_pii_scrub_counts_match_injections(spark, rows):
         assert out[i].n_emails == n_em
         assert out[i].n_phones == n_ph
         assert "@" not in out[i].scrubbed or n_em == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(TOKLIST.filter(bool), min_size=2, max_size=10),
+    st.integers(min_value=2, max_value=3),  # number of fold batches
+    st.sampled_from([1.0, 0.5]),
+)
+def test_incremental_fold_union_equals_batch_lsh(spark, toklists, n_batches, threshold):
+    """Replay parity as a property: for ANY corpus and ANY split into
+    sequential batches, the union of incremental_lsh_fold emissions
+    equals one batch minhash_dedup_pairs run over the whole corpus
+    (uncapped buckets on both sides)."""
+    import tempfile
+
+    from py_data_pipeline_app_spark.operators.dedup import minhash_dedup_pairs
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        incremental_lsh_fold,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(toklists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    expected = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(df, threshold=threshold).collect()
+    )
+
+    index = tempfile.mkdtemp(prefix="prop_lsh_")
+    got = []
+    for k in range(n_batches):
+        batch = df.filter(F.col("doc_id") % n_batches == k)
+        pairs = incremental_lsh_fold(
+            spark,
+            index,
+            batch,
+            threshold=threshold,
+            max_bucket_size=None,
+            batch_token=f"b{k}",
+        )
+        got.extend((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
+    assert sorted(got) == expected
