@@ -110,6 +110,47 @@ def _append_batch(df: DataFrame, index_path: str, subdir: str, token: str) -> No
     df.write.mode("overwrite").parquet(f"{index_path}/{subdir}/batch-{token}")
 
 
+def compact_index(spark: SparkSession, index_path: str) -> int:
+    """Merge every ``batch-*`` subdirectory of the index into one
+    consolidated batch. A long-lived near-dup stream appends one
+    subdirectory per micro-batch; after thousands of batches the
+    per-fold file LISTING (driver-side, linear in subdir count)
+    becomes the fixed cost — compaction restores O(1) listing and
+    lets parquet re-cluster the band table into full-size row groups.
+
+    Crash-safe by convergence, not atomicity: the consolidated
+    ``batch-compact-*`` directory is fully written BEFORE the source
+    subdirectories are deleted, so a crash in between leaves duplicate
+    index rows. Duplicates are harmless to fold correctness (candidate
+    pairs are ``distinct``-ed and a doc's tokset rows are identical) —
+    and re-running compaction reads the leftovers, rewrites a fresh
+    consolidated batch with ``dropDuplicates``, and converges.
+
+    Returns the number of subdirectories removed. Do not run
+    concurrently with a fold."""
+    removed = 0
+    token = f"compact-{uuid.uuid4().hex[:12]}"
+    for subdir, keys in ((BANDS_SUBDIR, None), (TOKSETS_SUBDIR, ["doc_id"])):
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
+            continue
+        dirs = [
+            s.getPath()
+            for s in fs.listStatus(jvm_path)
+            if s.isDirectory() and s.getPath().getName().startswith("batch-")
+        ]
+        if len(dirs) <= 1:
+            continue
+        merged = spark.read.parquet(*sorted(str(p) for p in dirs))
+        merged = merged.dropDuplicates(keys) if keys else merged.distinct()
+        _append_batch(merged, index_path, subdir, token)
+        for p in dirs:
+            fs.delete(p, True)
+            removed += 1
+    return removed
+
+
 def incremental_lsh_fold(
     spark: SparkSession,
     index_path: str,

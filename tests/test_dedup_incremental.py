@@ -85,6 +85,46 @@ def test_two_batch_replay_matches_batch_lsh(spark, docs, tmp_path, threshold):
     assert any((x in a_ids) != (y in a_ids) for x, y, _ in _pairs(p2))
 
 
+def test_compaction_preserves_fold_results(spark, docs, tmp_path):
+    """compact_index merges batch subdirectories without changing any
+    subsequent fold's emissions, is a no-op on a single batch, and
+    converges when re-run (crash-recovery contract)."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        compact_index,
+    )
+
+    index = str(tmp_path / "index")
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    got = _pairs(
+        incremental_lsh_fold(
+            spark, index, thirds[0], threshold=0.5,
+            max_bucket_size=None, batch_token="a",
+        )
+    )
+    got += _pairs(
+        incremental_lsh_fold(
+            spark, index, thirds[1], threshold=0.5,
+            max_bucket_size=None, batch_token="b",
+        )
+    )
+    assert compact_index(spark, index) > 0
+    # post-compaction: exactly one consolidated subdir per table
+    for sub in ("bands", "toksets"):
+        subdirs = os.listdir(os.path.join(index, sub))
+        assert len([d for d in subdirs if d.startswith("batch-")]) == 1
+    # re-run converges as a no-op
+    assert compact_index(spark, index) == 0
+    got += _pairs(
+        incremental_lsh_fold(
+            spark, index, thirds[2], threshold=0.5,
+            max_bucket_size=None, batch_token="c",
+        )
+    )
+    assert sorted(got) == _pairs(minhash_dedup_pairs(docs, threshold=0.5))
+
+
 def test_fold_is_idempotent_under_retry(spark, docs, tmp_path):
     """Replaying a fold with the same batch token overwrites its index
     subdirectory instead of double-counting history (the streaming

@@ -39,6 +39,8 @@ BLOCKED_NEAR_DUP = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_near_dup",
+    "dedup_cluster_assignment_star",
+    "dedup_incremental_lsh",
 ]
 
 
