@@ -374,24 +374,12 @@ def ivf_topk_trained(
     )
 
 
-def _ivf_probe_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    cents: DataFrame,
-    *,
-    k: int,
-    nprobe: int,
-    id_col: str,
-    vec_col: str,
-    query_id_col: str,
+def _assign_to_centroids(
+    corpus: DataFrame, cents, *, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Shared IVF probing plan: assign corpus vectors to their nearest
-    centroid (broadcast join + argmax cosine), probe each query's
-    ``nprobe`` nearest buckets, exact-rank the scanned candidates."""
-    cents = F.broadcast(cents)
-
-    # assign: argmin over centroids by max cosine
-    assigned = (
+    """(id, vec, centroid_id): argmax-cosine bucket assignment against
+    the broadcast centroid table — one corpus pass."""
+    return (
         corpus.crossJoin(cents)
         .select(
             id_col,
@@ -409,7 +397,13 @@ def _ivf_probe_topk(
         .select(id_col, vec_col, "centroid_id")
     )
 
-    probes = (
+
+def _query_probes(
+    queries: DataFrame, cents, *, nprobe: int, query_id_col: str, vec_col: str
+) -> DataFrame:
+    """(query_id, qvec, centroid_id): each query's nprobe nearest
+    centroid buckets."""
+    return (
         queries.crossJoin(cents)
         .select(
             query_id_col,
@@ -427,6 +421,17 @@ def _ivf_probe_topk(
         .select(query_id_col, "_qvec", "centroid_id")
     )
 
+
+def _rank_probed(
+    assigned: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact-rank the probed buckets' candidates per query."""
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         query_id_col,
         id_col,
@@ -437,4 +442,99 @@ def _ivf_probe_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
+    )
+
+
+def _ivf_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF probing plan: assign corpus vectors to their nearest
+    centroid (broadcast join + argmax cosine), probe each query's
+    ``nprobe`` nearest buckets, exact-rank the scanned candidates."""
+    cents = F.broadcast(cents)
+    assigned = _assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+    probes = _query_probes(
+        queries, cents, nprobe=nprobe, query_id_col=query_id_col, vec_col=vec_col
+    )
+    return _rank_probed(
+        assigned, probes, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus with its bucket
+    assignment, written PARTITIONED BY centroid_id (one directory per
+    bucket), plus the tiny centroid table.
+
+    This turns :func:`ivf_topk`'s per-call compute pruning into I/O
+    pruning: a probing query lists only the nprobe/n_centroids
+    partition directories it needs (``PartitionFilters`` in the scan —
+    plan-asserted in tests), so at 100 TB the un-probed buckets are
+    never read from storage, and the assignment pass (one full corpus
+    scan + argmax) is paid once at build time instead of per query
+    batch. Same deterministic md5-ordered centroid pick as
+    :func:`ivf_topk`, so an indexed query returns bit-identical
+    results to the on-the-fly operator (parity-tested, same oracle)."""
+    cents = (
+        corpus.select(
+            md5_long(F.col(id_col).cast("string")).alias("_hk"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .orderBy("_hk")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
+        .select("centroid_id", "cvec")
+    )
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    assigned = _assign_to_centroids(
+        corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{index_path}/assigned"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_ivf_index`.
+
+    The union of all probed centroid ids is collected driver-side (a
+    tiny set, ≤ |queries|·nprobe ints) and pushed as a LITERAL ``IN``
+    filter on the partition column, so the parquet scan prunes
+    directories — un-probed buckets cost zero I/O. Scores and ranks
+    are bit-identical to :func:`ivf_topk` with the same parameters."""
+    cents = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
+    probes = _query_probes(
+        queries, cents, nprobe=nprobe, query_id_col=query_id_col, vec_col=vec_col
+    )
+    probed = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+    assigned = spark.read.parquet(f"{index_path}/assigned").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    return _rank_probed(
+        assigned, probes, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )

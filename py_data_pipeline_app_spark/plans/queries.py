@@ -1108,6 +1108,31 @@ def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
 
 
+@register("similarity_topk_ivf_indexed", _ivf_oracle())
+def similarity_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 against a PERSISTED index (operators.similarity
+    build_ivf_index): the corpus+assignment table is written
+    partitioned by centroid_id, and probing pushes the probed bucket
+    ids as a literal partition filter — un-probed buckets cost zero
+    I/O, and the one-pass assignment is paid at build time, not per
+    query batch. Bit-identical to ivf_topk (same md5-ordered
+    centroids), so it shares the full-value oracle."""
+    import tempfile
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    index = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, index, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_indexed(spark, index, queries, k=5, nprobe=4)
+
+
 _SQL_STOP = {
     "en": "('the','and','of','to','a','in','is','it')",
     "fr": "('le','la','et','les','des','un','une','est')",

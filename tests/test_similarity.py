@@ -140,6 +140,38 @@ def test_near_dup_exact_threshold_filtering(emb):
         assert r.id_a < r.id_b
 
 
+def test_indexed_ivf_matches_on_the_fly_and_prunes_partitions(spark, emb, tmp_path):
+    """The persisted IVF index returns bit-identical results to the
+    on-the-fly operator, and its scan prunes un-probed partition
+    directories (I/O pruning, not just compute pruning)."""
+    import contextlib
+    import io
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    index = str(tmp_path / "ivf")
+    build_ivf_index(emb, index, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    indexed = ivf_topk_indexed(spark, index, queries, k=5, nprobe=2)
+    onfly = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    got = sorted(((r.query_id, r.rank, r.vec_id, r.score) for r in indexed.collect()))
+    exp = sorted(((r.query_id, r.rank, r.vec_id, r.score) for r in onfly.collect()))
+    assert got == exp
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the probed-bucket IN-filter reached the partition column
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_trained_ivf_recall_at_least_hash_sample(emb):
     from py_data_pipeline_app_spark.operators.similarity import ivf_topk_trained
 
