@@ -313,3 +313,72 @@ def pack_sequences(
     return d.withColumn("offset", offset).withColumn(
         "seq_bin", F.floor(F.col("offset") / seq_len).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level span dedup (C4-style line dedup generalized to token chunks)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup_rebuild(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level SPAN deduplication: C4/RefinedWeb drop any line
+    that occurs more than once across the corpus; for line-less text
+    the unit generalizes to fixed ``chunk_tokens``-token spans. Every
+    document is split into consecutive chunks, each chunk is
+    fingerprinted, only the globally FIRST occurrence of a fingerprint
+    (ordered by doc id, then chunk position) survives, and documents
+    are rebuilt from their surviving chunks in order. An exact
+    duplicate document keeps nothing; boilerplate shared across
+    documents survives only where it first appeared.
+
+    Scale shape: two keyed shuffles, linear in corpus tokens — one
+    window over the 16-byte chunk fingerprint to pick survivors (no
+    count-join; the same exchange ranks and filters), one groupBy on
+    the doc id to reassemble. Never a join against the corpus; chunk
+    arrays stay bounded by chunk_tokens.
+
+    Returns (id, text_deduped, n_chunks, n_kept); fully-scrubbed
+    documents keep an empty string (filter on n_kept downstream)."""
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    ).withColumn("fp", F.md5(F.col("chunk")))
+    w = Window.partitionBy("fp").orderBy(id_col, "pos")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_first", F.col("rn") == 1)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_first").cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_first"),
+                            F.struct(F.col("pos"), F.col("chunk")),
+                        )
+                    )
+                ),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    return rebuilt.select(
+        id_col, "text_deduped", "n_chunks", F.col("n_kept").cast("int").alias("n_kept")
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.text import md5_long
@@ -143,3 +143,36 @@ def sql_stratified_keep(
         for v, f in fractions.items()
     )
     return f"{b} < CASE {arms} ELSE {round(default_fraction * BUCKETS)} END"
+
+
+def source_cap_sample(
+    docs: DataFrame,
+    *,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "srccap",
+) -> DataFrame:
+    """Per-source document cap (the RefinedWeb/Common-Crawl-style
+    per-domain limit): keep at most ``cap`` documents from each source,
+    chosen by deterministic hash rank — NOT by arrival order, so one
+    crawl bucket's pathological ordering cannot bias what survives,
+    and membership is stable across re-runs, partitionings, and
+    engines (the oracle replays the identical ranking).
+
+    Adds (src_rank, src_total) for auditability. Scale shape: one
+    keyed shuffle on the source column; a viral source's rows all land
+    in one partition only for RANKING — if a single source exceeds a
+    task's comfort at extreme skew, pre-aggregate with the salted
+    pattern in operators.skew; at the cap sizes this operator exists
+    for (10²-10⁶ docs per source) the plain window is the right plan.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    wc = Window.partitionBy(source_col)
+    return (
+        docs.withColumn("src_rank", F.row_number().over(w))
+        .withColumn("src_total", F.count(F.lit(1)).over(wc))
+        .filter(F.col("src_rank") <= cap)
+    )

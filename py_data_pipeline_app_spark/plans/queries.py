@@ -1133,6 +1133,46 @@ def similarity_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return ivf_topk_indexed(spark, index, queries, k=5, nprobe=4)
 
 
+@register(
+    "chunk_dedup_rebuild",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, pos,
+             list_aggregate(ws[pos*10+1 : pos*10+10], 'string_agg', ' ') AS chunk
+      FROM (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws)/10.0) AS INT))) AS pos
+        FROM toks
+      )
+    ),
+    k AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, pos) = 1 AS is_first
+      FROM ch
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN is_first THEN chunk END,
+                               ' ' ORDER BY pos), '') AS text_deduped,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS INT) AS n_kept
+    FROM k GROUP BY doc_id
+    """,
+)
+def chunk_dedup_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level span dedup (C4-style line dedup generalized to
+    10-token chunks): only the globally first occurrence of each chunk
+    fingerprint survives and documents are rebuilt from their
+    surviving chunks in order — exact duplicate docs scrub to empty,
+    cross-doc boilerplate survives only where it first appeared. Two
+    keyed shuffles (fingerprint window + doc-id rebuild), linear in
+    corpus tokens, never a corpus join."""
+    from py_data_pipeline_app_spark.operators.curation import chunk_dedup_rebuild
+
+    return chunk_dedup_rebuild(load_table(spark, "documents", sf_dir))
+
+
 _SQL_STOP = {
     "en": "('the','and','of','to','a','in','is','it')",
     "fr": "('le','la','et','les','des','un','une','est')",
@@ -2375,6 +2415,7 @@ def event_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from py_data_pipeline_app_spark.operators.sampling import (  # noqa: E402
     hash_split,
+    sql_hash_bucket,
     sql_hash_split_case,
     sql_stratified_keep,
     stratified_sample,
@@ -2438,6 +2479,34 @@ def stratified_lang_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         stat_avg("n_chars").alias("avg_chars"),
+    )
+
+
+@register(
+    "source_cap_sample",
+    f"""
+    SELECT doc_id, source, src_rank, src_total FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash_bucket('doc_id', 'srccap')}, doc_id
+             ) AS src_rank,
+             count(*) OVER (PARTITION BY source) AS src_total
+      FROM documents
+    ) WHERE src_rank <= 20
+    """,
+)
+def source_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style per-domain limit):
+    keep at most 20 documents per source, chosen by deterministic hash
+    rank so survival is independent of arrival order and stable across
+    engines (operators/sampling.source_cap_sample). One keyed shuffle
+    on the source column."""
+    from py_data_pipeline_app_spark.operators.sampling import source_cap_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return source_cap_sample(docs, cap=20).select(
+        "doc_id", "source", "src_rank", "src_total"
     )
 
 

@@ -130,3 +130,28 @@ def test_cluster_keyed_split_has_zero_leakage(spark):
     )
     assert pairs.count() > 0  # the property is vacuous without pairs
     assert crossing == 0
+
+
+def test_chunk_dedup_rebuild_scrubs_repeats_keeps_first(spark):
+    """Planted structure: an exact duplicate document scrubs to empty,
+    shared boilerplate survives only in the document where it first
+    appeared, and unique text is untouched."""
+    from py_data_pipeline_app_spark.operators.curation import chunk_dedup_rebuild
+
+    boiler = "all rights reserved contact us terms of service apply now"  # 10 tokens
+    u1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u2 = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, u1 + " " + boiler),
+        (2, u1 + " " + boiler),          # exact dup of 1 -> fully scrubbed
+        (3, u2 + " " + boiler),          # keeps u2, loses the boilerplate
+        (4, "totally unique words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup_rebuild(df, chunk_tokens=10).collect()}
+    assert out[1].text_deduped == rows[0][1]          # first doc keeps all
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[2].text_deduped == "" and out[2].n_kept == 0
+    assert out[3].text_deduped == u2                  # boilerplate chunk gone
+    assert out[3].n_chunks == 2 and out[3].n_kept == 1
+    assert out[4].text_deduped == rows[3][1]

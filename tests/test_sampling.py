@@ -127,3 +127,27 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     ).collect()
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05
+
+
+def test_source_cap_sample_caps_and_is_order_independent(spark):
+    from py_data_pipeline_app_spark.operators.sampling import source_cap_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_cap_sample(df, cap=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"src0", "src1", "src2"}
+    for src, kept in by_src.items():
+        assert len(kept) == 5
+        assert sorted(r.src_rank for r in kept) == [1, 2, 3, 4, 5]
+        assert all(r.src_total in (13, 14) for r in kept)
+    # determinism + order independence: shuffled input keeps the same ids
+    ids = {r.doc_id for r in out}
+    shuffled = df.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(7)
+    ids2 = {r.doc_id for r in source_cap_sample(shuffled, cap=5).collect()}
+    assert ids == ids2
+    # a source under the cap is kept in full
+    small = spark.createDataFrame([(100, "tiny"), (101, "tiny")], "doc_id long, source string")
+    assert source_cap_sample(small, cap=5).count() == 2
