@@ -62,6 +62,7 @@ HEADLINE = [
     "corpus_vocab_topk",
     "tfidf_top_terms",
     "text_repetition_filter",
+    "chunk_dedup_rebuild",
     "text_pii_scrub",
     "benchmark_decontamination",
     "sequence_packing",

@@ -209,9 +209,14 @@ def incremental_lsh_fold(
         spark, index_path, BANDS_SUBDIR, new_buckets, exclude_token=token
     )
 
+    # exact mode mirrors batch token_set_dedup_pairs, which never caps:
+    # pairs within an identical-content group are the true answer
+    # (inherently quadratic in group size, same as the batch path), so
+    # capping here would silently break batch parity above the cap.
+    within_cap = None if exact else max_bucket_size
     within = (
         _bucket_member_pairs(
-            new_buckets, ["band", "bucket"], id_col, max_bucket_size=max_bucket_size
+            new_buckets, ["band", "bucket"], id_col, max_bucket_size=within_cap
         )
         .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
     )
