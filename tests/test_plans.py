@@ -94,6 +94,14 @@ def test_decontamination_broadcasts_benchmark_grams(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_chunk_dedup_is_join_free(spark, sf_dir):
+    # survivors come from ONE window over the chunk fingerprint — no
+    # count-subplan joined back, no join against the corpus at all
+    plan = plan_of(QUERIES["chunk_dedup_rebuild"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_frame_sample_is_shuffle_free(spark, sf_dir):
     # frame fan-out happens inside the scan task: generate, no Exchange
     plan = plan_of(QUERIES["media_frame_sample"](spark, sf_dir))

@@ -104,3 +104,54 @@ def test_incremental_fold_union_equals_batch_lsh(spark, toklists, n_batches, thr
         )
         got.extend((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
     assert sorted(got) == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKLIST.filter(bool), min_size=1, max_size=12))
+def test_chunk_dedup_rebuild_matches_python_reference(spark, toklists):
+    """Corpus-level span dedup against a pure-Python first-occurrence
+    model: for ANY corpus, each 3-token chunk survives exactly at its
+    first (doc_id, pos) and documents rebuild in order."""
+    from py_data_pipeline_app_spark.operators.curation import chunk_dedup_rebuild
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(toklists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup_rebuild(df, chunk_tokens=3).collect()}
+
+    seen: set[str] = set()
+    for i, toks in enumerate(toklists):
+        kept_chunks = []
+        n_chunks = (len(toks) + 2) // 3
+        for p in range(n_chunks):
+            chunk = " ".join(toks[p * 3 : p * 3 + 3])
+            if chunk not in seen:
+                seen.add(chunk)
+                kept_chunks.append(chunk)
+        r = out[i]
+        assert r.n_chunks == n_chunks, (i, toks)
+        assert r.n_kept == len(kept_chunks), (i, toks)
+        assert r.text_deduped == " ".join(kept_chunks), (i, toks)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=4),
+)
+def test_source_cap_sample_respects_cap_for_any_distribution(spark, srcs, cap):
+    """For ANY source distribution and cap: per-source output size is
+    min(cap, group size), ranks are 1..n, totals are exact."""
+    from collections import Counter
+
+    from py_data_pipeline_app_spark.operators.sampling import source_cap_sample
+
+    rows = [(i, f"s{g}") for i, g in enumerate(srcs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_cap_sample(df, cap=cap).collect()
+    sizes = Counter(r.source for r in out)
+    truth = Counter(f"s{g}" for g in srcs)
+    for src, n in truth.items():
+        assert sizes[src] == min(cap, n), (src, cap)
+    for r in out:
+        assert 1 <= r.src_rank <= cap
+        assert r.src_total == truth[r.source]
