@@ -348,19 +348,8 @@ def ivf_topk_trained(
     byte-for-byte the hash-sample one. The gate keeps the hash-sample
     variant (an iterative fit has no SQL oracle); this one is
     recall-tested."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(train)
-    cents = corpus.sparkSession.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "centroid_id int, cvec array<double>",
+    cents = train_centroids(
+        corpus, n_centroids=n_centroids, vec_col=vec_col, seed=seed, max_iter=max_iter
     )
     return _ivf_probe_topk(
         corpus,
@@ -445,6 +434,34 @@ def _rank_probed(
     )
 
 
+def train_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(centroid_id, cvec): k-means coarse centroids via Spark ML's
+    distributed Lloyd's (deterministic seed). The k×dim result
+    collects to the driver (a few KB) and re-enters the plan as a
+    small table, so it broadcasts into any probing or index-build
+    plan — including :func:`build_ivf_index`'s ``cents`` parameter,
+    which persists trained centroids behind the same partition-pruned
+    probing path as the hash-sample pick."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, cvec array<double>",
+    )
+
+
 def _ivf_probe_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -476,6 +493,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index: the corpus with its bucket
     assignment, written PARTITIONED BY centroid_id (one directory per
@@ -487,19 +505,22 @@ def build_ivf_index(
     plan-asserted in tests), so at 100 TB the un-probed buckets are
     never read from storage, and the assignment pass (one full corpus
     scan + argmax) is paid once at build time instead of per query
-    batch. Same deterministic md5-ordered centroid pick as
+    batch. Default centroids are the deterministic md5-ordered pick of
     :func:`ivf_topk`, so an indexed query returns bit-identical
-    results to the on-the-fly operator (parity-tested, same oracle)."""
-    cents = (
-        corpus.select(
-            md5_long(F.col(id_col).cast("string")).alias("_hk"),
-            F.col(vec_col).alias("cvec"),
+    results to the on-the-fly operator (parity-tested, same oracle);
+    pass ``cents`` (e.g. from :func:`train_centroids`) to persist
+    trained centroids behind the identical probing path."""
+    if cents is None:
+        cents = (
+            corpus.select(
+                md5_long(F.col(id_col).cast("string")).alias("_hk"),
+                F.col(vec_col).alias("cvec"),
+            )
+            .orderBy("_hk")
+            .limit(n_centroids)
+            .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
+            .select("centroid_id", "cvec")
         )
-        .orderBy("_hk")
-        .limit(n_centroids)
-        .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
-        .select("centroid_id", "cvec")
-    )
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     assigned = _assign_to_centroids(
         corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col

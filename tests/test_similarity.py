@@ -172,6 +172,32 @@ def test_indexed_ivf_matches_on_the_fly_and_prunes_partitions(spark, emb, tmp_pa
     assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_indexed_ivf_with_trained_centroids_matches_on_the_fly(spark, emb, tmp_path):
+    """Trained (KMeans) centroids persist behind the same
+    partition-pruned probing path and return exactly what the
+    on-the-fly trained operator returns."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        ivf_topk_trained,
+        train_centroids,
+    )
+
+    cents = train_centroids(emb, n_centroids=8, seed=7)
+    index = str(tmp_path / "ivf_trained")
+    build_ivf_index(emb, index, cents=cents)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    indexed = ivf_topk_indexed(spark, index, queries, k=5, nprobe=2)
+    onfly = ivf_topk_trained(
+        emb, queries, k=5, n_centroids=8, nprobe=2, seed=7
+    )
+    got = sorted(((r.query_id, r.rank, r.vec_id, r.score) for r in indexed.collect()))
+    exp = sorted(((r.query_id, r.rank, r.vec_id, r.score) for r in onfly.collect()))
+    assert got == exp
+
+
 def test_trained_ivf_recall_at_least_hash_sample(emb):
     from py_data_pipeline_app_spark.operators.similarity import ivf_topk_trained
 
