@@ -79,3 +79,45 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> int:
+    """The curated-corpus SINK: write the training set as exactly
+    ``n_shards`` parquet shard files with DETERMINISTIC membership and
+    intra-shard order.
+
+    A trainer's data loader wants (a) a fixed shard count matched to
+    its worker count, (b) the same document in the same shard on every
+    rebuild (resumable runs, reproducible ablations — so membership is
+    a hash of the id, never round-robin over an arbitrary partition
+    layout), and (c) a stable order within each shard so a (shard,
+    offset) checkpoint identifies a sample forever. ``df.repartition``
+    round-robins from whatever partitioning the curation pipeline
+    ended with — none of those properties hold.
+
+    One shuffle keyed on the shard hash, then an intra-partition sort;
+    file i holds exactly the docs with hash_bucket(id) % n_shards == i
+    in id order. Returns the number of shard files written."""
+    from pyspark.sql import functions as F
+
+    from py_data_pipeline_app_spark.operators.sampling import hash_bucket
+
+    shard = (hash_bucket(F.col(id_col), seed) % F.lit(n_shards)).cast("int")
+    out = (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .select(F.col("shard")).distinct().count()
+    )
