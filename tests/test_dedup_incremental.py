@@ -85,6 +85,27 @@ def test_two_batch_replay_matches_batch_lsh(spark, docs, tmp_path, threshold):
     assert any((x in a_ids) != (y in a_ids) for x, y, _ in _pairs(p2))
 
 
+def test_fold_result_is_pinned_against_later_appends(spark, docs, tmp_path):
+    """The pairs frame a fold returns is LAZY but pinned: collecting
+    it after later folds have appended to the index must not absorb
+    the newer batches (the plan lists the concrete subdirectories
+    present at fold time)."""
+    index = str(tmp_path / "index")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    p1 = incremental_lsh_fold(
+        spark, index, a, threshold=0.5, max_bucket_size=None, batch_token="a"
+    )
+    # fold B BEFORE collecting p1 — then p1 must still see only A
+    incremental_lsh_fold(
+        spark, index, b, threshold=0.5, max_bucket_size=None, batch_token="b"
+    ).collect()
+    a_ids = {r.doc_id for r in a.collect()}
+    late = _pairs(p1)
+    assert late, "expected within-A pairs"
+    assert all(x in a_ids and y in a_ids for x, y, _ in late)
+
+
 def test_compaction_preserves_fold_results(spark, docs, tmp_path):
     """compact_index merges batch subdirectories without changing any
     subsequent fold's emissions, is a no-op on a single batch, and

@@ -49,9 +49,11 @@ FAMILY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_cluster_assignment",
+    "dedup_cluster_assignment_star",
     "embedding_near_dup",
     "similarity_topk",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_indexed",
     "embedding_dim_stats",
     "text_lang_id",
     "text_quality",
@@ -59,6 +61,8 @@ FAMILY = [
     "corpus_vocab_topk",
     "tfidf_top_terms",
     "text_repetition_filter",
+    "chunk_dedup_rebuild",
+    "source_cap_sample",
     "benchmark_decontamination",
     "sequence_packing",
     "training_set_curation",
