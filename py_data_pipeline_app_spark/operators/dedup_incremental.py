@@ -67,6 +67,37 @@ from py_data_pipeline_app_spark.operators.dedup import (
 
 BANDS_SUBDIR = "bands"
 TOKSETS_SUBDIR = "toksets"
+CONFIG_SUBDIR = "config"
+
+
+def _check_or_write_config(
+    spark: SparkSession, index_path: str, num_perms: int, bands: int, exact: bool
+) -> None:
+    """One index = one (num_perms, bands, exact-mode) configuration —
+    band keys from different configurations NEVER match, so a
+    mismatched fold would silently emit no cross-history pairs (the
+    worst failure mode for a dedup system: false confidence). The
+    first fold persists its configuration as a one-row parquet table;
+    every later fold validates against it and fails loudly on drift."""
+    path = f"{index_path}/{CONFIG_SUBDIR}"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        row = spark.read.parquet(path).first()
+        have = (row.num_perms, row.bands, row.exact)
+        want = (num_perms, bands, exact)
+        if have != want:
+            raise ValueError(
+                f"index at {index_path} was built with (num_perms, bands, exact)="
+                f"{have}, fold requested {want}; band keys from different "
+                "configurations never match, so this fold would silently miss "
+                "every historical near-dup - rebuild the index or match its "
+                "configuration"
+            )
+        return
+    spark.createDataFrame(
+        [(num_perms, bands, exact)], "num_perms int, bands int, exact boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def _pinned_history(
@@ -189,6 +220,7 @@ def incremental_lsh_fold(
     (threshold, num_perms, bands) configuration — band keys from
     different configurations never match, so don't mix folds."""
     exact = threshold >= 1.0
+    _check_or_write_config(spark, index_path, num_perms, bands, exact)
     docs = new_docs.select(F.col(id_col), F.col(text_col))
     if exact:
         new_buckets = docs.select(

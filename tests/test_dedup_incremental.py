@@ -169,3 +169,25 @@ def test_fold_is_idempotent_under_retry(spark, docs, tmp_path):
         )
     )
     assert all_pairs == expected
+
+
+def test_config_drift_fails_loudly(spark, docs, tmp_path):
+    """A fold with a different (num_perms, bands, exact) than the index
+    was built with must raise — mismatched band keys would silently
+    miss every historical near-dup otherwise."""
+    index = str(tmp_path / "index")
+    incremental_lsh_fold(
+        spark, index, docs, threshold=0.5, bands=8, batch_token="a"
+    ).collect()
+    with pytest.raises(ValueError, match="never match"):
+        incremental_lsh_fold(
+            spark, index, docs, threshold=0.5, bands=4, batch_token="b"
+        )
+    with pytest.raises(ValueError, match="never match"):
+        incremental_lsh_fold(  # exact-mode flip is also drift
+            spark, index, docs, threshold=1.0, batch_token="c"
+        )
+    # matching config still folds fine
+    incremental_lsh_fold(
+        spark, index, docs, threshold=0.5, bands=8, batch_token="d"
+    ).collect()
