@@ -155,3 +155,28 @@ def test_source_cap_sample_respects_cap_for_any_distribution(spark, srcs, cap):
     for r in out:
         assert 1 <= r.src_rank <= cap
         assert r.src_total == truth[r.source]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TOKLIST.filter(bool), min_size=1, max_size=10))
+def test_simhash64_matches_python_reference(spark, toklists):
+    """The packed 60-bit SimHash against a pure-Python bit model using
+    the same md5-derived token hashes — pins the exact bit semantics
+    (vote signs, packing order) the DuckDB oracle also replays."""
+    import hashlib
+
+    from py_data_pipeline_app_spark.operators.dedup import simhash64
+
+    def py_simhash(toks):
+        votes = [0] * 60
+        for tok in sorted(set(toks)):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(60):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(60) if votes[j] > 0)
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(toklists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    for i, toks in enumerate(toklists):
+        assert got[i] == py_simhash(toks), (i, toks)
