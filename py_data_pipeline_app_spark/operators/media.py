@@ -317,6 +317,72 @@ def extract_features(
     return media.mapInPandas(gen, schema=schemas.MEDIA_FEATURES)
 
 
+def resize_media(
+    media: DataFrame, *, width: int, height: int, codec: str = "bytes"
+) -> DataFrame:
+    """Resize image payloads to ``width``×``height``, updating the
+    typed metadata in lockstep — the remaining step of the brief's
+    decode / feature-extract / resize / frame-sample quartet.
+
+    Same mapInPandas plumbing as :func:`extract_features` (pure map,
+    Arrow-batched, zero shuffle); non-image rows pass through
+    untouched. Two codecs:
+
+    - ``"pillow"`` — REAL decode → nearest-neighbor resize → PNG
+      re-encode via Pillow (lazily imported on the executor; raises a
+      clear NotImplementedError where absent).
+    - ``"bytes"`` (default) — deterministic raster resample over the
+      raw payload byte stream: output byte k gathers input byte
+      ``floor(k·len/out_len)`` with out_len = width·height. This is
+      the codec-free stand-in with the same batch shape and metadata
+      contract, and — because the testdata payloads are ASCII — it is
+      replayed byte-for-byte by the DuckDB oracle
+      (``media_resize_profile``)."""
+    if codec not in ("bytes", "pillow"):
+        raise ValueError(f"Unknown codec {codec!r}; have ['bytes', 'pillow']")
+
+    def resize_bytes(payload: bytes) -> bytes:
+        out_len = width * height
+        if not payload:
+            return b""
+        n = len(payload)
+        return bytes(payload[(k * n) // out_len] for k in range(out_len))
+
+    def resize_pillow(payload: bytes) -> bytes:
+        try:
+            from PIL import Image
+        except ModuleNotFoundError as exc:  # pragma: no cover - env without PIL
+            raise NotImplementedError(
+                "pillow codec requires Pillow; use codec='bytes' for the "
+                "deterministic stand-in with identical plumbing"
+            ) from exc
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = im.convert("RGB").resize((width, height), Image.NEAREST)
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
+
+    fn = resize_bytes if codec == "bytes" else resize_pillow
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                fn(bytes(p)) if img and p is not None else p
+                for p, img in zip(pdf["payload"], is_img)
+            ]
+            pdf["meta"] = [
+                {**(m or {}), "width": width, "height": height} if img else m
+                for m, img in zip(pdf["meta"], is_img)
+            ]
+            yield pdf
+
+    return media.mapInPandas(gen, schema=media.schema)
+
+
 def media_feature_topk(
     features: DataFrame, queries: DataFrame, *, k: int = 5
 ) -> DataFrame:

@@ -2004,6 +2004,49 @@ def media_metadata_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_resize_profile",
+    f"""
+    WITH media AS ({M.MEDIA_SQL}),
+    img AS (SELECT * FROM media WHERE kind = 'image'),
+    rs AS (
+      SELECT media_id,
+             list_aggregate(
+               list_transform(range(0, 768),
+                 k -> substr(payload_text,
+                             CAST((k * length(payload_text)) // 768 AS INT) + 1,
+                             1)),
+               'string_agg', '') AS resized
+      FROM img
+    )
+    SELECT media_id,
+           32 AS width, 24 AS height,
+           CAST(length(resized) AS INT) AS payload_bytes,
+           md5(resized) AS payload_md5
+    FROM rs
+    """,
+)
+def media_resize_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the mapInPandas plumbing
+    (operators.media.resize_media, bytes codec): every image payload is
+    resampled to a 32×24 raster (nearest-neighbor gather over the byte
+    stream) and the typed metadata updated in lockstep. The oracle
+    replays the exact gather on the ASCII payload text and value-hashes
+    the RESIZED BYTES themselves (md5), so the Arrow round-trip of
+    binary columns through the resize map is checked content-exact —
+    the pillow codec swaps in behind the identical plumbing where
+    installed (tested skip-if-missing)."""
+    media = M.media_from_documents(load_table(spark, "documents", sf_dir))
+    resized = M.resize_media(media, width=32, height=24, codec="bytes")
+    return resized.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.height").cast("int").alias("height"),
+        F.octet_length("payload").cast("int").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
     "media_payload_profile",
     f"""
     WITH media AS ({M.MEDIA_SQL})

@@ -208,3 +208,51 @@ def test_feature_topk_self_rank_one(media):
         rows.sort(key=lambda r: r.rank)
         # each asset is its own nearest neighbor at cosine 1.0
         assert rows[0].media_id == qid and rows[0].score == 1.0
+
+
+def test_resize_media_bytes_codec_and_passthrough(spark):
+    """Bytes-codec resize: output is the exact nearest-neighbor gather
+    of the payload stream, metadata updates in lockstep, and non-image
+    rows pass through byte-identical."""
+    from py_data_pipeline_app_spark import schemas
+
+    rows = [
+        (1, "image", b"abcdefghij", "image/png", (100, 50, None, None)),
+        (2, "audio", b"soundbytes", "audio/wav", (None, None, 250, 16000)),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA)
+    out = {r.media_id: r for r in M.resize_media(df, width=4, height=2).collect()}
+
+    img = out[1]
+    n, out_len = 10, 8
+    expected = bytes(b"abcdefghij"[(k * n) // out_len] for k in range(out_len))
+    assert bytes(img.payload) == expected
+    assert img.meta.width == 4 and img.meta.height == 2
+
+    aud = out[2]
+    assert bytes(aud.payload) == b"soundbytes"  # untouched
+    assert aud.meta.sample_rate == 16000 and aud.meta.width is None
+
+    with pytest.raises(ValueError):
+        M.resize_media(df, width=4, height=2, codec="gif")
+
+
+def test_resize_media_pillow_codec_real_roundtrip(spark):
+    """Pillow codec: a real PNG decodes, resizes, re-encodes, and the
+    result decodes back at the target dimensions. Skips without PIL."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from py_data_pipeline_app_spark import schemas
+
+    im = Image.new("RGB", (8, 8), (10, 200, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), "image/png", (8, 8, None, None))],
+        schemas.MEDIA,
+    )
+    out = M.resize_media(df, width=4, height=2, codec="pillow").collect()[0]
+    back = Image.open(io.BytesIO(bytes(out.payload)))
+    assert back.size == (4, 2)
+    assert out.meta.width == 4 and out.meta.height == 2
