@@ -18,6 +18,9 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+import uuid
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -486,6 +489,23 @@ def _ivf_probe_topk(
     )
 
 
+IVF_APPENDS_SUBDIR = "appends"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
+
+
+def _ivf_centroid_checksum(cents: DataFrame) -> str:
+    """Deterministic digest of the centroid table's contents (id-sorted
+    values, driver-side over k×dim floats — a few KB). Parquet round
+    trips floats exactly, so build-time and read-back digests agree."""
+    rows = cents.orderBy("centroid_id").collect()
+    payload = repr([(r.centroid_id, [float(x) for x in r.cvec]) for r in rows])
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def build_ivf_index(
     corpus: DataFrame,
     index_path: str,
@@ -509,7 +529,20 @@ def build_ivf_index(
     :func:`ivf_topk`, so an indexed query returns bit-identical
     results to the on-the-fly operator (parity-tested, same oracle);
     pass ``cents`` (e.g. from :func:`train_centroids`) to persist
-    trained centroids behind the identical probing path."""
+    trained centroids behind the identical probing path.
+
+    New embedding batches append incrementally via
+    :func:`ivf_index_append` — a rebuild while appends exist would
+    orphan their assignments (the reader unions them), so it fails
+    loudly; remove the index directory to truly rebuild."""
+    spark = corpus.sparkSession
+    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
+    if fs.exists(appends_path):
+        raise ValueError(
+            f"IVF index at {index_path} has appended batches; rebuilding the "
+            "base would orphan their centroid assignments (the reader unions "
+            "base + appends). Delete the index directory for a full rebuild."
+        )
     if cents is None:
         cents = (
             corpus.select(
@@ -522,12 +555,68 @@ def build_ivf_index(
             .select("centroid_id", "cvec")
         )
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    checksum = _ivf_centroid_checksum(cents)
+    spark.createDataFrame(
+        [(checksum,)], "centroid_checksum string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/config")
     assigned = _assign_to_centroids(
         corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
     )
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
         f"{index_path}/assigned"
     )
+
+
+def ivf_index_append(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_token: str | None = None,
+) -> str:
+    """Fold a NEW embedding batch into a persisted
+    :func:`build_ivf_index` without re-assigning the corpus: the batch
+    is assigned against the index's own centroids (broadcast join +
+    argmax — work ∝ |batch|, never ∝ |corpus|) and written under an
+    idempotent ``appends/batch-{token}`` subdirectory in the same
+    ``partitionBy(centroid_id)`` layout, so probing prunes appended
+    buckets exactly like base buckets. A daily embedding feed pays one
+    batch-sized assignment per day instead of a full-corpus rebuild.
+
+    Parity contract (tested + oracle-checked): build(A) then append(B)
+    probes bit-identically to build(A∪B) with the same centroids —
+    per-row assignment depends only on (vector, centroids).
+
+    Fails loudly if the persisted centroid table no longer matches the
+    checksum recorded at build time (config manifest, same
+    drift-fail-loudly pattern as the incremental LSH index): vectors
+    assigned against different centroid sets NEVER probe consistently,
+    which would silently drop true neighbors. Appending a ``vec_id``
+    already in the index is unsupported (the reader unions, so the id
+    would surface twice). Returns the batch token."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    cfg = spark.read.parquet(f"{index_path}/config").first()
+    checksum = _ivf_centroid_checksum(cents)
+    if checksum != cfg.centroid_checksum:
+        raise ValueError(
+            f"IVF index at {index_path}: persisted centroids do not match the "
+            "checksum recorded at build time - appends assigned against a "
+            "different centroid set would silently miss true neighbors. "
+            "Rebuild the index (delete the directory) instead."
+        )
+    token = batch_token or uuid.uuid4().hex[:12]
+    assigned = _assign_to_centroids(
+        new_vectors.select(F.col(id_col), F.col(vec_col)),
+        F.broadcast(cents),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{index_path}/{IVF_APPENDS_SUBDIR}/batch-{token}"
+    )
+    return token
 
 
 def ivf_topk_indexed(
@@ -546,8 +635,12 @@ def ivf_topk_indexed(
     The union of all probed centroid ids is collected driver-side (a
     tiny set, ≤ |queries|·nprobe ints) and pushed as a LITERAL ``IN``
     filter on the partition column, so the parquet scan prunes
-    directories — un-probed buckets cost zero I/O. Scores and ranks
-    are bit-identical to :func:`ivf_topk` with the same parameters."""
+    directories — un-probed buckets cost zero I/O. Batches appended by
+    :func:`ivf_index_append` are unioned in, each scan pruned by the
+    same filter (one self-describing partitioned directory per batch —
+    listing is linear in batch count, another reason to rebuild once a
+    retention horizon applies). Scores and ranks are bit-identical to
+    :func:`ivf_topk` over the same total corpus + centroids."""
     cents = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
     probes = _query_probes(
         queries, cents, nprobe=nprobe, query_id_col=query_id_col, vec_col=vec_col
@@ -556,6 +649,20 @@ def ivf_topk_indexed(
     assigned = spark.read.parquet(f"{index_path}/assigned").filter(
         F.col("centroid_id").isin(probed)
     )
+    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
+    if fs.exists(appends_path):
+        for status in sorted(
+            fs.listStatus(appends_path), key=lambda s: str(s.getPath())
+        ):
+            if not (
+                status.isDirectory()
+                and status.getPath().getName().startswith("batch-")
+            ):
+                continue
+            batch = spark.read.parquet(str(status.getPath())).filter(
+                F.col("centroid_id").isin(probed)
+            )
+            assigned = assigned.unionByName(batch)
     return _rank_probed(
         assigned, probes, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )

@@ -220,3 +220,113 @@ def test_trained_ivf_recall_at_least_hash_sample(emb):
     # version drift in the k-means init.
     assert r_train >= r_hash
     assert r_train >= 0.5
+
+
+def test_ivf_append_parity_with_full_rebuild(spark, emb, tmp_path):
+    """build(A) + append(B) probes bit-identically to build(A∪B) with
+    the same centroids — the incremental index never re-assigns the
+    base, so per-row assignment must be a pure function of (vector,
+    centroids)."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+
+    cents = train_centroids(emb, n_centroids=8, seed=7)
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    build_ivf_index(a, inc, cents=cents)
+    ivf_index_append(spark, inc, b, batch_token="b")
+
+    full = str(tmp_path / "full")
+    build_ivf_index(emb, full, cents=cents)
+
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, r.score)
+        for r in ivf_topk_indexed(spark, inc, queries, k=5, nprobe=3).collect()
+    )
+    exp = sorted(
+        (r.query_id, r.rank, r.vec_id, r.score)
+        for r in ivf_topk_indexed(spark, full, queries, k=5, nprobe=3).collect()
+    )
+    assert got == exp
+
+
+def test_ivf_append_is_idempotent_under_retry(spark, emb, tmp_path):
+    """Re-appending the same batch token overwrites the batch
+    subdirectory instead of duplicating its rows (micro-batch replay
+    contract)."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    index = str(tmp_path / "retry")
+    build_ivf_index(a, index, n_centroids=8)
+    ivf_index_append(spark, index, b, batch_token="t1")
+    once = ivf_topk_indexed(
+        spark,
+        index,
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+        nprobe=3,
+    ).collect()
+    ivf_index_append(spark, index, b, batch_token="t1")  # replay
+    twice = ivf_topk_indexed(
+        spark,
+        index,
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+        nprobe=3,
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_ivf_append_fails_on_centroid_drift(spark, emb, tmp_path):
+    """Overwriting the persisted centroid table after build makes the
+    config-manifest checksum mismatch — the append must fail loudly
+    instead of assigning against a different centroid set."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        train_centroids,
+    )
+
+    index = str(tmp_path / "drift")
+    build_ivf_index(emb, index, n_centroids=8)
+    # simulate out-of-band centroid replacement
+    train_centroids(emb, n_centroids=8, seed=13).write.mode("overwrite").parquet(
+        f"{index}/centroids"
+    )
+    with pytest.raises(ValueError, match="checksum"):
+        ivf_index_append(spark, index, emb.limit(10))
+
+
+def test_ivf_rebuild_refused_while_appends_exist(spark, emb, tmp_path):
+    """A base rebuild would orphan appended assignments (the reader
+    unions base + appends) — build must fail loudly once appends
+    exist."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    index = str(tmp_path / "guard")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), index, n_centroids=8)
+    ivf_index_append(spark, index, emb.filter(F.col("vec_id") % 2 == 1))
+    with pytest.raises(ValueError, match="appended batches"):
+        build_ivf_index(emb, index, n_centroids=8)
