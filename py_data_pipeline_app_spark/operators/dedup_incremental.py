@@ -68,6 +68,28 @@ from py_data_pipeline_app_spark.operators.dedup import (
 BANDS_SUBDIR = "bands"
 TOKSETS_SUBDIR = "toksets"
 CONFIG_SUBDIR = "config"
+LOCK_FILE = "_index.lock"
+
+
+def _acquire_index_lock(spark: SparkSession, index_path: str, what: str):
+    """Mutual exclusion between index mutators (folds and compactions):
+    an atomic ``createNewFile`` on a lock marker. Folds must be
+    serialized anyway (two concurrent folds would each miss the other's
+    documents as history — silent missed pairs), and a compaction
+    racing a fold could delete subdirectories mid-read; with the lock,
+    either race fails LOUDLY instead. A crash can leave the marker
+    behind — the error message names the path so an operator can remove
+    a stale lock deliberately, never accidentally."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{LOCK_FILE}")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jvm_path.getParent())
+    if not fs.createNewFile(jvm_path):
+        raise RuntimeError(
+            f"LSH index at {index_path} is locked by a concurrent fold or "
+            f"compaction ({what} refused). If the previous operation crashed, "
+            f"remove the stale marker {index_path}/{LOCK_FILE} and retry."
+        )
+    return fs, jvm_path
 
 
 def _check_or_write_config(
@@ -141,13 +163,26 @@ def _append_batch(df: DataFrame, index_path: str, subdir: str, token: str) -> No
     df.write.mode("overwrite").parquet(f"{index_path}/{subdir}/batch-{token}")
 
 
-def compact_index(spark: SparkSession, index_path: str) -> int:
-    """Merge every ``batch-*`` subdirectory of the index into one
+def compact_index(
+    spark: SparkSession, index_path: str, *, keep_newest: bool = True
+) -> int:
+    """Merge the index's ``batch-*`` subdirectories into one
     consolidated batch. A long-lived near-dup stream appends one
     subdirectory per micro-batch; after thousands of batches the
     per-fold file LISTING (driver-side, linear in subdir count)
     becomes the fixed cost — compaction restores O(1) listing and
     lets parquet re-cluster the band table into full-size row groups.
+
+    Serialized against folds by the index lock (a racing fold or
+    second compaction fails loudly instead of reading mid-delete
+    state). With ``keep_newest`` (the default) the most recently
+    written batch subdirectory is left untouched: that is the only
+    batch a crashed-then-replayed micro-batch could still rewrite, and
+    merging it away would defeat the fold's own-token exclusion — the
+    replay would see its half-committed docs as history and
+    permanently duplicate them. Only disable it when no producer can
+    possibly replay (e.g. the stream's checkpoint confirms the last
+    batch committed and the stream is stopped).
 
     Crash-safe by convergence, not atomicity: the consolidated
     ``batch-compact-*`` directory is fully written BEFORE the source
@@ -157,28 +192,37 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     and re-running compaction reads the leftovers, rewrites a fresh
     consolidated batch with ``dropDuplicates``, and converges.
 
-    Returns the number of subdirectories removed. Do not run
-    concurrently with a fold."""
+    Returns the number of subdirectories removed. Collect or write any
+    fold's returned pairs frame before compacting — it lazily reads the
+    pinned pre-fold subdirectories."""
     removed = 0
     token = f"compact-{uuid.uuid4().hex[:12]}"
-    for subdir, keys in ((BANDS_SUBDIR, None), (TOKSETS_SUBDIR, ["doc_id"])):
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jvm_path):
-            continue
-        dirs = [
-            s.getPath()
-            for s in fs.listStatus(jvm_path)
-            if s.isDirectory() and s.getPath().getName().startswith("batch-")
-        ]
-        if len(dirs) <= 1:
-            continue
-        merged = spark.read.parquet(*sorted(str(p) for p in dirs))
-        merged = merged.dropDuplicates(keys) if keys else merged.distinct()
-        _append_batch(merged, index_path, subdir, token)
-        for p in dirs:
-            fs.delete(p, True)
-            removed += 1
+    lock_fs, lock_path = _acquire_index_lock(spark, index_path, "compaction")
+    try:
+        for subdir, keys in ((BANDS_SUBDIR, None), (TOKSETS_SUBDIR, ["doc_id"])):
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
+            fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jvm_path):
+                continue
+            statuses = [
+                s
+                for s in fs.listStatus(jvm_path)
+                if s.isDirectory() and s.getPath().getName().startswith("batch-")
+            ]
+            if keep_newest and statuses:
+                newest = max(statuses, key=lambda s: s.getModificationTime())
+                statuses = [s for s in statuses if s is not newest]
+            dirs = [s.getPath() for s in statuses]
+            if len(dirs) <= 1:
+                continue
+            merged = spark.read.parquet(*sorted(str(p) for p in dirs))
+            merged = merged.dropDuplicates(keys) if keys else merged.distinct()
+            _append_batch(merged, index_path, subdir, token)
+            for p in dirs:
+                fs.delete(p, True)
+                removed += 1
+    finally:
+        lock_fs.delete(lock_path, False)
     return removed
 
 
@@ -218,7 +262,46 @@ def incremental_lsh_fold(
     verification is skipped because fingerprint equality IS Jaccard
     1.0. The fold stays linear in the batch. One index = one
     (threshold, num_perms, bands) configuration — band keys from
-    different configurations never match, so don't mix folds."""
+    different configurations never match, so don't mix folds.
+
+    Folds are serialized by the index lock (concurrent folds would
+    each miss the other's documents as history — fail loudly instead).
+    RE-folding a doc_id that is already in the index is supported only
+    for identical content: verification is latest-wins per doc_id (the
+    batch's token set shadows the historical one, so no duplicate or
+    stale-jaccard pair rows), but the OLD content's band rows remain in
+    the index — fold a changed document under a new doc_id instead."""
+    fs, lock = _acquire_index_lock(spark, index_path, "fold")
+    try:
+        return _incremental_lsh_fold_locked(
+            spark,
+            index_path,
+            new_docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_perms=num_perms,
+            bands=bands,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            batch_token=batch_token,
+        )
+    finally:
+        fs.delete(lock, False)
+
+
+def _incremental_lsh_fold_locked(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perms: int,
+    bands: int,
+    threshold: float,
+    max_bucket_size: int | None,
+    batch_token: str | None,
+) -> DataFrame:
     exact = threshold >= 1.0
     _check_or_write_config(spark, index_path, num_perms, bands, exact)
     docs = new_docs.select(F.col(id_col), F.col(text_col))
@@ -281,7 +364,16 @@ def incremental_lsh_fold(
     hist_toksets = _pinned_history(
         spark, index_path, TOKSETS_SUBDIR, new_toksets, exclude_token=token
     )
-    all_toksets = new_toksets.unionByName(hist_toksets)
+    # Latest-wins per doc_id: a doc present in both the batch and the
+    # index (re-ingest) or duplicated within history (pre-compaction
+    # retry leftovers) would otherwise fan out the verification joins
+    # into duplicate (id_a, id_b) rows — and stale-jaccard rows if the
+    # content changed. The batch's token set shadows history's, and
+    # history itself is deduped (its duplicates are identical rows).
+    hist_only = hist_toksets.join(
+        new_toksets.select(id_col), id_col, "left_anti"
+    ).dropDuplicates([id_col])
+    all_toksets = new_toksets.unionByName(hist_only)
     ta = all_toksets.select(F.col(id_col).alias("id_a"), F.col("tokset").alias("set_a"))
     tb = all_toksets.select(F.col(id_col).alias("id_b"), F.col("tokset").alias("set_b"))
     verified = (

@@ -113,6 +113,7 @@ def start_near_dup_stream(
     threshold: float = 0.5,
     num_perms: int | None = None,
     bands: int | None = None,
+    compact_every: int | None = 16,
     query_name: str = "near_dup_docs",
 ) -> StreamingQuery:
     """Streaming NEAR-dup detection: every arriving micro-batch is
@@ -136,13 +137,24 @@ def start_near_dup_stream(
     product (a near-dup of anything ever seen must be caught), and it
     lives in parquet on shared storage, not in executor state, so the
     streaming state store stays empty. Growth is linear in corpus
-    size; prune or compact the ``batch-*`` subdirs out-of-band when a
-    retention horizon applies."""
+    size.
+
+    Index maintenance is AUTOMATIC: every ``compact_every`` micro-
+    batches the sink compacts the index's ``batch-*`` subdirectories
+    (bounding the driver-side listing cost a long-lived stream would
+    otherwise accrete one subdir per batch). Running inside
+    foreachBatch structurally serializes compaction with folds — and
+    the index lock would fail loudly if anything raced anyway. The
+    compaction keeps the newest batch subdirectory untouched
+    (``keep_newest``), so the one batch Structured Streaming could
+    still replay after a crash keeps its own-token exclusion intact.
+    Pass ``compact_every=None`` to manage compaction out-of-band."""
     from py_data_pipeline_app_spark.operators.dedup import (
         DEFAULT_BANDS,
         DEFAULT_NUM_PERMS,
     )
     from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        compact_index,
         incremental_lsh_fold,
     )
 
@@ -162,7 +174,11 @@ def start_near_dup_stream(
             bands=b_,
             batch_token=f"{batch_id:08d}",
         )
+        # the eager write also drains the lazy pairs frame, so the
+        # compaction below never deletes subdirs a pending read pins
         pairs.write.mode("overwrite").parquet(f"{base}/batch-{batch_id:08d}")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_index(spark, index_path)
 
     return (
         stream.writeStream.foreachBatch(sink)

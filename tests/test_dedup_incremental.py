@@ -130,13 +130,15 @@ def test_compaction_preserves_fold_results(spark, docs, tmp_path):
             max_bucket_size=None, batch_token="b",
         )
     )
-    assert compact_index(spark, index) > 0
+    # keep_newest=False = full consolidation (valid because no producer
+    # can replay here); the default replay-safe mode is tested below
+    assert compact_index(spark, index, keep_newest=False) > 0
     # post-compaction: exactly one consolidated subdir per table
     for sub in ("bands", "toksets"):
         subdirs = os.listdir(os.path.join(index, sub))
         assert len([d for d in subdirs if d.startswith("batch-")]) == 1
     # re-run converges as a no-op
-    assert compact_index(spark, index) == 0
+    assert compact_index(spark, index, keep_newest=False) == 0
     got += _pairs(
         incremental_lsh_fold(
             spark, index, thirds[2], threshold=0.5,
@@ -191,3 +193,100 @@ def test_config_drift_fails_loudly(spark, docs, tmp_path):
     incremental_lsh_fold(
         spark, index, docs, threshold=0.5, bands=8, batch_token="d"
     ).collect()
+
+
+def test_compaction_keep_newest_protects_replayable_batch(spark, docs, tmp_path):
+    """Default compaction leaves the most recently written batch
+    subdirectory untouched — the only batch a crashed micro-batch
+    producer could still replay — so the replay's own-token exclusion
+    keeps working (no self-pairs, no permanent duplication)."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        compact_index,
+    )
+
+    index = str(tmp_path / "index")
+    thirds = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    fold_out = {}
+    for tok, batch in zip(("a", "b", "c"), thirds):
+        fold_out[tok] = _pairs(
+            incremental_lsh_fold(
+                spark, index, batch, threshold=0.5,
+                max_bucket_size=None, batch_token=tok,
+            )
+        )
+    assert compact_index(spark, index) > 0
+    for sub in ("bands", "toksets"):
+        names = [
+            d for d in os.listdir(os.path.join(index, sub))
+            if d.startswith("batch-")
+        ]
+        assert "batch-c" in names  # newest untouched
+        assert len(names) == 2  # older batches consolidated
+    # replaying the newest batch AFTER the compaction is still clean:
+    # its own dir is excluded by token, history is the consolidated
+    # rest, so the replay re-emits exactly the original fold-c pairs —
+    # no self-pairs, no duplication
+    replay = _pairs(
+        incremental_lsh_fold(
+            spark, index, thirds[2], threshold=0.5,
+            max_bucket_size=None, batch_token="c",
+        )
+    )
+    assert all(a != b for a, b, _ in replay)
+    assert len(replay) == len(set(replay))
+    assert replay == fold_out["c"]
+
+
+def test_index_lock_blocks_concurrent_mutators(spark, docs, tmp_path):
+    """A second mutator (fold or compaction) racing a live one fails
+    loudly via the lock marker instead of reading mid-delete state or
+    silently missing the other fold's documents."""
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        compact_index,
+    )
+
+    index = tmp_path / "index"
+    incremental_lsh_fold(
+        spark, str(index), docs.filter(F.col("doc_id") < 20),
+        threshold=0.5, batch_token="a",
+    ).collect()
+    (index / "_index.lock").touch()  # simulate a mutator mid-flight
+    with pytest.raises(RuntimeError, match="locked"):
+        incremental_lsh_fold(
+            spark, str(index), docs, threshold=0.5, batch_token="b"
+        )
+    with pytest.raises(RuntimeError, match="locked"):
+        compact_index(spark, str(index))
+    (index / "_index.lock").unlink()  # operator removes the stale lock
+    incremental_lsh_fold(
+        spark, str(index), docs.filter(F.col("doc_id") >= 20),
+        threshold=0.5, batch_token="b",
+    ).collect()
+
+
+def test_refold_same_doc_id_identical_content_no_fanout(spark, tmp_path):
+    """A doc_id present in both the batch and the index (re-ingest of
+    identical content) must not fan the verification joins out into
+    duplicate pair rows — token sets are latest-wins per doc_id."""
+    index = str(tmp_path / "index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    incremental_lsh_fold(
+        spark, index, b1, threshold=0.5, batch_token="one"
+    ).collect()
+    b2 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (3, "alpha beta gamma delta zeta")],
+        "doc_id long, text string",
+    )
+    out = incremental_lsh_fold(
+        spark, index, b2, threshold=0.5, batch_token="two"
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs))  # one row per pair, no fan-out
+    assert all(a != b for a, b in pairs)  # no self-pairs
+    # the re-folded doc still pairs against history and its batch
+    assert (1, 2) in pairs and (1, 3) in pairs

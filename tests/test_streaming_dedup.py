@@ -143,3 +143,75 @@ def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path):
     # cross-batch pairs actually surfaced (not just within-batch)
     b1_ids = {r[0] for r in b1}
     assert any((a in b1_ids) != (b in b1_ids) for a, b, _ in got)
+
+
+def test_streaming_near_dup_auto_compaction_bounds_index(spark, tmp_path):
+    """With compact_every=2 the index's batch subdirectory count stays
+    bounded across many micro-batches (newest always kept for replay
+    safety), and pair parity with one batch LSH run survives the
+    compactions."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.dedup import minhash_dedup_pairs
+    from py_data_pipeline_app_spark.streaming.dedup import start_near_dup_stream
+
+    landing = str(tmp_path / "landing")
+    pool = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+    ]
+    batches = []
+    for k in range(5):
+        batches.append(
+            [
+                (k * 10, pool[k % 3], _ts(9 + k, 0)),
+                (k * 10 + 1, pool[(k + 1) % 3] + " trailing tail", _ts(9 + k, 30)),
+            ]
+        )
+
+    def land(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            f"{landing}/{name}"
+        )
+
+    for k, rows in enumerate(batches):
+        land(f"b{k}", rows)
+        q = start_near_dup_stream(
+            spark,
+            landing + "/*",
+            str(tmp_path / "ckpt"),
+            SCHEMA,
+            str(tmp_path / "index"),
+            str(tmp_path / "pairs"),
+            threshold=0.5,
+            compact_every=2,
+            query_name=f"autocompact_s{k}",
+        )
+        q.awaitTermination(180)
+
+    # 5 micro-batches, compactions after batches 2 and 4: at most the
+    # newest batch + the consolidated batch remain per table (plus one
+    # uncompacted batch between compaction points)
+    for sub in ("bands", "toksets"):
+        names = [
+            d
+            for d in os.listdir(os.path.join(str(tmp_path / "index"), sub))
+            if d.startswith("batch-")
+        ]
+        assert 1 <= len(names) <= 3, names
+
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "pairs"))
+        .collect()
+    )
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA
+    ).select("doc_id", "text")
+    expected = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(all_docs, threshold=0.5).collect()
+    )
+    assert got == expected
