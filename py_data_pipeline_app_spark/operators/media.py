@@ -178,7 +178,12 @@ def _byte_histogram(payload: bytes, dim: int) -> list[float]:
     if not payload:
         return [0.0] * dim
     b = np.frombuffer(payload, dtype=np.uint8)
-    counts = np.bincount(b // (256 // dim), minlength=dim)[:dim]
+    # bucket = byte * dim // 256 lands every byte in [0, dim) for any
+    # dim <= 256 (identical to byte // (256 // dim) when dim divides
+    # 256, which every oracle-mirrored use pins; the multiply form also
+    # preserves full histogram mass for non-divisor dims)
+    idx = np.minimum(b.astype(np.int32) * dim // 256, dim - 1)
+    counts = np.bincount(idx, minlength=dim)[:dim]
     return [float(x) for x in (counts / len(b)).astype(np.float32)]
 
 
@@ -212,9 +217,15 @@ def _image_rgb(payload: bytes, dim: int) -> list[float]:
     buckets = max(1, dim // 3)
     out = np.zeros(dim, dtype=np.float32)
     for c in range(3):
-        counts = np.bincount(
-            arr[..., c].reshape(-1) // max(1, 256 // buckets), minlength=buckets
-        )[:buckets]
+        # pixel * buckets // 256 keeps every pixel inside [0, buckets):
+        # the floor-divisor form overflows the top bucket when buckets
+        # does not divide 256 (e.g. dim=9 → 255//85 = 3 of 0..2) and
+        # bincount[:buckets] then silently drops top-intensity mass
+        idx = np.minimum(
+            arr[..., c].reshape(-1).astype(np.int32) * buckets // 256,
+            buckets - 1,
+        )
+        counts = np.bincount(idx, minlength=buckets)[:buckets]
         lo = c * buckets
         if lo >= dim:
             break

@@ -116,3 +116,46 @@ def test_write_training_shards_deterministic_membership_and_order(spark, tmp_pat
         assert len(files) == 1, s
         ids = [r.doc_id for r in spark.read.parquet(files[0]).collect()]
         assert ids == sorted(ids), s
+
+
+def test_write_training_shards_multi_file_and_contract(spark, tmp_path):
+    """files_per_shard splits each shard into part files by a second
+    independent id hash: membership/order stay deterministic, every
+    (shard, part) dir holds exactly one id-ordered file, and shard
+    membership is unchanged from the single-file layout. The sink
+    raises when the corpus can't fill the layout."""
+    import glob
+
+    from py_data_pipeline_app_spark.sources.maintenance import (
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p1 = str(tmp_path / "single")
+    p2 = str(tmp_path / "multi")
+    assert write_training_shards(df, p1, n_shards=4) == 4
+    assert write_training_shards(df, p2, n_shards=4, files_per_shard=3) == 12
+
+    single = {(r.doc_id, r.shard) for r in spark.read.parquet(p1).collect()}
+    multi = {(r.doc_id, r.shard) for r in spark.read.parquet(p2).collect()}
+    assert single == multi  # part split never moves shard membership
+
+    for s in range(4):
+        for p in range(3):
+            files = glob.glob(f"{p2}/shard={s}/part={p}/*.parquet")
+            assert len(files) == 1, (s, p)
+            ids = [r.doc_id for r in spark.read.parquet(files[0]).collect()]
+            assert ids == sorted(ids), (s, p)
+
+    # contract: a layout the corpus cannot fill fails loudly...
+    tiny = spark.createDataFrame([(1, "only doc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="would starve"):
+        write_training_shards(tiny, str(tmp_path / "starve"), n_shards=8)
+    # ...unless verification is explicitly waived
+    assert (
+        write_training_shards(
+            tiny, str(tmp_path / "waived"), n_shards=8, verify=False
+        )
+        == 8
+    )

@@ -256,3 +256,33 @@ def test_resize_media_pillow_codec_real_roundtrip(spark):
     back = Image.open(io.BytesIO(bytes(out.payload)))
     assert back.size == (4, 2)
     assert out.meta.width == 4 and out.meta.height == 2
+
+
+def test_histograms_preserve_mass_for_non_divisor_dims():
+    """Bucketing is pixel*buckets//256, so the top-intensity mass is
+    kept even when the bucket count does not divide 256 (the
+    floor-divisor form overflowed the last bucket and dropped it)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = Image.new("RGB", (4, 4), (255, 255, 255))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    # dim=9 → 3 buckets/channel; solid white must put ALL mass in each
+    # channel's top bucket and the histogram must sum to 3 (1/channel)
+    feat = np.array(M.DECODERS["image_rgb"](buf.getvalue(), 9), np.float32)
+    assert feat[2] == 1.0 and feat[5] == 1.0 and feat[8] == 1.0
+    assert abs(float(feat.sum()) - 3.0) < 1e-3
+
+
+def test_byte_histogram_preserves_mass_for_non_divisor_dims():
+    """Same bucketing contract for the deterministic fake decoder:
+    0xFF bytes land in the top of 9 buckets instead of being dropped,
+    and the histogram still sums to 1."""
+    bh = np.array(M.DECODERS["byte_histogram"](b"\xff" * 32, 9), np.float32)
+    assert bh[8] == 1.0
+    assert abs(float(bh.sum()) - 1.0) < 1e-3
+    mixed = np.array(
+        M.DECODERS["byte_histogram"](bytes(range(256)), 9), np.float32
+    )
+    assert abs(float(mixed.sum()) - 1.0) < 1e-3
