@@ -53,9 +53,16 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_assignment",
+    "dedup_cluster_assignment_star",
+    # embedding_near_dup is the scale-safe high-threshold config; the
+    # low-threshold recall study (embedding_near_dup_lowt) is gate-only
+    # by design — its candidate set is quadratic and would dominate the
+    # round-over-round total without informing it
     "embedding_near_dup",
     "similarity_topk",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_indexed",
+    "similarity_topk_ivf_appended",
     "text_quality",
     "text_token_stats",
     # curation passes:
@@ -67,12 +74,16 @@ HEADLINE = [
     "benchmark_decontamination",
     "sequence_packing",
     "training_set_curation",
+    "training_set_curation_leakage_safe",
+    "split_leakage_audit",
+    "source_cap_sample",
     "embedding_dim_stats",
     "scd2_state_history",
     # multimodal:
     "media_payload_profile",
     "media_feature_topk",
     "media_frame_sample",
+    "media_resize_profile",
 ]
 
 

@@ -263,27 +263,69 @@ def _audio_pcm(payload: bytes, dim: int) -> list[float]:
     return [float(x) for x in (counts / samples.size).astype(np.float32)]
 
 
-def _stub_decoder(name: str, requires: str):
-    def fn(payload: bytes, dim: int) -> list[float]:
-        raise NotImplementedError(
-            f"{name} decoding requires {requires}, which is not installed "
-            "in this environment; the Spark-side plumbing (schema, Arrow "
-            "batching, partitioning) is identical to byte_histogram."
-        )
+def _video_frames(payload: bytes, dim: int) -> list[float]:
+    """REAL video decode: bytes → PyAV (ffmpeg bindings) → up to 8
+    decoded frames → per-channel intensity histograms (same bucketing
+    as :func:`_image_rgb`) averaged across frames. Same fixed-dim
+    float32 contract as every other decoder.
 
-    return fn
+    PyAV is imported lazily INSIDE the decoder (on the executor, once
+    per python worker) so the module stays importable where the codec
+    stack is absent; calling the decoder there raises a clear
+    NotImplementedError naming the missing dependency — the same
+    skip-if-missing pattern the Pillow image path proved out."""
+    try:
+        import av
+    except ModuleNotFoundError as exc:  # pragma: no cover - env without pyav
+        raise NotImplementedError(
+            "video_frames decoding requires PyAV (ffmpeg bindings), which is "
+            "not installed in this environment; the Spark-side plumbing "
+            "(schema, Arrow batching, partitioning) is identical to "
+            "byte_histogram."
+        ) from exc
+    import io
+
+    import numpy as np
+
+    if not payload:
+        return [0.0] * dim
+    buckets = max(1, dim // 3)
+    acc = np.zeros(dim, dtype=np.float64)
+    n_used = 0
+    with av.open(io.BytesIO(payload)) as container:
+        stream = next(s for s in container.streams if s.type == "video")
+        for i, frame in enumerate(container.decode(stream)):
+            if i >= 8:
+                break
+            arr = frame.to_ndarray(format="rgb24")
+            n_px = arr.shape[0] * arr.shape[1]
+            for c in range(3):
+                idx = np.minimum(
+                    arr[..., c].reshape(-1).astype(np.int32) * buckets // 256,
+                    buckets - 1,
+                )
+                counts = np.bincount(idx, minlength=buckets)[:buckets]
+                lo = c * buckets
+                if lo >= dim:
+                    break
+                span = min(buckets, dim - lo)
+                acc[lo : lo + span] += counts[:span] / n_px
+            n_used += 1
+    if not n_used:
+        return [0.0] * dim
+    return [float(x) for x in (acc / n_used).astype(np.float32)]
 
 
 #: Pluggable decoders. ``byte_histogram`` is the deterministic fake used
-#: by tests and oracles. ``audio_pcm`` (stdlib wave) and ``image_rgb``
-#: (Pillow, lazily imported) are REAL decoders behind the same
-#: mapInPandas plumbing; only video still needs an absent codec stack
-#: (pyav/ffmpeg) and remains an explicit stub.
+#: by tests and oracles. ``audio_pcm`` (stdlib wave), ``image_rgb``
+#: (Pillow) and ``video_frames`` (PyAV) are REAL decoders behind the
+#: same mapInPandas plumbing — the third-party codecs import lazily on
+#: the executor and raise a clear NotImplementedError where absent.
 DECODERS = {
     "byte_histogram": _byte_histogram,
     "image_rgb": _image_rgb,
     "audio_pcm": _audio_pcm,
-    "video_frames": _stub_decoder("video", "pyav/ffmpeg"),
+    "video_frames": _video_frames,
 }
 
 
@@ -409,18 +451,30 @@ def media_feature_topk(
     )
 
 
-def sample_frames(media: DataFrame, *, every: int = 5, fps_ms: int = 40) -> DataFrame:
+def sample_frames(
+    media: DataFrame, *, every: int = 5, fps_ms: int = 40, decode: bool = False
+) -> DataFrame:
     """Deterministic frame sampling for time-based media: every
     ``every``-th frame of each video/audio asset becomes a row
-    (media_id, frame_idx, ts_ms, frame_digest) — the fan-out a
+    (media_id, kind, frame_idx, ts_ms, frame_digest) — the fan-out a
     vision/audio encoder consumes downstream.
 
-    Pure generate: the frame-index sequence is arithmetic on the
-    asset's duration (no decode — a real decoder slots into the
-    mapInPandas stage of :func:`extract_features`), the digest is a
-    per-frame content fingerprint (md5 of payload + index) standing in
-    for the decoded frame hash. No shuffle; output rows ~ n_frames /
-    every, generated inside the scan task that read the asset."""
+    Default mode is a pure generate: the frame-index sequence is
+    arithmetic on the asset's duration, the digest is a per-frame
+    content fingerprint (md5 of payload + index) standing in for the
+    decoded frame hash. No shuffle; output rows ~ n_frames / every,
+    generated inside the scan task that read the asset.
+
+    ``decode=True`` switches VIDEO rows to REAL per-frame digests:
+    PyAV decodes the container inside a mapInPandas map (lazy executor
+    import, loud NotImplementedError where the codec stack is absent)
+    and the digest becomes md5 of each sampled frame's rgb24 pixels —
+    same output schema, same no-shuffle shape, frame indices now from
+    the actual decoded stream. Audio assets keep the arithmetic
+    contract in either mode (their "frames" are fixed-length windows,
+    not codec frames)."""
+    if decode:
+        return _sample_frames_decoded(media, every=every, fps_ms=fps_ms)
     timed = media.filter(F.col("kind") != "image").select(
         "media_id",
         "kind",
@@ -446,3 +500,64 @@ def sample_frames(media: DataFrame, *, every: int = 5, fps_ms: int = 40) -> Data
             F.concat(F.col("_ptext"), F.lit("#"), F.col("frame_idx").cast("string"))
         ).alias("frame_digest"),
     )
+
+
+def _sample_frames_decoded(
+    media: DataFrame, *, every: int, fps_ms: int
+) -> DataFrame:
+    """decode=True backend of :func:`sample_frames`: video rows get
+    md5-of-rgb24-pixels digests from a real PyAV decode; audio rows
+    keep the arithmetic digest (union of the two paths, same schema)."""
+    out_schema = (
+        "media_id long, kind string, frame_idx int, ts_ms long, "
+        "frame_digest string"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import hashlib
+        import io
+
+        import pandas as pd
+
+        try:
+            import av
+        except ModuleNotFoundError as exc:  # pragma: no cover - env w/o pyav
+            raise NotImplementedError(
+                "sample_frames(decode=True) requires PyAV (ffmpeg bindings), "
+                "which is not installed in this environment; the default "
+                "arithmetic-digest mode has the identical schema and shape."
+            ) from exc
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                with av.open(io.BytesIO(bytes(payload))) as container:
+                    stream = next(
+                        s for s in container.streams if s.type == "video"
+                    )
+                    for i, frame in enumerate(container.decode(stream)):
+                        if i % every:
+                            continue
+                        digest = hashlib.md5(
+                            frame.to_ndarray(format="rgb24").tobytes()
+                        ).hexdigest()
+                        rows.append((mid, "video", i, i * fps_ms, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "frame_idx", "ts_ms", "frame_digest"],
+            )
+
+    video = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    decoded = video.mapInPandas(gen, schema=out_schema)
+    audio = sample_frames(
+        media.filter(F.col("kind") == "audio"), every=every, fps_ms=fps_ms
+    ).select(
+        "media_id",
+        "kind",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "ts_ms",
+        "frame_digest",
+    )
+    return decoded.unionByName(audio)

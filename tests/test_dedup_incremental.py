@@ -290,3 +290,34 @@ def test_refold_same_doc_id_identical_content_no_fanout(spark, tmp_path):
     assert all(a != b for a, b in pairs)  # no self-pairs
     # the re-folded doc still pairs against history and its batch
     assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_exact_mode_within_batch_emission_is_sum_of_group_pairs(spark, tmp_path):
+    """Exact-mode (threshold 1.0) folds never cap within-batch pair
+    expansion: the TRUE answer for an identical-content group of size s
+    is all C(s,2) pairs, so a pathological batch must emit exactly
+    Σ C(s_g, 2) rows — the quadratic-per-group cost is the CONTRACT
+    (same as the batch path), visible here so it can't regress into a
+    silent cap that breaks batch parity."""
+    from math import comb
+
+    sizes = [1, 2, 5, 10]
+    rows, next_id = [], 0
+    for g, s in enumerate(sizes):
+        text = f"group {g} payload words alpha beta gamma {g}"
+        for _ in range(s):
+            rows.append((next_id, text))
+            next_id += 1
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_lsh_fold(
+        spark, str(tmp_path / "index"), batch, threshold=1.0, batch_token="a"
+    ).collect()
+    expected_n = sum(comb(s, 2) for s in sizes)
+    assert len(out) == expected_n
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert len(pairs) == expected_n  # all distinct, id_a < id_b
+    assert all(a < b for a, b in pairs)
+    assert all(r.jaccard == 1.0 for r in out)
+    # and every emitted pair really is an identical-content pair
+    text_of = dict(rows)
+    assert all(text_of[a] == text_of[b] for a, b in pairs)
