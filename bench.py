@@ -77,6 +77,8 @@ HEADLINE = [
     "training_set_curation_leakage_safe",
     "split_leakage_audit",
     "source_cap_sample",
+    "source_temperature_mix",
+    "text_token_diversity",
     "embedding_dim_stats",
     "scd2_state_history",
     # multimodal:

@@ -382,3 +382,47 @@ def chunk_dedup_rebuild(
     return rebuilt.select(
         id_col, "text_deduped", "n_chunks", F.col("n_kept").cast("int").alias("n_kept")
     )
+
+
+def token_diversity(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token concentration via the Simpson diversity index
+    1 − Σ p_t² (p_t = token frequency): a repetition/quality signal that
+    needs NO corpus state — template spam and keyword-stuffed pages
+    concentrate probability mass on few tokens (low diversity), natural
+    prose spreads it (high). Complements the windowed repetition rules
+    in :func:`repetition_filter`, which catch LOCAL runs this global
+    statistic can miss (and vice versa).
+
+    Chosen over Shannon entropy deliberately: Σ c_t² and n² are exact
+    integer aggregates, so the score is one double division — bit-equal
+    in any engine (the oracle value-hashes it exactly), where
+    entropy's per-term log2 is at the mercy of libm rounding.
+
+    Scale shape: explode → two keyed aggregations ((doc, token) then
+    doc), both with map-side partial combine — linear in corpus tokens,
+    the same shape as corpus_vocab_topk, never a join."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    per_tok = tok.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "distinct_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("_c2").cast("double")
+                / (F.col("n_tokens") * F.col("n_tokens")).cast("double"),
+                9,
+            ).alias("simpson_diversity"),
+        )
+    )

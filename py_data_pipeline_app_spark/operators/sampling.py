@@ -176,3 +176,56 @@ def source_cap_sample(
         .withColumn("src_total", F.count(F.lit(1)).over(wc))
         .filter(F.col("src_rank") <= cap)
     )
+
+
+def source_temperature_mix(
+    docs: DataFrame,
+    *,
+    total_target: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-flattened source mixing — the data-MIXTURE move of
+    LLM corpus assembly: instead of sampling sources proportionally to
+    size (head domains swamp the mixture) or uniformly (tail domains
+    repeat endlessly), give source s a quota ∝ n_s^α with α = 0.5, the
+    square-root flattening exponent, and fill each quota by
+    deterministic hash rank.
+
+    Cross-engine determinism is arranged so the gate can value-hash
+    the result exactly — α is pinned to 0.5 because IEEE ``sqrt`` is
+    CORRECTLY ROUNDED (unlike ``pow``, whose last-ulp behavior differs
+    between libm implementations), so ``floor(sqrt(n_s))`` is the same
+    integer everywhere; quotas then use pure integer arithmetic
+    (``total_target * w_s div Σw_s``, exact in both engines) and
+    membership is the same md5 hash-rank every sampler here uses.
+
+    Scale shape: one tiny count aggregation (map-side partial combine,
+    result is |sources| rows — broadcast back), then the same one keyed
+    rank shuffle as :func:`source_cap_sample`, with the same extreme-
+    skew escape hatch. Rounding-down quotas means Σ quotas ≤
+    total_target (never over-budget); sources too small to earn a slot
+    get quota 0 — audit with the returned (src_total, quota) columns.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("src_total"))
+    weights = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("src_total"))).cast("bigint")
+    )
+    tot = weights.agg(F.sum("_w").alias("_w_sum"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "src_total",
+        F.expr(f"CAST({int(total_target)} AS BIGINT) * _w div _w_sum").alias(
+            "quota"
+        ),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        hash_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    ranked = docs.select(F.col(id_col), F.col(source_col)).withColumn(
+        "mix_rank", F.row_number().over(w)
+    )
+    return ranked.join(F.broadcast(quotas), source_col).filter(
+        F.col("mix_rank") <= F.col("quota")
+    ).select(id_col, source_col, "src_total", "quota", "mix_rank")

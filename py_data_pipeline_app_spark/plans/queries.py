@@ -2710,6 +2710,80 @@ def source_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_temperature_mix",
+    f"""
+    WITH n AS (
+      SELECT source, count(*) AS src_total,
+             CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM n),
+    q AS (
+      SELECT source, src_total, (200 * w) // total_w AS quota
+      FROM n, tot
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash_bucket('doc_id', 'mix')}, doc_id
+             ) AS mix_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, q.src_total, q.quota, r.mix_rank
+    FROM r JOIN q USING (source)
+    WHERE r.mix_rank <= q.quota
+    """,
+)
+def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source MIXING (α = 0.5): each source's
+    quota ∝ floor(sqrt(n_s)) of a 200-doc budget, filled by
+    deterministic hash rank (operators/sampling.source_temperature_mix)
+    — the data-mixture step that keeps head domains from swamping the
+    corpus without letting tail domains repeat endlessly. α is pinned
+    to 0.5 and quotas to integer arithmetic precisely so the oracle
+    can value-hash the mixture exactly (IEEE sqrt is correctly
+    rounded; pow is not)."""
+    from py_data_pipeline_app_spark.operators.sampling import (
+        source_temperature_mix,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return source_temperature_mix(docs, total_target=200)
+
+
+@register(
+    "text_token_diversity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WS}) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok
+      WHERE tok <> '' GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           round(1.0 - CAST(sum(c * c) AS DOUBLE)
+                       / CAST(sum(c) * sum(c) AS DOUBLE), 9)
+             AS simpson_diversity
+    FROM tc GROUP BY doc_id
+    """,
+)
+def text_token_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson token diversity 1 − Σ p² — the global
+    concentration quality signal (operators/curation.token_diversity);
+    exact integer aggregates + one double division, so the
+    probabilistic-looking score is bit-equal cross-engine (Shannon
+    entropy was rejected for libm log2 ulp drift). Two keyed
+    aggregations with map-side combine, linear in corpus tokens."""
+    from py_data_pipeline_app_spark.operators.curation import token_diversity
+
+    return token_diversity(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "user_retention_set_ops",
     """
     WITH a AS (SELECT DISTINCT user_id FROM events

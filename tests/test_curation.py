@@ -155,3 +155,31 @@ def test_chunk_dedup_rebuild_scrubs_repeats_keeps_first(spark):
     assert out[3].text_deduped == u2                  # boilerplate chunk gone
     assert out[3].n_chunks == 2 and out[3].n_kept == 1
     assert out[4].text_deduped == rows[3][1]
+
+
+def test_token_diversity_matches_python_model(spark):
+    """Simpson diversity = 1 − Σ(c/n)², computed independently in
+    python over the same whitespace tokenization."""
+    from py_data_pipeline_app_spark.operators.curation import token_diversity
+
+    rows = [
+        (1, "a a a a"),                      # max concentration
+        (2, "w x y z"),                      # max diversity for n=4
+        (3, "spam spam spam ham ham eggs"),
+        (4, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in token_diversity(df).collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        n = len(toks)
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        simpson = round(1.0 - sum(c * c for c in counts.values()) / (n * n), 9)
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert r.distinct_tokens == len(counts)
+        assert r.simpson_diversity == simpson, doc_id
+    assert got[1].simpson_diversity == 0.0
+    assert got[2].simpson_diversity == 0.75

@@ -151,3 +151,76 @@ def test_source_cap_sample_caps_and_is_order_independent(spark):
     # a source under the cap is kept in full
     small = spark.createDataFrame([(100, "tiny"), (101, "tiny")], "doc_id long, source string")
     assert source_cap_sample(small, cap=5).count() == 2
+
+
+def test_source_temperature_mix_quotas_and_determinism(spark):
+    """Quotas follow floor(sqrt(n))-proportional integer arithmetic,
+    never exceed the budget, and membership is a pure function of the
+    id hash (re-partitioning the input changes nothing)."""
+    import hashlib
+    import math
+
+    from py_data_pipeline_app_spark.operators.sampling import (
+        source_temperature_mix,
+    )
+
+    sizes = {"big": 400, "mid": 100, "tiny": 4}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_temperature_mix(df, total_target=60).collect()
+
+    w = {s: math.isqrt(n) for s, n in sizes.items()}  # 20, 10, 2
+    total_w = sum(w.values())
+    expected_quota = {s: 60 * ws // total_w for s, ws in w.items()}
+    got_quota = {}
+    per_src = {}
+    for r in out:
+        got_quota[r.source] = r.quota
+        per_src.setdefault(r.source, []).append(r)
+    assert got_quota == {s: q for s, q in expected_quota.items() if q > 0}
+    for s, rs in per_src.items():
+        assert len(rs) == expected_quota[s]
+        assert all(r.src_total == sizes[s] for r in rs)
+    assert sum(len(rs) for rs in per_src.values()) <= 60
+
+    # membership matches the python model of the hash rank
+    def bucket(doc_id, seed="mix"):
+        h = int(hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:15], 16)
+        return h % 10_000
+
+    by_src = {}
+    for doc_id, src in rows:
+        by_src.setdefault(src, []).append(doc_id)
+    for s, ids in by_src.items():
+        want = set(
+            sorted(ids, key=lambda d: (bucket(d), d))[: expected_quota[s]]
+        )
+        got = {r.doc_id for r in per_src.get(s, [])}
+        assert got == want, s
+
+    # stable under a different partitioning
+    out2 = source_temperature_mix(df.repartition(7), total_target=60).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_source_temperature_mix_flattens_head(spark):
+    """The α=0.5 mixture gives the head source a SMALLER corpus share
+    than proportional sampling and the tail a larger one — the whole
+    point of temperature flattening."""
+    from py_data_pipeline_app_spark.operators.sampling import (
+        source_temperature_mix,
+    )
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_temperature_mix(df, total_target=100).collect()
+    share = {}
+    for r in out:
+        share[r.source] = share.get(r.source, 0) + 1
+    total = sum(share.values())
+    assert share["head"] / total < 0.9  # proportional would be 0.9
+    assert share["tail"] / total > 0.1
