@@ -369,24 +369,34 @@ def ivf_topk_trained(
 def _assign_to_centroids(
     corpus: DataFrame, cents, *, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, vec, centroid_id): argmax-cosine bucket assignment against
-    the broadcast centroid table — one corpus pass."""
-    return (
-        corpus.crossJoin(cents)
-        .select(
-            id_col,
-            vec_col,
-            "centroid_id",
-            cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.col("csim").desc(), "centroid_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    """(id, vec, centroid_id): argmax-cosine bucket assignment —
+    ZERO-shuffle.
+
+    The centroid table is k×dim (a few KB) by construction, so it
+    collects to the driver and enters the plan as one nested array
+    literal; assignment is then an ``array_max`` fold over per-centroid
+    cosines — a pure projection the scan task computes in place. The
+    earlier formulation (crossJoin + per-id row_number window) pushed
+    corpus×k rows through an Exchange just to pick each row's max: at
+    100 TB that shuffle IS the job, and it carries zero information the
+    scan didn't already have. Tie-break on equal cosine is the LOWEST
+    centroid_id (struct max on (csim, -position)), matching the window
+    ``ORDER BY csim DESC, centroid_id`` the oracle replays."""
+    rows = sorted(cents.collect(), key=lambda r: r.centroid_id)
+    ids = F.lit([int(r.centroid_id) for r in rows])
+    cvecs = F.lit([[float(x) for x in r.cvec] for r in rows])
+    vec = F.col(vec_col)
+    scored = F.transform(
+        cvecs,
+        lambda cv, i: F.struct(
+            cosine(vec, cv).alias("csim"), (-i).alias("neg_pos")
+        ),
+    )
+    best_pos = -F.array_max(scored)["neg_pos"]
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(ids, (best_pos + 1).cast("int")).cast("int").alias("centroid_id"),
     )
 
 

@@ -330,3 +330,27 @@ def test_ivf_rebuild_refused_while_appends_exist(spark, emb, tmp_path):
     ivf_index_append(spark, index, emb.filter(F.col("vec_id") % 2 == 1))
     with pytest.raises(ValueError, match="appended batches"):
         build_ivf_index(emb, index, n_centroids=8)
+
+
+def test_centroid_assignment_is_shuffle_free(spark, emb):
+    """Bucket assignment is a pure projection: the centroid table
+    enters the plan as a literal and the argmax is an array fold, so
+    the plan contains NO Exchange — at corpus scale the old
+    crossJoin+window formulation's corpus×k shuffle was the whole
+    cost."""
+    import contextlib
+    import io
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _assign_to_centroids,
+        train_centroids,
+    )
+
+    cents = train_centroids(emb, n_centroids=8, seed=7)
+    assigned = _assign_to_centroids(
+        emb, cents, id_col="vec_id", vec_col="embedding"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain(mode="formatted")
+    assert "Exchange" not in buf.getvalue()

@@ -54,6 +54,7 @@ FAMILY = [
     "similarity_topk",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
+    "similarity_topk_ivf_appended",
     "embedding_dim_stats",
     "text_lang_id",
     "text_quality",
@@ -62,7 +63,9 @@ FAMILY = [
     "tfidf_top_terms",
     "text_repetition_filter",
     "chunk_dedup_rebuild",
+    "text_token_diversity",
     "source_cap_sample",
+    "source_temperature_mix",
     "benchmark_decontamination",
     "sequence_packing",
     "training_set_curation",
@@ -74,6 +77,7 @@ FAMILY = [
     "media_feature_extract",
     "media_feature_topk",
     "media_frame_sample",
+    "media_resize_profile",
 ]
 
 
