@@ -59,6 +59,7 @@ HEADLINE = [
     # by design — its candidate set is quadratic and would dominate the
     # round-over-round total without informing it
     "embedding_near_dup",
+    "semantic_dedup",
     "similarity_topk",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",

@@ -516,6 +516,94 @@ def _ivf_centroid_checksum(cents: DataFrame) -> str:
     return hashlib.md5(payload.encode()).hexdigest()
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune, after
+    Abbas et al. 2023's public recipe): assign every embedding to its
+    nearest coarse centroid, generate candidate pairs only WITHIN each
+    cluster, and drop every vector that has a lower-id near-duplicate
+    (exact cosine ≥ ``threshold``) in its cluster. Returns the corpus
+    ids with their cluster and a ``kept`` flag.
+
+    Semantics are deterministic by construction: the survivor of a
+    near-dup group is the LOWEST id with no lower-id neighbor — i.e.
+    ``kept(x) ⇔ ¬∃ y: cluster(y)=cluster(x) ∧ y<x ∧ cos(x,y) ≥ τ`` —
+    a pure function of (vectors, centroids), reproduced exactly by the
+    DuckDB oracle. Note the rule is greedy per-pair, not transitive:
+    in a chain a~b~c without a~c, b drops (neighbor a) and c drops
+    (neighbor b, even though b itself dropped) — the published recipe's
+    behavior, documented here so nobody mistakes it for connected
+    components (use operators.dedup.connected_components over the pair
+    set when group semantics are required).
+
+    Scale shape: assignment is the zero-shuffle array-fold argmax
+    (:func:`_assign_to_centroids`); pair generation is the grouped
+    chunk-capped bucket expansion every LSH path uses, keyed by
+    cluster id — within-cluster quadratic cost is SemDeDup's nature,
+    CONTROLLED by the centroid count (pick k ∝ N/target_cluster_size
+    so clusters stay bounded as the corpus grows; pass trained
+    centroids via ``cents`` for tighter clusters at the same k). The
+    verification join touches candidate pairs only."""
+    if cents is None:
+        cents = (
+            corpus.select(
+                md5_long(F.col(id_col).cast("string")).alias("_hk"),
+                F.col(vec_col).alias("cvec"),
+            )
+            .orderBy("_hk")
+            .limit(n_centroids)
+            .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
+            .select("centroid_id", "cvec")
+        )
+    assigned = _assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+    blocked = assigned.select(F.col(id_col), F.col("centroid_id"))
+    cands = _bucket_member_pairs(
+        blocked, ["centroid_id"], id_col, max_bucket_size=max_bucket_size
+    ).select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("_norm_a"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("_norm_b"),
+    )
+    dropped = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("_norm_a") * F.col("_norm_b")),
+                9,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     index_path: str,

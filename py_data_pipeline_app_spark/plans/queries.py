@@ -1131,6 +1131,64 @@ def embedding_near_dup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.9) -> str:
+    """DuckDB mirror of the full semantic_dedup computation: planted
+    corpus, md5-ordered centroid sample, argmax assignment, and the
+    greedy lowest-id-survivor rule as a NOT EXISTS — every step
+    deterministic, so the pruning decision value-hashes exactly."""
+    cos_ec = _sql_cos("e.embedding", "c.cvec")
+    cos_ab = _sql_cos("a.embedding", "b.embedding")
+    return f"""
+    WITH corpus AS (SELECT * FROM {_PLANTED_CORPUS_SQL}),
+    hk AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+               AS _hk
+      FROM corpus
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY _hk) - 1 AS centroid_id, embedding AS cvec
+      FROM hk ORDER BY _hk LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id) AS rn
+        FROM corpus e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round({cos_ab}, 9) >= {threshold}
+    )
+    SELECT s.vec_id, CAST(s.centroid_id AS INT) AS centroid_id,
+           d.id_b IS NULL AS kept
+    FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.id_b
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity
+    semantic_dedup, after the public Abbas et al. 2023 recipe): cluster
+    the planted corpus into 16 coarse buckets (zero-shuffle argmax
+    assignment), generate candidate pairs only within clusters, drop
+    every vector with a lower-id near-duplicate at cosine ≥ 0.9. The
+    planted perturbed copies (cosine ≈ 0.975 to their sources) are the
+    semantic duplicates being pruned; the oracle replays clustering,
+    assignment and the greedy survivor rule exactly."""
+    from py_data_pipeline_app_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _with_planted_near_dups(load_table(spark, "embeddings", sf_dir)),
+        threshold=0.9,
+        n_centroids=16,
+    )
+
+
 @register(
     "similarity_topk",
     f"""

@@ -354,3 +354,25 @@ def test_centroid_assignment_is_shuffle_free(spark, emb):
     with contextlib.redirect_stdout(buf):
         assigned.explain(mode="formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_semantic_dedup_drops_copies_keeps_sources(spark, emb):
+    """Exact copies land in their source's cluster (identical vector →
+    identical argmax) and are dropped by the lowest-id-survivor rule;
+    sources and everything without a near-dup stay kept."""
+    from py_data_pipeline_app_spark.operators.similarity import semantic_dedup
+
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copies)
+    out = {r.vec_id: r for r in semantic_dedup(
+        corpus, threshold=0.99, n_centroids=8
+    ).collect()}
+    assert len(out) == emb.count() + 20
+    for i in range(20):
+        assert out[i + 10000].kept is False, i  # copy dropped
+        assert out[i].kept is True, i  # source survives
+        assert out[i + 10000].centroid_id == out[i].centroid_id, i
+    # the natural corpus has no pairs at cosine >= 0.99 — all kept
+    assert all(r.kept for vid, r in out.items() if vid < 10000)

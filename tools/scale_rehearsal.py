@@ -51,6 +51,7 @@ FAMILY = [
     "dedup_cluster_assignment",
     "dedup_cluster_assignment_star",
     "embedding_near_dup",
+    "semantic_dedup",
     "similarity_topk",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
