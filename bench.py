@@ -73,6 +73,7 @@ HEADLINE = [
     "chunk_dedup_rebuild",
     "text_pii_scrub",
     "benchmark_decontamination",
+    "cross_corpus_decontamination",
     "sequence_packing",
     "training_set_curation",
     "training_set_curation_leakage_safe",

@@ -706,3 +706,84 @@ def connected_components(
             "leak duplicates across split boundaries"
         )
     return labels
+
+
+def cross_corpus_ngram_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """NEAR-dup pairs BETWEEN two corpora by word-``n``-gram Jaccard —
+    fuzzy decontamination: where exact n-gram overlap
+    (operators.curation.contamination_stats) catches verbatim
+    inclusions, this catches paraphrased/reformatted benchmark leakage
+    whose shingle SETS still overlap heavily.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`, with the
+    two sides collected into separate posting lists under one shingle
+    groupBy (one keyed shuffle, never a corpus join); candidate pairs
+    are left×right within a shingle's lists only, so a benchmark of
+    size B against a corpus of size N costs Σ_shingle df_L·df_R — in
+    practice ∝ B's shingle mass, not N². ``max_df`` caps a shingle's
+    COMBINED document frequency (stop-shingle bound, mirrored by the
+    oracle). Jaccard denominators count each side's post-cap shingle
+    set, exactly like the self-join operator. Emits
+    (id_left, id_right, jaccard); identical ids are NOT excluded —
+    callers whose right corpus is a subset of the left (eval splits
+    carved from the corpus) should drop them."""
+    shl = word_shingles(left, text_col, n, id_col).select(
+        F.col(id_col).alias("_id"), "shingle", F.lit(0).alias("_side")
+    )
+    shr = word_shingles(right, text_col, n, id_col).select(
+        F.col(id_col).alias("_id"), "shingle", F.lit(1).alias("_side")
+    )
+    grouped = (
+        shl.unionByName(shr)
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_side") == 0, F.col("_id")))
+            ).alias("_ls"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_side") == 1, F.col("_id")))
+            ).alias("_rs"),
+        )
+    )
+    if max_df is not None:
+        grouped = grouped.filter((F.size("_ls") + F.size("_rs")) <= max_df)
+    sizes_l = (
+        grouped.select(F.explode("_ls").alias("id_left"))
+        .groupBy("id_left")
+        .agg(F.count("*").alias("_n_l"))
+    )
+    sizes_r = (
+        grouped.select(F.explode("_rs").alias("id_right"))
+        .groupBy("id_right")
+        .agg(F.count("*").alias("_n_r"))
+    )
+    inter = (
+        grouped.filter((F.size("_ls") >= 1) & (F.size("_rs") >= 1))
+        .select(F.explode("_ls").alias("id_left"), F.col("_rs"))
+        .select("id_left", F.explode("_rs").alias("id_right"))
+        .groupBy("id_left", "id_right")
+        .agg(F.count("*").alias("_n_common"))
+    )
+    return (
+        inter.join(sizes_l, "id_left")
+        .join(sizes_r, "id_right")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_n_common").cast("double")
+                / (F.col("_n_l") + F.col("_n_r") - F.col("_n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_left", "id_right", "jaccard")
+    )

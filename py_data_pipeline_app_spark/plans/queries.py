@@ -865,6 +865,62 @@ def dedup_incremental_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p1.unionByName(p2)
 
 
+@register(
+    "cross_corpus_decontamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+    sh0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws)-2, 1)+1),
+               i -> list_aggregate(ws[i:i+2], 'string_agg', ' ')))) AS shingle
+      FROM toks
+    ),
+    u AS (
+      SELECT doc_id AS _id, shingle, 0 AS _side FROM sh0
+      UNION ALL
+      SELECT doc_id, shingle, 1 FROM sh0 WHERE doc_id % 5 = 0
+    ),
+    keep AS (SELECT shingle FROM u GROUP BY shingle HAVING count(*) <= 100),
+    sh AS (SELECT u.* FROM u JOIN keep USING (shingle)),
+    sizes_l AS (SELECT _id, count(*) AS n FROM sh WHERE _side = 0 GROUP BY 1),
+    sizes_r AS (SELECT _id, count(*) AS n FROM sh WHERE _side = 1 GROUP BY 1),
+    inter AS (
+      SELECT l._id AS id_left, r._id AS id_right, count(*) AS nc
+      FROM sh l JOIN sh r ON l.shingle = r.shingle
+      WHERE l._side = 0 AND r._side = 1
+      GROUP BY 1, 2
+    )
+    SELECT id_left, id_right,
+           round(nc::DOUBLE / (sl.n + sr.n - nc), 6) AS jaccard
+    FROM inter
+    JOIN sizes_l sl ON id_left = sl._id
+    JOIN sizes_r sr ON id_right = sr._id
+    WHERE nc::DOUBLE / (sl.n + sr.n - nc) >= 0.5
+      AND id_left <> id_right
+    """,
+)
+def cross_corpus_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination between two corpora
+    (operators/dedup.cross_corpus_ngram_jaccard): every 5th document
+    plays the held-out benchmark, and the query finds training docs
+    whose trigram Jaccard with a benchmark doc is ≥ 0.5 — paraphrase-
+    level leakage that exact n-gram matching
+    (benchmark_decontamination) misses. Inverted-index shape: one
+    shingle groupBy with per-side posting lists, candidates =
+    left×right within a shingle only, combined-df stop-shingle cap at
+    100. Identity pairs are dropped (the benchmark is carved from the
+    corpus here)."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        cross_corpus_ngram_jaccard,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    return cross_corpus_ngram_jaccard(
+        docs, bench, n=3, threshold=0.5, max_df=100
+    ).filter(F.col("id_left") != F.col("id_right"))
+
+
 _CLUSTER_ORACLE = f"""
     WITH RECURSIVE {_NGRAM_PAIR_CTES},
     edges AS (

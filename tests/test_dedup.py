@@ -241,3 +241,49 @@ def test_connected_components_star_beats_diameter_bound(spark):
     }
     assert set(got.values()) == {1}
     assert len(got) == 40
+
+
+def test_cross_corpus_ngram_jaccard_matches_python_model(spark):
+    """Cross-corpus pairs only (never left×left or right×right), with
+    trigram-set Jaccard verified against an independent python model."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        cross_corpus_ngram_jaccard,
+    )
+
+    left_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "completely unrelated content about spark plans"),
+    ]
+    right_rows = [
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+        (102, "pack my box with five dozen liquor jugs"),
+        (103, "sphinx of black quartz judge my vow"),
+    ]
+    left = spark.createDataFrame(left_rows, "doc_id long, text string")
+    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+    got = {
+        (r.id_left, r.id_right): r.jaccard
+        for r in cross_corpus_ngram_jaccard(
+            left, right, n=3, threshold=0.3
+        ).collect()
+    }
+
+    def tri(text):
+        ws = text.split()
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    expected = {}
+    for lid, lt in left_rows:
+        for rid, rt in right_rows:
+            a, b = tri(lt), tri(rt)
+            j = len(a & b) / len(a | b)
+            if j >= 0.3:
+                expected[(lid, rid)] = round(j, 6)
+    assert expected, "fixture must produce at least one pair"
+    assert got == expected
+    # the exact duplicate pair scores 1.0; the superset pair is partial
+    assert got[(2, 102)] == 1.0
+    assert 0.3 <= got[(1, 101)] < 1.0

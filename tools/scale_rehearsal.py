@@ -68,6 +68,7 @@ FAMILY = [
     "source_cap_sample",
     "source_temperature_mix",
     "benchmark_decontamination",
+    "cross_corpus_decontamination",
     "sequence_packing",
     "training_set_curation",
     "training_set_curation_leakage_safe",
