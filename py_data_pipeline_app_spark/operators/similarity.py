@@ -717,6 +717,49 @@ def ivf_index_append(
     return token
 
 
+def ivf_index_compact(spark, index_path: str) -> int:
+    """Merge every ``appends/batch-*`` directory into the base
+    ``assigned/`` table. Each append adds one directory the probing
+    reader must list and scan-plan separately; after many daily feeds
+    that per-query listing is the fixed cost — compaction restores the
+    single-table layout (and full-size parquet row groups per
+    centroid partition).
+
+    Assignments are pure functions of (vector, centroids), so the
+    merge is a plain union rewrite — no recomputation. Crash-safe by
+    staging: the merged table is fully written to ``assigned-compact``
+    BEFORE the old base and appends are swapped out, and a crash
+    between stages leaves either the old layout (retry merges again)
+    or a complete staged copy (retry finishes the swap); the reader
+    never sees a half-written base because the swap is two renames.
+    Do not run concurrently with appends or probes. Returns the number
+    of append directories merged (0 = nothing to do)."""
+    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
+    if not fs.exists(appends_path):
+        return 0
+    batch_dirs = [
+        str(s.getPath())
+        for s in fs.listStatus(appends_path)
+        if s.isDirectory() and s.getPath().getName().startswith("batch-")
+    ]
+    if not batch_dirs:
+        return 0
+    base = spark.read.parquet(f"{index_path}/assigned")
+    merged = base
+    for d in sorted(batch_dirs):
+        merged = merged.unionByName(spark.read.parquet(d))
+    staged = f"{index_path}/assigned-compact"
+    merged.write.partitionBy("centroid_id").mode("overwrite").parquet(staged)
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    old = jvm(f"{index_path}/assigned-old")
+    fs.delete(old, True)
+    fs.rename(jvm(f"{index_path}/assigned"), old)
+    fs.rename(jvm(staged), jvm(f"{index_path}/assigned"))
+    fs.delete(old, True)
+    fs.delete(appends_path, True)
+    return len(batch_dirs)
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

