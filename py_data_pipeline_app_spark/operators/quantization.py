@@ -1,0 +1,296 @@
+"""Product quantization (PQ) for embedding columns: compress
+``array<float>`` vectors to ``m`` small codes and rank queries with
+asymmetric-distance lookups — the memory-side scale path that makes a
+100 TB embedding corpus searchable at all.
+
+Why PQ at corpus scale: a 64-dim float corpus is 256 bytes/vector;
+PQ with m=8 subspaces and 16 codewords each stores 8 codes (≤ 1 byte
+each) + a shared m×16×8 codebook — a ~32× smaller scan, so the
+candidate-ranking pass reads 1/32 of the bytes an exact scan would
+(I/O-bound at 100 TB, that ratio IS the speedup). Jégou, Douze &
+Schmid, "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011) is the public recipe; everything here is a fresh
+DataFrame-native implementation of it.
+
+Determinism contract (same spirit as operators/similarity): codebooks
+are a hash-ordered sample of the corpus (md5_long, reproducible in
+DuckDB), code assignment is an argmin over a sequential-fold L2² with
+lowest-code tie-break, and ADC scores fold subspace contributions in
+ascending-subspace order — every step value-hashes cross-engine, so
+the approximate operator still gets a full-value oracle; its recall
+vs the exact baseline is asserted in tests.
+
+Scale shape:
+
+- Codebook pick: TakeOrderedAndProject over md5 order (per-partition
+  top-k, driver merge of ``ksub`` rows) — the corpus never funnels
+  through one task.
+- Encoding: the m×ksub×dsub codebook enters the plan as ONE nested
+  array literal; per-row assignment is a pure projection (zero
+  shuffle), paid once.
+- Query ranking: each query precomputes its m×ksub dot-product table
+  once (queries are small and broadcast); per corpus row the score is
+  m table lookups + m adds instead of ``dim`` multiplies — compute
+  drops dim/m-fold on top of the 32× scan-byte reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.functions.text import md5_long
+from py_data_pipeline_app_spark.operators.similarity import dot, l2_norm
+
+
+def _sub(vec: Column, s: int, dsub: int) -> Column:
+    """Subvector s (0-based) of a vector column, cast to double."""
+    return F.transform(
+        F.slice(vec, s * dsub + 1, dsub), lambda x: x.cast("double")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub_id, code_id, codeword): one codebook per subspace, each
+    the ``dsub``-wide slice of the same ``ksub`` hash-ordered sample
+    vectors — a deterministic, oracle-reproducible stand-in for
+    per-subspace k-means (pass the result of a trained fit through
+    :func:`pq_encode`'s ``codebooks`` parameter when recall matters
+    more than cross-engine replay; the encoding/ranking plans are
+    identical either way).
+
+    The sample rows are ordered by md5_long(id) — pseudo-random but
+    deterministic, executed as a per-partition top-k merge. The
+    ``ksub × dim`` sample is tiny by construction, so slicing it into
+    m codebooks driver-side via one small projection is free."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    sample = (
+        corpus.select(
+            md5_long(F.col(id_col).cast("string")).alias("_hk"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_hk")
+        .limit(ksub)
+        .withColumn("code_id", F.row_number().over(Window.orderBy("_hk")) - 1)
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_id"), _sub(F.col("_v"), s, dsub).alias("codeword")
+            )
+            for s in range(m)
+        ]
+    )
+    return sample.select("code_id", F.explode(subs).alias("sc")).select(
+        F.col("sc.sub_id").alias("sub_id"), "code_id", F.col("sc.codeword").alias("codeword")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(sub_id, code_id, codeword): per-subspace k-means codebooks via
+    Spark ML's distributed Lloyd's (deterministic seed) — the
+    production-recall pick (quantization error drops vs the hash
+    sample because each codebook tracks its subspace's distribution).
+    The m fits each reduce to a ksub×dsub partial per iteration; the
+    resulting m×ksub×dsub table is a few KB and re-enters encode/rank
+    plans as a literal, identical to the sampled path. The gate keeps
+    the sampled variant (an iterative fit has no SQL oracle); this
+    one's recall-vs-sampled win is asserted in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    spark = corpus.sparkSession
+    out = []
+    for s in range(m):
+        train = corpus.select(
+            array_to_vector(_sub(F.col(vec_col), s, dsub)).alias("features")
+        )
+        model = KMeans(
+            k=ksub, seed=seed + s, maxIter=max_iter, featuresCol="features"
+        ).fit(train)
+        out.extend(
+            (s, j, [float(x) for x in c])
+            for j, c in enumerate(model.clusterCenters())
+        )
+    return spark.createDataFrame(
+        out, "sub_id int, code_id int, codeword array<double>"
+    )
+
+
+def _collect_codebook_literal(codebooks: DataFrame) -> tuple[Column, int, int]:
+    """Collect the (tiny) codebook table and re-enter it as ONE nested
+    array literal CB[sub_id][code_id] = codeword — a single expression,
+    not m×ksub individual lit columns (per-literal py4j round trips
+    would dominate plan construction, see the hyperplane LSH note)."""
+    rows = codebooks.collect()
+    m = 1 + max(r.sub_id for r in rows)
+    ksub = 1 + max(r.code_id for r in rows)
+    table: list[list[list[float]]] = [[None] * ksub for _ in range(m)]  # type: ignore[list-item]
+    for r in rows:
+        table[r.sub_id][r.code_id] = [float(x) for x in r.codeword]
+    for s in range(m):
+        if any(cw is None for cw in table[s]):
+            raise ValueError(f"codebook for subspace {s} is missing code ids")
+    return F.lit(table), m, ksub
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, approx_norm double): each vector's
+    nearest codeword per subspace (sequential-fold L2², lowest code id
+    on ties) plus the reconstruction's L2 norm, folded in
+    ascending-subspace order so the value is oracle-reproducible.
+
+    Zero shuffle: the codebook is a broadcast-free nested literal and
+    encoding is a pure projection computed in the scan task — the
+    shape that survives a 100 TB corpus, because the encode pass IS
+    the scan. ``approx_norm`` is stored at encode time so ranking
+    never re-derives it per (row, query) pair."""
+    cb, m, _ = _collect_codebook_literal(codebooks)
+    vec = F.col(vec_col)
+    dim_expr = F.size(vec)
+    dsub_expr = (dim_expr / m).cast("int")
+
+    def best_code(s: Column) -> Column:
+        sub = F.transform(
+            F.slice(vec, s * dsub_expr + 1, dsub_expr), lambda x: x.cast("double")
+        )
+        scored = F.transform(
+            F.element_at(cb, (s + 1).cast("int")),
+            lambda cw, j: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, cw, lambda p, q: (p - q) * (p - q)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                j.alias("pos"),
+            ),
+        )
+        return F.array_min(scored)["pos"]
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best_code)
+    approx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(cb, (s + 1).cast("int")),
+                (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
+            ),
+        )
+    )
+    return corpus.select(
+        F.col(id_col),
+        codes.cast("array<int>").alias("codes"),
+        l2_norm(approx).alias("approx_norm"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance
+    computation: score(query, row) = Σ_s qtab[s][codes[s]] /
+    (‖q‖ · approx_norm), where qtab is the query's precomputed
+    m×ksub table of subvector·codeword dot products.
+
+    The corpus side touches ONLY (id, codes, approx_norm) — the
+    compressed representation — so at scale the ranking scan reads
+    ~1/32 of the exact scan's bytes; per row the score is m lookups
+    into a per-query table computed once before the (broadcast) join.
+    Approximate by construction (the reconstruction replaces the
+    vector); recall vs :func:`~py_data_pipeline_app_spark.operators.
+    similarity.brute_force_topk` is measured in tests, and the full
+    deterministic computation is value-hash-checked by the registered
+    oracle.
+
+    Pass ``encoded`` (from :func:`pq_encode`, e.g. read back from a
+    persisted parquet) to skip re-encoding — the production path,
+    where encode is paid once at ingest and queries touch codes only.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    cb, m, _ = _collect_codebook_literal(codebooks)
+    if encoded is None:
+        encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    qvec = F.col(vec_col)
+    dsub = dim // m
+    qtab = F.transform(
+        cb,
+        lambda sub_cb, s: F.transform(
+            sub_cb,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, s.cast("int") * dsub + 1, dsub), cw,
+                    lambda p, q: p.cast("double") * q,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        qtab.alias("_qtab"),
+        l2_norm(qvec).alias("_qnorm"),
+    )
+    codes = F.col("codes")
+    num = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_qtab"), (s + 1).cast("int")),
+            (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(num / (F.col("_qnorm") * F.col("approx_norm")), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
+    )

@@ -1403,6 +1403,106 @@ def similarity_topk_ivf_appended_q(spark: SparkSession, sf_dir: str) -> DataFram
     return ivf_topk_indexed(spark, index, queries, k=5, nprobe=4)
 
 
+def _pq_oracle(m: int = 8, ksub: int = 16, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of the FULL pq_topk computation (operators/
+    quantization): md5-ordered codebook sample, per-subspace argmin
+    encode (sequential-fold L2², lowest-code tie-break), the
+    reconstruction norm folded over the flattened 64-element codeword
+    concatenation in subspace order (NOT per-subspace partials — float
+    addition is non-associative, the fold order is part of the
+    contract), and ADC scores folded in ascending-subspace order.
+    Every step deterministic, so the approximate operator gets a
+    full-value hash check; recall vs exact is asserted in tests.
+
+    list_reduce has no explicit init but Spark's aggregate starts at
+    0.0, and 0.0 + v1 == v1 exactly, so the two folds agree
+    bit-for-bit."""
+    dsub = dim // m
+    l2sq = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), "
+        f"i -> (e.embedding[c.sub_id*{dsub}+i]::DOUBLE - c.codeword[i]) * "
+        f"(e.embedding[c.sub_id*{dsub}+i]::DOUBLE - c.codeword[i])), (x, y) -> x + y)"
+    )
+    qdot = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), "
+        f"i -> q.embedding[n.sub_id*{dsub}+i]::DOUBLE * n.codeword[i]), "
+        "(x, y) -> x + y)"
+    )
+    qnorm = "sqrt(" + _SQL_DOT.format(a="q.embedding", b="q.embedding") + ")"
+    return f"""
+    WITH hk AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+               AS _hk
+      FROM embeddings
+    ),
+    cbrows AS (
+      SELECT row_number() OVER (ORDER BY _hk) - 1 AS code_id, embedding AS cvec
+      FROM hk ORDER BY _hk LIMIT {ksub}
+    ),
+    cb AS (
+      SELECT s.s AS sub_id, code_id,
+             list_transform(range(s.s*{dsub}+1, s.s*{dsub}+{dsub}+1),
+                            i -> cvec[i]::DOUBLE) AS codeword
+      FROM cbrows, (SELECT unnest(range(0, {m})) AS s) s
+    ),
+    enc AS (
+      SELECT vec_id, sub_id, code_id, codeword FROM (
+        SELECT e.vec_id, c.sub_id, c.code_id, c.codeword,
+               row_number() OVER (PARTITION BY e.vec_id, c.sub_id
+                                  ORDER BY {l2sq}, c.code_id) AS rn
+        FROM embeddings e CROSS JOIN cb c
+      ) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(list_reduce(
+               list_transform(flatten(list(codeword ORDER BY sub_id)),
+                              x -> x * x),
+               (x, y) -> x + y)) AS approx_norm
+      FROM enc GROUP BY vec_id
+    ),
+    qd AS (
+      SELECT q.vec_id AS query_id, n.vec_id, n.sub_id, {qnorm} AS _qnorm,
+             {qdot} AS qd
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN enc n
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_reduce(list(qd ORDER BY sub_id), (x, y) -> x + y)
+                   / (any_value(_qnorm) * any_value(nm.approx_norm)), 9) AS score
+      FROM qd JOIN norms nm USING (vec_id)
+      GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("similarity_topk_pq", _pq_oracle())
+def similarity_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 (operators/quantization, after Jégou
+    et al. 2011's public recipe): the corpus is compressed to m=8
+    one-byte codes + a shared 8×16 codebook (~32× fewer scan bytes
+    than exact), queries precompute an 8×16 dot-product table once and
+    score each row with 8 lookups instead of 64 multiplies. The
+    codebook is a deterministic md5-ordered sample, so the oracle
+    replays the whole computation — pick, encode, reconstruction
+    norms, ADC fold — value-for-value; recall vs the exact baseline is
+    asserted in tests (approximate by construction)."""
+    from py_data_pipeline_app_spark.operators.quantization import pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, m=8, ksub=16, dim=64, k=5)
+
+
 @register(
     "chunk_dedup_rebuild",
     f"""
