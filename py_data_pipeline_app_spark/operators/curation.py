@@ -384,6 +384,108 @@ def chunk_dedup_rebuild(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32,
+    head_cutoff: float = 3.0,
+    tail_cutoff: float = 4.0,
+    lm: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020's
+    public recipe, with the unigram LM standing in for KenLM): score
+    every document by its cross-entropy under a corpus-trained LM and
+    bucket into head/middle/tail — low-perplexity "head" text is the
+    cleanest pretraining data, "tail" is noise/boilerplate. Returns
+    (id, n_tokens, cross_entropy, bucket, kept) with kept = not tail.
+
+    The LM is a top-``vocab_size`` unigram table (count-ranked,
+    token-asc tie-break) with logp = round(ln(count/total), 6);
+    out-of-vocabulary tokens get the floor logp = round(ln(1/total),
+    6) — a deliberate add-one-ish penalty that makes rare-token spam
+    expensive. Pass ``lm`` (a (token, logp) frame from
+    :func:`unigram_lm`, e.g. trained on a clean reference corpus and
+    read back from parquet) to score against a FIXED reference model —
+    the actual CCNet setup, where the LM is trained on Wikipedia and
+    applied to the crawl.
+
+    Determinism: per-token logp is rounded to 6 dp (cross-engine ln
+    agreement at that precision is the tfidf precedent), the per-doc
+    sum runs over decimal(18,6) (exact, order-free), and the final
+    cross-entropy is one double division rounded to 6 — the whole
+    score value-hashes in the DuckDB oracle.
+
+    Scale shape: token counts are two keyed aggregations with map-side
+    combine; the LM is ``vocab_size`` rows and BROADCAST into the
+    scoring join, so the corpus token stream is scanned once and only
+    per-document summaries shuffle. Cutoffs are fixed parameters (at
+    100 TB you calibrate them once on a sample — CCNet's published
+    percentile protocol — rather than paying a global sort per run).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    if lm is None:
+        lm = unigram_lm(docs, text_col=text_col, vocab_size=vocab_size)
+    lm = F.broadcast(lm.select("_tok", "logp", "floor_logp"))
+    # every lm row carries floor_logp, but OOV rows miss the join
+    # entirely — recover the constant via a broadcast 1-row cross join
+    floor = lm.select(F.max("floor_logp").alias("_floor"))
+    scored = (
+        tok.join(lm, "_tok", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(id_col, F.coalesce(F.col("logp"), F.col("_floor")).alias("_lp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_lp").cast("decimal(18,6)")).alias("_s"),
+    )
+    ce = F.round(-F.col("_s").cast("double") / F.col("n_tokens"), 6)
+    return agg.select(
+        id_col,
+        "n_tokens",
+        ce.alias("cross_entropy"),
+        F.when(ce <= head_cutoff, "head")
+        .when(ce > tail_cutoff, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+        (ce <= tail_cutoff).alias("kept"),
+    )
+
+
+def unigram_lm(
+    docs: DataFrame, *, text_col: str = "text", vocab_size: int = 32
+) -> DataFrame:
+    """(_tok, logp, floor_logp): top-``vocab_size`` unigram LM over the
+    corpus' whitespace tokens — count-ranked with token-asc tie-break,
+    logp = round(ln(count/total), 6), and the OOV floor
+    round(ln(1/total), 6) carried on every row (so scoring needs no
+    second pass over the counts). Train once on a clean reference
+    corpus, persist, and feed to :func:`perplexity_buckets` — or let
+    it default to self-trained for corpus-relative scoring."""
+    tok = docs.select(F.explode(tokens(text_col)).alias("_tok")).filter(
+        F.col("_tok") != ""
+    )
+    counts = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_t"))
+    # top-V membership via sort-limit: executes as TakeOrderedAndProject
+    # (per-partition top-V, driver merge of V rows) — a row_number
+    # window here would funnel the whole distinct-token table through
+    # one partition, which at corpus scale is billions of rows
+    ranked = (
+        counts.orderBy(F.col("_c").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        "_tok",
+        F.round(F.log(F.col("_c").cast("double") / F.col("_t")), 6).alias("logp"),
+        F.round(F.log(F.lit(1.0) / F.col("_t")), 6).alias("floor_logp"),
+    )
+
+
 def token_diversity(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

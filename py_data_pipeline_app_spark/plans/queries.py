@@ -2998,6 +2998,60 @@ def text_token_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_perplexity_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest({_SQL_WS}) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    total AS (SELECT sum(c) AS t FROM counts),
+    lm AS (
+      SELECT tok,
+             round(ln(c::DOUBLE / t), 6) AS logp,
+             round(ln(1.0 / t), 6) AS floor_logp
+      FROM (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 32), total
+    ),
+    floor AS (SELECT max(floor_logp) AS fl FROM lm),
+    scored AS (
+      SELECT t.doc_id, coalesce(lm.logp, f.fl) AS lp
+      FROM tok t LEFT JOIN lm ON t.tok = lm.tok CROSS JOIN floor f
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(-(sum(lp::DECIMAL(18,6))::DOUBLE) / count(*), 6) AS ce
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, ce AS cross_entropy,
+           CASE WHEN ce <= 3.40 THEN 'head'
+                WHEN ce > 3.41 THEN 'tail'
+                ELSE 'middle' END AS bucket,
+           ce <= 3.41 AS kept
+    FROM agg
+    """,
+)
+def text_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/curation
+    perplexity_buckets): every document scored by cross-entropy under
+    a corpus-trained top-32 unigram LM (OOV floored at ln(1/total) —
+    rare-token spam pays for it) and bucketed head/middle/tail.
+    Cutoffs 3.40/3.41 are calibrated to this corpus' percentiles, the
+    published CCNet protocol (calibrate on a sample once, never a
+    global sort per run). The 32-row LM broadcasts into the scoring
+    join; per-doc sums run over decimal(18,6) so the score
+    value-hashes cross-engine."""
+    from py_data_pipeline_app_spark.operators.curation import perplexity_buckets
+
+    return perplexity_buckets(
+        load_table(spark, "documents", sf_dir),
+        vocab_size=32,
+        head_cutoff=3.40,
+        tail_cutoff=3.41,
+    )
+
+
+@register(
     "user_retention_set_ops",
     """
     WITH a AS (SELECT DISTINCT user_id FROM events

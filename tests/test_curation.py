@@ -183,3 +183,69 @@ def test_token_diversity_matches_python_model(spark):
         assert r.simpson_diversity == simpson, doc_id
     assert got[1].simpson_diversity == 0.0
     assert got[2].simpson_diversity == 0.75
+
+
+def test_perplexity_buckets_python_model(spark):
+    """Cross-entropy recomputed in plain Python: top-V LM with
+    count-desc/token-asc ranking, ln(c/total) logps, OOV floor."""
+    import math
+
+    from py_data_pipeline_app_spark.operators.curation import perplexity_buckets
+
+    rows = [
+        (1, "a a a b b c"),
+        (2, "a b c d"),          # d is OOV under vocab_size=3
+        (3, "zz yy zz yy"),      # all OOV -> worst score
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in perplexity_buckets(
+            df, vocab_size=3, head_cutoff=1.2, tail_cutoff=2.0
+        ).collect()
+    }
+    toks = {
+        1: ["a", "a", "a", "b", "b", "c"],
+        2: ["a", "b", "c", "d"],
+        3: ["zz", "yy", "zz", "yy"],
+    }
+    counts: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    vocab = sorted(counts, key=lambda t: (-counts[t], t))[:3]
+    lp = {t: round(math.log(counts[t] / total), 6) for t in vocab}
+    floor = round(math.log(1.0 / total), 6)
+    for did, ts in toks.items():
+        want = round(-sum(lp.get(t, floor) for t in ts) / len(ts), 6)
+        # python round() is banker's, Spark round is HALF_UP: allow one
+        # ulp of the 6-dp rounding at exact .5 boundaries
+        assert abs(got[did].cross_entropy - want) <= 1.01e-6, did
+        assert got[did].n_tokens == len(ts)
+    assert got[3].bucket == "tail" and not got[3].kept
+    assert got[1].kept
+
+
+def test_perplexity_external_lm(spark):
+    """Scoring against a FIXED reference LM (the CCNet setup): docs the
+    reference model never saw score by the reference's probabilities."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        perplexity_buckets,
+        unigram_lm,
+    )
+
+    ref = spark.createDataFrame([(1, "clean clean text text")], ["doc_id", "text"])
+    lm = unigram_lm(ref, vocab_size=10)
+    crawl = spark.createDataFrame(
+        [(10, "clean text"), (11, "junk junk junk")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.cross_entropy
+        for r in perplexity_buckets(crawl, lm=lm, tail_cutoff=1.0).collect()
+    }
+    # in-vocab doc scores ln(2/4); OOV-only doc scores the floor ln(1/4)
+    import math
+
+    assert abs(got[10] - round(-math.log(0.5), 6)) < 1e-6
+    assert abs(got[11] - round(-math.log(0.25), 6)) < 1e-6
