@@ -201,3 +201,49 @@ def with_doc_fingerprints(
         .withColumn("max_gram_hash", F.array_max("_fp_gh"))
         .drop("_fp_norm", "_fp_gh")
     )
+
+
+# Fixed entity set for HTML unescaping — deliberately small and frozen
+# (part of the engine's public contract; the DuckDB oracle replays the
+# same ordered replace chain). &amp; is decoded LAST so markup like
+# "&amp;lt;" yields "&lt;" (the standard single-pass unescape order).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(col: Column | str) -> Column:
+    """Plain text from HTML-ish markup: drop <script>/<style> blocks
+    wholesale (their content is code, not prose), strip remaining tags,
+    decode the frozen :data:`HTML_ENTITIES` set, collapse whitespace.
+
+    Native regexp/replace chain — JVM-side, zero Python — and every
+    pattern is chosen to mean the same thing in Java regex and RE2 so
+    the DuckDB oracle replays it exactly: non-greedy ``.*?`` block
+    removal with (?is), character-class tag match ``<[^>]*>`` (no
+    backtracking constructs). This is the crawl-ingest normalization
+    pass — a real extractor adds boilerplate heuristics on top, but
+    tag/entity handling is the part every pipeline needs first."""
+    c = F.col(col) if isinstance(col, str) else col
+    # two patterns, not one with a backreference — RE2 (the oracle's
+    # engine) has no backreferences, and mismatched <script>...</style>
+    # nesting is not worth modeling in an ingest pass
+    out = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_tag_count(col: Column | str) -> Column:
+    """Number of markup tags in the raw text (pre-strip) — a cheap
+    'how HTML-ish is this document' signal for routing: prose with a
+    stray ``<`` scores 0-1, real markup scores tens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"<[^>]*>"))

@@ -455,6 +455,54 @@ def perplexity_buckets(
     )
 
 
+def source_reputation(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    vocab_size: int = 32,
+    lm: DataFrame | None = None,
+) -> DataFrame:
+    """Domain/source-level quality rollup (the RefinedWeb/C4 URL-level
+    curation idea at source granularity): score every document's LM
+    cross-entropy (:func:`perplexity_buckets`' core), aggregate to a
+    per-source mean, and mark sources whose mean is at or below the
+    corpus-wide mean as reputable — a self-calibrated filter with no
+    magic cutoff (spam farms drift above the corpus mean by
+    construction). Returns one row per source: (source, n_docs,
+    mean_ce, overall_ce, reputable).
+
+    Scale shape: per-doc scoring is the broadcast-LM pass; the rollup
+    is one keyed aggregation to |sources| rows plus a 1-row broadcast
+    cross join for the corpus mean — nothing bigger than a per-source
+    summary ever shuffles. Per-source means sum decimal(18,6)-cast
+    scores (exact, order-free) and the overall mean reuses the SAME
+    per-source sums, so both value-hash cross-engine."""
+    pb = perplexity_buckets(
+        docs, text_col=text_col, id_col=id_col, vocab_size=vocab_size, lm=lm
+    ).select(id_col, "cross_entropy")
+    with_src = pb.join(docs.select(id_col, source_col), id_col)
+    per_src = with_src.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("cross_entropy").cast("decimal(18,6)")).alias("_s"),
+    )
+    overall = per_src.agg(
+        (F.sum("_s").cast("double") / F.sum("n_docs")).alias("_overall")
+    )
+    mean_ce = F.round(F.col("_s").cast("double") / F.col("n_docs"), 6)
+    return (
+        per_src.crossJoin(F.broadcast(overall))
+        .select(
+            source_col,
+            "n_docs",
+            mean_ce.alias("mean_ce"),
+            F.round(F.col("_overall"), 6).alias("overall_ce"),
+            (mean_ce <= F.round(F.col("_overall"), 6)).alias("reputable"),
+        )
+    )
+
+
 def unigram_lm(
     docs: DataFrame, *, text_col: str = "text", vocab_size: int = 32
 ) -> DataFrame:

@@ -2997,10 +2997,11 @@ def text_token_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_diversity(load_table(spark, "documents", sf_dir))
 
 
-@register(
-    "text_perplexity_buckets",
-    f"""
-    WITH tok AS (
+# Shared CTE chain computing per-document LM cross-entropy (the
+# perplexity_buckets computation up to the per-doc aggregate) — reused
+# by the bucket query and the source-reputation rollup.
+_PPL_CORE_CTES = f"""
+    tok AS (
       SELECT doc_id, tok FROM (
         SELECT doc_id, unnest({_SQL_WS}) AS tok FROM documents
       ) WHERE tok <> ''
@@ -3022,7 +3023,13 @@ def text_token_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              round(-(sum(lp::DECIMAL(18,6))::DOUBLE) / count(*), 6) AS ce
       FROM scored GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "text_perplexity_buckets",
+    f"""
+    WITH {_PPL_CORE_CTES}
     SELECT doc_id, n_tokens, ce AS cross_entropy,
            CASE WHEN ce <= 3.40 THEN 'head'
                 WHEN ce > 3.41 THEN 'tail'
@@ -3049,6 +3056,120 @@ def text_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_cutoff=3.40,
         tail_cutoff=3.41,
     )
+
+
+# Markup planted onto every 7th document (the sf corpora are plain
+# text): wrapper tags, a script block whose BODY contains a tag, and
+# double-escaped entities — exercising block removal, tag stripping,
+# and the ordered entity-decode chain. Identical literal in both
+# engines, so the cleaned text value-hashes exactly.
+_HTML_PLANT_PREFIX = '<html><body class="m">'
+_HTML_PLANT_SUFFIX = (
+    '</body> <script type="text/javascript">var x = "<p>";</script>'
+    " &amp;amp; &lt;fin&gt;</html>"
+)
+
+
+@register(
+    "text_html_strip",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '{_HTML_PLANT_PREFIX}' || text || '{_HTML_PLANT_SUFFIX}'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script\\s*>',
+                              ' ', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS u
+      FROM raw
+    ),
+    s2 AS (
+      SELECT doc_id, t, regexp_replace(u, '<[^>]*>', ' ', 'g') AS u FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, t,
+             replace(replace(replace(replace(replace(replace(u,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS u
+      FROM s2
+    )
+    SELECT doc_id,
+           trim(regexp_replace(u, '\\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(t, '<[^>]*>')) AS INT) AS n_tags,
+           len(regexp_extract_all(t, '<[^>]*>')) > 0 AS was_html
+    FROM s3
+    """,
+)
+def text_html_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest markup normalization (functions/text.strip_html):
+    drop script/style blocks wholesale, strip tags, decode the frozen
+    entity set in order, collapse whitespace — plus an html-ishness
+    tag count for routing. Native regexp/replace chain, zero Python,
+    zero shuffle (a pure projection — at 100 TB this pass IS the
+    scan). Patterns avoid backtracking-only constructs so Java regex
+    and RE2 agree; the oracle replays the chain on identically planted
+    markup."""
+    from py_data_pipeline_app_spark.functions.text import html_tag_count, strip_html
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(_HTML_PLANT_PREFIX), F.col("text"), F.lit(_HTML_PLANT_SUFFIX)
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    n_tags = html_tag_count("t")
+    return raw.select(
+        "doc_id",
+        strip_html("t").alias("clean_text"),
+        n_tags.cast("int").alias("n_tags"),
+        (n_tags > 0).alias("was_html"),
+    )
+
+
+@register(
+    "source_reputation",
+    f"""
+    WITH {_PPL_CORE_CTES},
+    with_src AS (
+      SELECT a.doc_id, a.ce, d.source
+      FROM agg a JOIN documents d USING (doc_id)
+    ),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(ce::DECIMAL(18,6)) AS s
+      FROM with_src GROUP BY source
+    ),
+    overall AS (
+      SELECT (sum(s)::DOUBLE / sum(n_docs)) AS ov FROM per_src
+    )
+    SELECT source, n_docs,
+           round(s::DOUBLE / n_docs, 6) AS mean_ce,
+           round(ov, 6) AS overall_ce,
+           round(s::DOUBLE / n_docs, 6) <= round(ov, 6) AS reputable
+    FROM per_src, overall
+    """,
+)
+def source_reputation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level reputation rollup (operators/curation
+    source_reputation): per-source mean LM cross-entropy vs the corpus
+    mean, self-calibrated — sources above the corpus mean are flagged.
+    Broadcast-LM doc scoring, one keyed rollup to |sources| rows, 1-row
+    broadcast for the corpus mean; decimal sums end-to-end so the
+    verdict value-hashes cross-engine."""
+    from py_data_pipeline_app_spark.operators.curation import source_reputation
+
+    return source_reputation(load_table(spark, "documents", sf_dir), vocab_size=32)
 
 
 @register(

@@ -93,3 +93,52 @@ def test_perm_coeffs_deterministic_and_distinct():
     for a, b in c1:
         assert 0 < a < TXT.HASH_PRIME
         assert 0 <= b < TXT.HASH_PRIME
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    from py_data_pipeline_app_spark.functions.text import html_tag_count, strip_html
+
+    rows = [
+        (1, '<html><p class="a">hello <b>world</b></p></html>'),
+        (2, 'no markup at all'),
+        (3, '<script type="x">var a = "<p>hidden</p>";</script>after'),
+        (4, '<STYLE>body { color: red }</STYLE>kept'),
+        (5, 'a &amp;amp; b &lt;tag&gt; &nbsp; c &quot;q&quot; &#39;s&#39;'),
+        (6, '  spaced   <br/>   out  '),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            strip_html("t").alias("clean"),
+            html_tag_count("t").alias("n"),
+        ).collect()
+    }
+    assert out[1].clean == "hello world" and out[1].n == 6
+    assert out[2].clean == "no markup at all" and out[2].n == 0
+    # script BODY (including its inner tag) is dropped wholesale
+    assert out[3].clean == "after"
+    # style is case-insensitive
+    assert out[4].clean == "kept"
+    # ordered entity chain: &amp;amp; -> &amp; ; &lt;tag&gt; -> <tag>
+    assert out[5].clean == 'a &amp; b <tag> c "q" \'s\''
+    assert out[6].clean == "spaced out"
+
+
+def test_source_reputation_flags_junk_source(spark):
+    """A source of OOV-heavy junk must land above the corpus-mean
+    cross-entropy and lose reputation; the clean source keeps it."""
+    from py_data_pipeline_app_spark.operators.curation import source_reputation
+
+    clean = [(i, "the quick brown fox jumps over the lazy dog", "good")
+             for i in range(20)]
+    junk = [(100 + i, f"zzq{i}a wwx{i}b qqy{i}c vvz{i}d", "spamfarm")
+            for i in range(5)]
+    df = spark.createDataFrame(clean + junk, ["doc_id", "text", "source"])
+    out = {r.source: r for r in source_reputation(df, vocab_size=8).collect()}
+    assert out["good"].reputable
+    assert not out["spamfarm"].reputable
+    assert out["spamfarm"].mean_ce > out["good"].mean_ce
+    assert out["good"].n_docs == 20 and out["spamfarm"].n_docs == 5
+    assert out["good"].overall_ce == out["spamfarm"].overall_ce
