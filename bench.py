@@ -64,6 +64,7 @@ HEADLINE = [
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_appended",
+    "similarity_topk_pq",
     "text_quality",
     "text_token_stats",
     # curation passes:
@@ -81,6 +82,9 @@ HEADLINE = [
     "source_cap_sample",
     "source_temperature_mix",
     "text_token_diversity",
+    "text_perplexity_buckets",
+    "text_html_strip",
+    "source_reputation",
     "embedding_dim_stats",
     "scd2_state_history",
     # multimodal:

@@ -56,6 +56,7 @@ FAMILY = [
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_appended",
+    "similarity_topk_pq",
     "embedding_dim_stats",
     "text_lang_id",
     "text_quality",
@@ -65,6 +66,9 @@ FAMILY = [
     "text_repetition_filter",
     "chunk_dedup_rebuild",
     "text_token_diversity",
+    "text_perplexity_buckets",
+    "text_html_strip",
+    "source_reputation",
     "source_cap_sample",
     "source_temperature_mix",
     "benchmark_decontamination",
