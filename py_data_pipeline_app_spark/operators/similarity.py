@@ -128,6 +128,57 @@ def lsh_recall_estimate(threshold: float, n_planes: int, bands: int) -> float:
     return 1.0 - (1.0 - p**r) ** bands
 
 
+def lsh_config_for(
+    n_rows: int,
+    threshold: float,
+    *,
+    target_recall: float = 0.75,
+    target_occupancy: int = 32,
+    min_bits: int = 8,
+    max_bands: int = 128,
+) -> tuple[int, int]:
+    """(n_planes, bands) sized for a CORPUS, not just a threshold: the
+    missing half of the tuning story on
+    :func:`hyperplane_lsh_near_dup_pairs`. A fixed band width admits a
+    constant FRACTION of random pairs, so candidates grow with N² no
+    matter how good the fraction looks at eval scale (the 10× rehearsal
+    measured exactly this on the 8-bit config). Holding expected bucket
+    occupancy constant instead — 2^r ≥ n_rows / target_occupancy —
+    keeps per-bucket pair expansion bounded as the corpus grows, then
+    band COUNT restores recall at the threshold regime:
+    b = ceil(ln(1−ρ) / ln(1−p^r)), p = 1 − acos(t)/π.
+
+    Costs scale the right way: r·b projections per row grow only
+    logarithmically with the corpus (JVM-side folds, linear in rows),
+    while candidates track the true near-dup mass. At 10M rows /
+    threshold 0.9 / recall 0.75 this returns (494, 26) — 26 bands of
+    19-bit buckets — where the eval default (32, 4) would drown in
+    random collisions; at 1B rows it's (1675, 67), a few hundred
+    kFLOP/row, the price of keeping the candidate set linear. Raises
+    if the
+    recall target is unreachable within ``max_bands`` (threshold too
+    far below the sign-agreement regime — use the n-gram/minhash
+    family instead; hyperplane LSH cannot rescue threshold ≈ 0.4 at
+    scale, as the measured table documents)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    r = max(min_bits, math.ceil(math.log2(max(2, n_rows) / target_occupancy)))
+    hit = p**r
+    if hit >= 1.0:
+        return r, 1
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+    if bands > max_bands:
+        raise ValueError(
+            f"recall {target_recall} at threshold {threshold} needs {bands} "
+            f"bands of {r} bits for n={n_rows} (> max_bands={max_bands}); "
+            "this threshold regime is below what hyperplane LSH can block "
+            "at this scale - use minhash/ngram-jaccard or lower the recall "
+            "target."
+        )
+    return r * bands, bands
+
+
 def _deterministic_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Pseudo-random unit-ish hyperplanes from a fixed LCG — no RNG
     state, reproducible everywhere."""

@@ -411,3 +411,68 @@ def test_ivf_compact_preserves_probe_results(spark, emb, tmp_path):
     # append works again and probing still matches a fresh full build
     extra = emb.limit(0)  # no-op append exercises the manifest check
     ivf_index_append(spark, index, extra, batch_token="noop")
+
+
+def test_lsh_config_for_scales_with_corpus():
+    """Band width must grow with the corpus (constant occupancy), band
+    count must restore the recall target, and the predicted recall of
+    the returned config must meet it."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        lsh_config_for,
+        lsh_recall_estimate,
+    )
+
+    prev_bits = 0
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        n_planes, bands = lsh_config_for(n, 0.9, target_recall=0.75)
+        r = n_planes // bands
+        assert r >= prev_bits  # occupancy-constant: wider bands as n grows
+        prev_bits = r
+        assert 2 ** r >= n / 32  # the occupancy bound itself
+        assert lsh_recall_estimate(0.9, n_planes, bands) >= 0.75
+    # recall rises with the pair's cosine (the S-curve property)
+    n_planes, bands = lsh_config_for(10_000_000, 0.9)
+    assert lsh_recall_estimate(0.99, n_planes, bands) > lsh_recall_estimate(
+        0.9, n_planes, bands
+    )
+
+
+def test_lsh_config_for_rejects_hopeless_regime():
+    import pytest as _pytest
+
+    from py_data_pipeline_app_spark.operators.similarity import lsh_config_for
+
+    # threshold 0.4 at a billion rows: sign-agreement ~0.63 per bit,
+    # 25-bit bands hit with ~1e-5 — no sane band count reaches 0.75
+    with _pytest.raises(ValueError):
+        lsh_config_for(1_000_000_000, 0.4, target_recall=0.75)
+
+
+def test_lsh_config_feeds_operator(spark, emb):
+    """The returned config drops into hyperplane_lsh_near_dup_pairs
+    unchanged and still finds planted duplicates."""
+    import pyspark.sql.functions as F
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        hyperplane_lsh_near_dup_pairs,
+        lsh_config_for,
+    )
+
+    n = emb.count()
+    n_planes, bands = lsh_config_for(n, 0.9, target_recall=0.9)
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") + F.lit(0.001)
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    pairs = hyperplane_lsh_near_dup_pairs(
+        planted, dim=64, threshold=0.9, n_planes=n_planes, bands=bands
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(v, v + 1_000_000) for v in range(0, n, 10)}
+    hit = len(found & want) / len(want)
+    assert hit >= 0.85, hit
