@@ -65,6 +65,7 @@ HEADLINE = [
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_appended",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "text_quality",
     "text_token_stats",
     # curation passes:

@@ -39,8 +39,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import hashlib
+
 from py_data_pipeline_app_spark.functions.text import md5_long
-from py_data_pipeline_app_spark.operators.similarity import dot, l2_norm
+from py_data_pipeline_app_spark.operators.similarity import (
+    _assign_to_centroids,
+    _ivf_centroid_checksum,
+    _query_probes,
+    l2_norm,
+)
 
 
 def _sub(vec: Column, s: int, dsub: int) -> Column:
@@ -162,6 +169,7 @@ def pq_encode(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<int>, approx_norm double): each vector's
     nearest codeword per subspace (sequential-fold L2², lowest code id
@@ -209,6 +217,7 @@ def pq_encode(
         F.col(id_col),
         codes.cast("array<int>").alias("codes"),
         l2_norm(approx).alias("approx_norm"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -252,6 +261,36 @@ def pq_topk(
     cb, m, _ = _collect_codebook_literal(codebooks)
     if encoded is None:
         encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    return _adc_rank(
+        encoded,
+        queries,
+        cb,
+        m=m,
+        dim=dim,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def _adc_rank(
+    encoded: DataFrame,
+    queries: DataFrame,
+    cb: Column,
+    *,
+    m: int,
+    dim: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Asymmetric-distance ranking of (id, codes, approx_norm) rows:
+    per-query m×ksub dot-product table computed ONCE on the (small)
+    query side, per-row score = m lookups folded in subspace order.
+    Shared by :func:`pq_topk` (full-corpus scan) and
+    :func:`ivfpq_topk` (partition-pruned probe)."""
     qvec = F.col(vec_col)
     dsub = dim // m
     qtab = F.transform(
@@ -284,6 +323,188 @@ def pq_topk(
         ),
     )
     scored = encoded.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(num / (F.col("_qnorm") * F.col("approx_norm")), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
+    )
+
+
+def _md5_sample_centroids(
+    corpus: DataFrame, *, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(centroid_id, cvec): the deterministic md5-ordered coarse
+    centroid pick shared with operators.similarity.ivf_topk."""
+    return (
+        corpus.select(
+            md5_long(F.col(id_col).cast("string")).alias("_hk"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .orderBy("_hk")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
+        .select("centroid_id", "cvec")
+    )
+
+
+def _codebook_checksum(codebooks: DataFrame) -> str:
+    rows = codebooks.orderBy("sub_id", "code_id").collect()
+    payload = repr(
+        [(r.sub_id, r.code_id, [float(x) for x in r.codeword]) for r in rows]
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF-PQ index — the standard corpus-scale ANN
+    layout (FAISS's IVFPQ shape, rebuilt Spark-first): every vector's
+    coarse-centroid assignment AND its PQ codes computed in ONE pure
+    projection (zero shuffle — the build IS the scan), written
+    ``partitionBy(centroid_id)`` with only (id, codes, approx_norm)
+    per row.
+
+    Probing then compounds BOTH prunings: un-probed buckets cost zero
+    I/O (partition filter, the IVF win) and probed buckets read ~1/32
+    of the raw-vector bytes (PQ codes, the compression win) — at
+    100 TB the scan cost drops multiplicatively, which is why this is
+    the layout real vector stores converge on. Centroids + codebooks
+    are persisted beside the data with content checksums (the
+    fail-loudly manifest pattern shared with the LSH/IVF indexes).
+
+    Defaults keep every input deterministic (md5-ordered samples), so
+    probed results are oracle-reproducible end-to-end; pass trained
+    ``cents``/``codebooks`` for production recall behind the identical
+    plan."""
+    spark = corpus.sparkSession
+    if cents is None:
+        cents = _md5_sample_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    spark.createDataFrame(
+        [(_ivf_centroid_checksum(cents), _codebook_checksum(codebooks))],
+        "centroid_checksum string, codebook_checksum string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/config")
+    assigned = _assign_to_centroids(
+        corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
+    )
+    # one projection end-to-end: centroid assignment and codes are both
+    # pure functions of the vector, computed in the same scan task —
+    # never a join of two derived frames by id
+    combined = pq_encode(
+        assigned,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=("centroid_id",),
+    )
+    combined.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{index_path}/assigned"
+    )
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_ivfpq_index`:
+    probe each query's ``nprobe`` nearest centroid buckets (literal IN
+    partition filter — un-probed directories are never read), then
+    ADC-rank the probed rows' PQ codes per query. Scores are
+    bit-identical to :func:`pq_topk` restricted to the probed buckets
+    (parity-tested; the registered oracle replays probe + encode +
+    ADC end-to-end). Fails loudly if the persisted centroids or
+    codebooks drift from their build-time checksums."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    codebooks = spark.read.parquet(f"{index_path}/codebooks")
+    cfg = spark.read.parquet(f"{index_path}/config").first()
+    if _ivf_centroid_checksum(cents) != cfg.centroid_checksum:
+        raise ValueError(
+            f"IVF-PQ index at {index_path}: centroid table does not match its "
+            "build-time checksum - probes against drifted centroids silently "
+            "miss true neighbors. Rebuild the index."
+        )
+    if _codebook_checksum(codebooks) != cfg.codebook_checksum:
+        raise ValueError(
+            f"IVF-PQ index at {index_path}: codebook table does not match its "
+            "build-time checksum - ADC scores against drifted codebooks are "
+            "meaningless. Rebuild the index."
+        )
+    cb, m, _ = _collect_codebook_literal(codebooks)
+    dim = len(queries.select(vec_col).first()[0])
+    dsub = dim // m
+    probes = _query_probes(
+        queries,
+        F.broadcast(cents),
+        nprobe=nprobe,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+    )
+    qvec = F.col("_qvec")
+    qtab = F.transform(
+        cb,
+        lambda sub_cb, s: F.transform(
+            sub_cb,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, s.cast("int") * dsub + 1, dsub), cw,
+                    lambda p, q: p.cast("double") * q,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    q = probes.select(
+        F.col(query_id_col),
+        F.col("centroid_id"),
+        qtab.alias("_qtab"),
+        l2_norm(qvec).alias("_qnorm"),
+    )
+    probed = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+    encoded = spark.read.parquet(f"{index_path}/assigned").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    codes = F.col("codes")
+    num = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_qtab"), (s + 1).cast("int")),
+            (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = encoded.join(F.broadcast(q), "centroid_id").select(
         query_id_col,
         id_col,
         F.round(num / (F.col("_qnorm") * F.col("approx_norm")), 9).alias("score"),

@@ -169,3 +169,74 @@ def test_trained_codebooks_beat_sample(emb, cb, queries):
 def test_dim_must_divide(emb):
     with pytest.raises(ValueError):
         pq_codebooks(emb, m=7, ksub=8, dim=64)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(emb, tmp_path_factory):
+    from py_data_pipeline_app_spark.operators.quantization import build_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    build_ivfpq_index(emb, path, n_centroids=16, m=M, ksub=KSUB, dim=DIM)
+    return path
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb, cb, queries, ivfpq_index):
+    """nprobe = n_centroids probes everything, so IVF-PQ must equal the
+    full-corpus PQ scan bit-for-bit."""
+    from py_data_pipeline_app_spark.operators.quantization import ivfpq_topk
+
+    got = ivfpq_topk(spark, ivfpq_index, queries, k=5, nprobe=16)
+    want = pq_topk(emb, queries, m=M, ksub=KSUB, dim=DIM, k=5, codebooks=cb)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivfpq_prunes_partitions(spark, queries, ivfpq_index):
+    """The probed-centroid IN filter must reach the parquet scan as a
+    PartitionFilter — un-probed buckets are never read."""
+    from py_data_pipeline_app_spark.operators.quantization import ivfpq_topk
+
+    one_query = queries.limit(1)
+    plan = ivfpq_topk(
+        spark, ivfpq_index, one_query, k=5, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan
+    assert "INSET" in plan or " IN (" in plan
+
+
+def test_ivfpq_index_stores_codes_not_vectors(spark, ivfpq_index):
+    df = spark.read.parquet(f"{ivfpq_index}/assigned")
+    assert set(df.columns) == {"vec_id", "codes", "approx_norm", "centroid_id"}
+    assert "embedding" not in df.columns  # the compression IS the point
+
+
+def test_ivfpq_checksum_drift_fails_loudly(spark, emb, queries, tmp_path):
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, n_centroids=8, m=M, ksub=8, dim=DIM)
+    # corrupt the centroid table (rewrite from a different sample)
+    spark.read.parquet(f"{path}/centroids").limit(7).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    with pytest.raises(ValueError, match="checksum"):
+        ivfpq_topk(spark, path, queries, k=5, nprobe=2)
+
+
+def test_ivfpq_recall_not_worse_than_halved_probe(spark, emb, cb, queries, ivfpq_index):
+    """More probes can only add candidates: top-k at nprobe=8 must
+    contain at least as many true (brute-force) hits as nprobe=2."""
+    from py_data_pipeline_app_spark.operators.quantization import ivfpq_topk
+
+    bf = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+
+    def hits(nprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_topk(spark, ivfpq_index, queries, k=10, nprobe=nprobe).collect()
+        }
+        return len(got & bf)
+
+    assert hits(8) >= hits(2)

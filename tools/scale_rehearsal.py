@@ -57,6 +57,7 @@ FAMILY = [
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_appended",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "embedding_dim_stats",
     "text_lang_id",
     "text_quality",
