@@ -768,7 +768,7 @@ def ivf_index_append(
     return token
 
 
-def ivf_index_compact(spark, index_path: str) -> int:
+def ivf_index_compact(spark, index_path: str, *, keep_newest: bool = False) -> int:
     """Merge every ``appends/batch-*`` directory into the base
     ``assigned/`` table. Each append adds one directory the probing
     reader must list and scan-plan separately; after many daily feeds
@@ -783,21 +783,28 @@ def ivf_index_compact(spark, index_path: str) -> int:
     between stages leaves either the old layout (retry merges again)
     or a complete staged copy (retry finishes the swap); the reader
     never sees a half-written base because the swap is two renames.
-    Do not run concurrently with appends or probes. Returns the number
-    of append directories merged (0 = nothing to do)."""
+    Do not run concurrently with appends or probes — EXCEPT inside a
+    streaming foreachBatch with ``keep_newest=True``, which leaves the
+    lexically newest batch subdirectory untouched so the one
+    micro-batch Structured Streaming could still replay after a crash
+    keeps overwriting its own append instead of racing a deletion
+    (same contract as dedup_incremental.compact_index). Returns the
+    number of append directories merged (0 = nothing to do)."""
     fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
     if not fs.exists(appends_path):
         return 0
-    batch_dirs = [
+    batch_dirs = sorted(
         str(s.getPath())
         for s in fs.listStatus(appends_path)
         if s.isDirectory() and s.getPath().getName().startswith("batch-")
-    ]
+    )
+    if keep_newest and batch_dirs:
+        batch_dirs = batch_dirs[:-1]
     if not batch_dirs:
         return 0
     base = spark.read.parquet(f"{index_path}/assigned")
     merged = base
-    for d in sorted(batch_dirs):
+    for d in batch_dirs:
         merged = merged.unionByName(spark.read.parquet(d))
     staged = f"{index_path}/assigned-compact"
     merged.write.partitionBy("centroid_id").mode("overwrite").parquet(staged)
@@ -807,7 +814,10 @@ def ivf_index_compact(spark, index_path: str) -> int:
     fs.rename(jvm(f"{index_path}/assigned"), old)
     fs.rename(jvm(staged), jvm(f"{index_path}/assigned"))
     fs.delete(old, True)
-    fs.delete(appends_path, True)
+    for d in batch_dirs:
+        fs.delete(jvm(d), True)
+    if not keep_newest:
+        fs.delete(appends_path, True)
     return len(batch_dirs)
 
 

@@ -1,0 +1,76 @@
+"""Streaming embedding ingest: the incremental front door of the
+persisted IVF index (extension — the reference has no streaming or
+vector surface).
+
+A daily/continuous embedding feed folds each arriving micro-batch into
+``operators.similarity``'s persisted IVF index via
+:func:`~py_data_pipeline_app_spark.operators.similarity.ivf_index_append`
+— work ∝ batch (assignment against the persisted centroids only), never
+∝ corpus. The index lives in parquet on shared storage, so the
+streaming state store stays EMPTY and probes
+(:func:`~py_data_pipeline_app_spark.operators.similarity.ivf_topk_indexed`)
+see every committed batch immediately — the same state design as the
+near-dup stream in ``streaming.dedup``.
+
+Exactly-once under micro-batch replay: the append's ``batch_token`` is
+the micro-batch id, and appends write ``appends/batch-{token}`` in
+overwrite mode — a retried batch overwrites its own half-committed
+append instead of duplicating rows. Compaction runs inside
+foreachBatch every ``compact_every`` batches (structurally serialized
+with appends) and keeps the newest batch subdirectory untouched so the
+one batch Structured Streaming could still replay stays overwritable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_embedding_ingest_stream(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    schema: T.StructType,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = 16,
+    query_name: str = "embedding_ingest",
+) -> StreamingQuery:
+    """File-landing → per-batch IVF index append. The index must
+    already exist (``build_ivf_index`` over the initial corpus — the
+    centroid set is fixed at build time; appends never move it, which
+    is what makes probe results independent of arrival order,
+    parity-tested against one full rebuild). ``availableNow`` drains
+    the landing directory and terminates, so repeated calls with one
+    checkpoint fold newly landed files incrementally."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_compact,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_index_append(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_token=f"{batch_id:08d}",
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            ivf_index_compact(spark, index_path, keep_newest=True)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

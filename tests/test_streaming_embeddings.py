@@ -1,0 +1,101 @@
+"""Streaming embedding ingest: per-batch IVF appends must probe
+identically to one full rebuild (arrival-order independence), across a
+compaction boundary, with bounded append-directory count."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from py_data_pipeline_app_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_topk_indexed,
+)
+from py_data_pipeline_app_spark.streaming.embeddings import (
+    start_embedding_ingest_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def _probe(spark, index, queries):
+    return sorted(
+        map(tuple, ivf_topk_indexed(spark, index, queries, k=5, nprobe=4).collect())
+    )
+
+
+def test_streamed_appends_probe_like_full_rebuild(spark, emb, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index = str(tmp_path / "index")
+    # initial corpus = vec_id % 4 == 0; three streamed batches cover the rest
+    initial = emb.filter(F.col("vec_id") % 4 == 0)
+    build_ivf_index(initial, index, n_centroids=16)
+    for part in (1, 2, 3):
+        emb.filter(F.col("vec_id") % 4 == part).coalesce(1).write.parquet(
+            f"{landing}/b{part}"
+        )
+        q = start_embedding_ingest_stream(
+            spark, landing + "/*", ckpt, SCHEMA, index, compact_every=2
+        )
+        q.awaitTermination(120)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _probe(spark, index, queries)
+
+    # reference: one rebuild over everything with the SAME centroids
+    # (drawn from the initial corpus, like the streamed index's)
+    ref_index = str(tmp_path / "ref_index")
+    cents = spark.read.parquet(f"{index}/centroids")
+    build_ivf_index(emb, ref_index, cents=cents)
+    want = _probe(spark, ref_index, queries)
+    assert got == want
+
+    # compaction kept the append listing bounded: batch ids 0..2 ran,
+    # compact at id 2 merged all but the newest
+    import os
+
+    appends = os.path.join(index, "appends")
+    n_appends = (
+        len([d for d in os.listdir(appends) if d.startswith("batch-")])
+        if os.path.isdir(appends)
+        else 0
+    )
+    assert n_appends <= 1, n_appends
+
+
+def test_replayed_batch_token_overwrites(spark, emb, tmp_path):
+    """A micro-batch retried with the same id must overwrite its own
+    append, not duplicate rows (simulated by calling the append twice
+    with one token, exactly what foreachBatch replay does)."""
+    from py_data_pipeline_app_spark.operators.similarity import ivf_index_append
+
+    index = str(tmp_path / "index")
+    initial = emb.filter(F.col("vec_id") % 2 == 0)
+    build_ivf_index(initial, index, n_centroids=8)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf_index_append(spark, index, batch, batch_token="00000007")
+    ivf_index_append(spark, index, batch, batch_token="00000007")  # replay
+    total = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{index}/appends")
+        .count()
+    )
+    assert total == batch.count()
