@@ -82,6 +82,8 @@ HEADLINE = [
     "split_leakage_audit",
     "source_cap_sample",
     "source_temperature_mix",
+    "source_epoch_mix",
+    "corpus_bigram_merges",
     "text_token_diversity",
     "text_perplexity_buckets",
     "text_html_strip",

@@ -576,3 +576,33 @@ def token_diversity(
             ).alias("simpson_diversity"),
         )
     )
+
+
+def bigram_merge_candidates(
+    docs: DataFrame, *, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Top-k adjacent-token pairs by corpus frequency — the first
+    iteration of BPE/WordPiece vocabulary induction (the merge table
+    is built by repeatedly taking exactly this ranking; one iteration
+    is the distributable hot loop, run to fixpoint by a driver loop
+    that re-tokenizes with the chosen merge between rounds).
+
+    Scale shape: pair generation is a per-row zip of the token array
+    with its own tail (zero shuffle), then ONE keyed count with
+    map-side combine and a TakeOrdered top-k (per-partition heads,
+    driver merge of k rows — the full pair table never sorts).
+    Deterministic cut: count desc, pair asc."""
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(k)
+    )

@@ -229,3 +229,51 @@ def source_temperature_mix(
     return ranked.join(F.broadcast(quotas), source_col).filter(
         F.col("mix_rank") <= F.col("quota")
     ).select(id_col, source_col, "src_total", "quota", "mix_rank")
+
+
+def epoch_oversample(
+    docs: DataFrame,
+    epochs: Mapping[str, float],
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "epoch",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Deterministic sampling WITH replacement for multi-epoch data
+    mixing (the standard pretraining recipe: up-weighted sources repeat
+    across the token budget — e.g. Wikipedia at 3.2 epochs while the
+    big crawl runs at 0.9): every document gets ``floor(e)`` copies
+    plus one more iff its hash bucket falls under ``frac(e)``, so the
+    EXACT expected ratio is hit per source with zero RNG state, and
+    every copy is addressable via its ``epoch_copy`` ordinal (stable
+    shuffling/sharding downstream — copy k of doc d is the same row on
+    every run). Fractions resolve to integer thresholds out of BUCKETS
+    (exact cross-engine, no float boundary). Epochs < 1 subsample:
+    floor = 0 and the fractional rule keeps the right share.
+
+    Scale shape: one hash + one ``explode(sequence(...))`` per row —
+    zero shuffle, linear in OUTPUT size (which is the point: the
+    operator materializes the mixture a trainer consumes)."""
+    n_copies = None
+    for src, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs for {src!r} must be >= 0, got {e}")
+    b = hash_bucket(F.col(id_col), seed)
+
+    def copies_for(e: float) -> Column:
+        whole = int(e)
+        frac_th = round((e - whole) * BUCKETS)
+        return F.lit(whole) + (b < F.lit(frac_th)).cast("int")
+
+    n_copies = copies_for(default_epochs)
+    expr = None
+    for src, e in sorted(epochs.items()):
+        c = copies_for(e)
+        expr = F.when(F.col(source_col) == src, c) if expr is None else expr.when(
+            F.col(source_col) == src, c
+        )
+    n_copies = expr.otherwise(n_copies) if expr is not None else n_copies
+    return docs.withColumn("_n", n_copies).filter(F.col("_n") > 0).select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("epoch_copy")
+    ).drop("_n")

@@ -3304,6 +3304,70 @@ def source_reputation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_bigram_merges",
+    f"""
+    WITH toks AS (
+      SELECT list_filter({_SQL_WS}, x -> x <> '') AS ws FROM documents
+    ),
+    bp AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS pair
+      FROM toks
+    ),
+    c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM bp GROUP BY pair)
+    SELECT pair, n_occurrences FROM c
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+)
+def corpus_bigram_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token pairs (operators/curation
+    bigram_merge_candidates) — the first BPE/WordPiece merge-table
+    iteration, the distributable hot loop of tokenizer training.
+    Per-row zip of the token array with its own tail (zero shuffle),
+    one keyed count with map-side combine, TakeOrdered top-k —
+    the full pair table never sorts. Deterministic cut: count desc,
+    pair asc, replayed exactly by the oracle."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_merge_candidates,
+    )
+
+    return bigram_merge_candidates(load_table(spark, "documents", sf_dir), k=50)
+
+
+@register(
+    "source_epoch_mix",
+    f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN 2 + (CASE WHEN {sql_hash_bucket("doc_id", "epoch")} < 5000 THEN 1 ELSE 0 END)
+                  WHEN source = 'src1' THEN 0 + (CASE WHEN {sql_hash_bucket("doc_id", "epoch")} < 5000 THEN 1 ELSE 0 END)
+                  ELSE 1 END AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS INT) AS epoch_copy
+    FROM n WHERE n_copies > 0
+    """,
+)
+def source_epoch_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch data mixing (operators/sampling
+    epoch_oversample): src0 repeats at 2.5 epochs, src1 subsamples at
+    0.5, everything else runs once — the standard pretraining recipe
+    of up-weighting clean sources across the token budget, with zero
+    RNG state (hash-fraction decides the fractional copy, so copy k of
+    doc d is the same row on every run — stable downstream sharding).
+    One hash + one explode(sequence) per row, zero shuffle; linear in
+    OUTPUT size. The oracle replays bucket thresholds and copy
+    ordinals exactly."""
+    from py_data_pipeline_app_spark.operators.sampling import epoch_oversample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return epoch_oversample(
+        docs, {"src0": 2.5, "src1": 0.5}, default_epochs=1.0
+    ).select("doc_id", "source", "epoch_copy")
+
+
+@register(
     "user_retention_set_ops",
     """
     WITH a AS (SELECT DISTINCT user_id FROM events

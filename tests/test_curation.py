@@ -249,3 +249,28 @@ def test_perplexity_external_lm(spark):
 
     assert abs(got[10] - round(-math.log(0.5), 6)) < 1e-6
     assert abs(got[11] - round(-math.log(0.25), 6)) < 1e-6
+
+
+def test_bigram_merge_candidates_python_model(spark):
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_merge_candidates,
+    )
+
+    rows = [
+        (1, "new york new york city"),
+        (2, "york new york is big"),
+        (3, "one token"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r.pair, r.n_occurrences) for r in bigram_merge_candidates(df, k=3).collect()]
+    # python model
+    from collections import Counter
+
+    c = Counter()
+    for _, t in rows:
+        ws = t.split()
+        c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
+    assert got[0] == ("new york", 3)

@@ -224,3 +224,41 @@ def test_source_temperature_mix_flattens_head(spark):
     total = sum(share.values())
     assert share["head"] / total < 0.9  # proportional would be 0.9
     assert share["tail"] / total > 0.1
+
+
+def test_epoch_oversample_ratios_and_stability(spark):
+    """Copy counts hit the exact per-source expectation (hash-fraction,
+    not RNG), rerunning is bit-stable, and epochs < 1 subsample."""
+    from py_data_pipeline_app_spark.operators.sampling import epoch_oversample
+
+    rows = [(i, f"s{i % 3}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    import pyspark.sql.functions as F
+
+    out = epoch_oversample(df, {"s0": 2.5, "s1": 0.25}, default_epochs=1.0)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # 1000 docs per source; hash-fraction keeps the ratio within a few %
+    assert abs(counts["s0"] - 2500) < 100, counts
+    assert abs(counts["s1"] - 250) < 60, counts
+    assert counts["s2"] == 1000
+    # every copy is addressable and contiguous from 1
+    per_doc = out.groupBy("doc_id").agg(
+        F.max("epoch_copy").alias("mx"), F.count("*").alias("n")
+    )
+    assert per_doc.filter(F.col("mx") != F.col("n")).count() == 0
+    # determinism: same rows on a rerun
+    again = epoch_oversample(df, {"s0": 2.5, "s1": 0.25}, default_epochs=1.0)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_epoch_oversample_rejects_negative(spark):
+    import pytest as _pytest
+
+    from py_data_pipeline_app_spark.operators.sampling import epoch_oversample
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with _pytest.raises(ValueError):
+        epoch_oversample(df, {"a": -1.0})

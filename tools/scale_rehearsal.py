@@ -72,6 +72,8 @@ FAMILY = [
     "source_reputation",
     "source_cap_sample",
     "source_temperature_mix",
+    "source_epoch_mix",
+    "corpus_bigram_merges",
     "benchmark_decontamination",
     "cross_corpus_decontamination",
     "sequence_packing",
