@@ -66,6 +66,7 @@ HEADLINE = [
     "similarity_topk_ivf_appended",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_appended",
     "text_quality",
     "text_token_stats",
     # curation passes:

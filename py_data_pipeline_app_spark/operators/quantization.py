@@ -44,6 +44,7 @@ import hashlib
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.similarity import (
     _assign_to_centroids,
+    _hadoop_fs,
     _ivf_centroid_checksum,
     _query_probes,
     l2_norm,
@@ -393,6 +394,14 @@ def build_ivfpq_index(
     ``cents``/``codebooks`` for production recall behind the identical
     plan."""
     spark = corpus.sparkSession
+    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}")
+    if fs.exists(appends_path):
+        raise ValueError(
+            f"IVF-PQ index at {index_path} has appended batches; rebuilding "
+            "the base would orphan their assignments and codes (the reader "
+            "unions base + appends). Delete the index directory for a full "
+            "rebuild."
+        )
     if cents is None:
         cents = _md5_sample_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
@@ -494,6 +503,20 @@ def ivfpq_topk(
     encoded = spark.read.parquet(f"{index_path}/assigned").filter(
         F.col("centroid_id").isin(probed)
     )
+    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}")
+    if fs.exists(appends_path):
+        for status in sorted(
+            fs.listStatus(appends_path), key=lambda s: str(s.getPath())
+        ):
+            if not (
+                status.isDirectory()
+                and status.getPath().getName().startswith("batch-")
+            ):
+                continue
+            batch = spark.read.parquet(str(status.getPath())).filter(
+                F.col("centroid_id").isin(probed)
+            )
+            encoded = encoded.unionByName(batch)
     codes = F.col("codes")
     num = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -515,3 +538,69 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
     )
+
+
+IVFPQ_APPENDS_SUBDIR = "appends"
+
+
+def ivfpq_index_append(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_token: str | None = None,
+) -> str:
+    """Fold a NEW embedding batch into a persisted
+    :func:`build_ivfpq_index` without touching the corpus: the batch is
+    assigned against the index's own centroids AND encoded against its
+    own codebooks — one batch-sized projection, work ∝ |batch| — and
+    written under an idempotent ``appends/batch-{token}`` subdirectory
+    in the same ``partitionBy(centroid_id)`` / codes-only layout. The
+    daily-feed story the IVF and LSH indexes already have, for the
+    compressed index too.
+
+    Parity contract (tested): build(A) then append(B) probes
+    bit-identically to build(A∪B) with the same centroids + codebooks
+    (per-row assignment and codes depend only on the vector and the
+    frozen tables). Fails loudly when either persisted table drifts
+    from its build-time checksum — drifted centroids mis-probe,
+    drifted codebooks make ADC scores meaningless. Appending a vec_id
+    already in the index is unsupported (the reader unions). Returns
+    the batch token."""
+    import uuid
+
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    codebooks = spark.read.parquet(f"{index_path}/codebooks")
+    cfg = spark.read.parquet(f"{index_path}/config").first()
+    if _ivf_centroid_checksum(cents) != cfg.centroid_checksum:
+        raise ValueError(
+            f"IVF-PQ index at {index_path}: centroid table does not match its "
+            "build-time checksum - appends assigned against drifted centroids "
+            "would silently miss true neighbors. Rebuild the index."
+        )
+    if _codebook_checksum(codebooks) != cfg.codebook_checksum:
+        raise ValueError(
+            f"IVF-PQ index at {index_path}: codebook table does not match its "
+            "build-time checksum - codes from drifted codebooks are "
+            "meaningless. Rebuild the index."
+        )
+    token = batch_token or uuid.uuid4().hex[:12]
+    assigned = _assign_to_centroids(
+        new_vectors.select(F.col(id_col), F.col(vec_col)),
+        F.broadcast(cents),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    combined = pq_encode(
+        assigned,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=("centroid_id",),
+    )
+    combined.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        f"{index_path}/{IVFPQ_APPENDS_SUBDIR}/batch-{token}"
+    )
+    return token

@@ -1510,13 +1510,17 @@ def _ivfpq_oracle(
     ksub: int = 16,
     dim: int = 64,
     k: int = 5,
+    sample_src: str = "embeddings",
 ) -> str:
     """DuckDB mirror of the FULL ivfpq_topk computation: the md5-ordered
     centroid pick + argmax bucket assignment + nprobe probing of
     _ivf_oracle composed with the codebook pick + per-subspace encode +
     ordered ADC fold of _pq_oracle — scoring restricted to each query's
     probed buckets. Every step deterministic; recall vs exact asserted
-    in tests."""
+    in tests. ``sample_src`` is the relation BOTH deterministic samples
+    (centroids and codebooks) are drawn from — the full corpus for
+    build-everything queries, the initial batch for the incremental
+    append-parity query (appends never move either table)."""
     dsub = dim // m
     cos_ec = _sql_cos("e.embedding", "c.cvec")
     cos_qc = _sql_cos("q.embedding", "c.cvec")
@@ -1536,7 +1540,7 @@ def _ivfpq_oracle(
       SELECT vec_id, embedding,
              ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
                AS _hk
-      FROM embeddings
+      FROM {sample_src}
     ),
     cents AS (
       SELECT row_number() OVER (ORDER BY _hk) - 1 AS centroid_id, embedding AS cvec
@@ -1628,6 +1632,42 @@ def similarity_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     index = _scratch_dir("ivfpq_index")
     build_ivfpq_index(emb, index, n_centroids=16, m=8, ksub=16, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(spark, index, queries, k=5, nprobe=4)
+
+
+@register(
+    "similarity_topk_ivfpq_appended",
+    _ivfpq_oracle(sample_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+)
+def similarity_topk_ivfpq_appended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF-PQ append (operators/quantization
+    ivfpq_index_append): the compressed index is built from the even-id
+    half (centroids AND codebooks drawn from that initial batch — both
+    frozen at build time), the odd-id half arrives later and is
+    assigned + encoded against the persisted tables only (one
+    batch-sized projection, work ∝ batch), landing as an idempotent
+    ``appends/batch-{token}`` partition-pruned directory of codes.
+    Probing the combined index must equal one full build over the
+    whole corpus with the same tables — the oracle computes exactly
+    that, so a green row IS the append-vs-rebuild parity check,
+    value-hashed cross-engine. Build + append are EAGER writes at
+    plan-construction time (same timing asymmetry note as the other
+    indexed queries)."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    index = _scratch_dir("ivfpq_append")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    build_ivfpq_index(even, index, n_centroids=16, m=8, ksub=16, dim=64)
+    ivfpq_index_append(spark, index, odd, batch_token="odd")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

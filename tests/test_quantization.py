@@ -240,3 +240,48 @@ def test_ivfpq_recall_not_worse_than_halved_probe(spark, emb, cb, queries, ivfpq
         return len(got & bf)
 
     assert hits(8) >= hits(2)
+
+
+def test_ivfpq_append_parity_with_full_rebuild(spark, emb, queries, tmp_path):
+    """build(evens) + append(odds) must probe bit-identically to one
+    build over everything with the same centroids + codebooks."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_topk,
+    )
+
+    incr = str(tmp_path / "incr")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    build_ivfpq_index(even, incr, n_centroids=16, m=M, ksub=KSUB, dim=DIM)
+    ivfpq_index_append(spark, incr, odd, batch_token="odds")
+    got = sorted(
+        map(tuple, ivfpq_topk(spark, incr, queries, k=5, nprobe=4).collect())
+    )
+
+    full = str(tmp_path / "full")
+    cents = spark.read.parquet(f"{incr}/centroids")
+    cbs = spark.read.parquet(f"{incr}/codebooks")
+    build_ivfpq_index(emb, full, cents=cents, codebooks=cbs)
+    want = sorted(
+        map(tuple, ivfpq_topk(spark, full, queries, k=5, nprobe=4).collect())
+    )
+    assert got == want
+
+
+def test_ivfpq_rebuild_with_appends_fails(spark, emb, tmp_path):
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8, m=M, ksub=8, dim=DIM
+    )
+    ivfpq_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 1), batch_token="b"
+    )
+    with pytest.raises(ValueError, match="appended batches"):
+        build_ivfpq_index(emb, path, n_centroids=8, m=M, ksub=8, dim=DIM)

@@ -58,6 +58,7 @@ FAMILY = [
     "similarity_topk_ivf_appended",
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_appended",
     "embedding_dim_stats",
     "text_lang_id",
     "text_quality",
