@@ -90,6 +90,7 @@ HEADLINE = [
     "text_html_strip",
     "source_reputation",
     "embedding_dim_stats",
+    "embedding_outliers",
     "scd2_state_history",
     # multimodal:
     "media_payload_profile",

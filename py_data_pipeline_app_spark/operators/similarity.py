@@ -868,3 +868,69 @@ def ivf_topk_indexed(
     return _rank_probed(
         assigned, probes, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    *,
+    z: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Degenerate-embedding detection for data cleaning: rows whose L2
+    norm sits more than ``z`` standard deviations from the corpus mean,
+    plus rows that are empty or non-finite — the actual failure modes
+    an encoder fleet produces (truncated inputs, all-zero fallbacks,
+    fp overflows). Returns (id, norm, n_dims, is_outlier).
+
+    Norm — not cosine — is the right signal here: cosine is
+    scale-invariant, so a near-zero "failed" vector can look perfectly
+    ordinary by direction (measured: planted 0.001-norm junk lands at
+    the cluster-cosine MEAN on an isotropic corpus).
+
+    TWO-pass trimmed moments against masking: a single huge-norm row
+    inflates σ enough to hide a near-zero row inside the band (plain
+    z-scores are not robust to the outliers they hunt), so the band is
+    re-estimated after excluding pass-1 outliers — the standard
+    robustification that keeps the plan two linear aggregates instead
+    of an exact-median sort. Determinism: norms round to 6 dp, both
+    passes' moments come from decimal sums (order-free), bands are
+    rounded double expressions — the verdict value-hashes cross-engine.
+
+    Scale shape: one projection for norms, two global moment
+    aggregates (map-side partials to one tiny row each), broadcast
+    band joins — the corpus never shuffles."""
+    norms = corpus.select(
+        F.col(id_col),
+        F.round(l2_norm(F.col(vec_col)), 6).alias("norm"),
+        F.size(F.col(vec_col)).alias("n_dims"),
+    )
+    nn = F.col("norm")
+    finite = nn.isNotNull() & ~F.isnan(nn) & (F.col("n_dims") > 0)
+
+    def band_of(rows: DataFrame):
+        stats = rows.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(nn.cast("decimal(18,6)")).alias("_s1"),
+            F.sum((nn * nn).cast("decimal(24,12)")).alias("_s2"),
+        )
+        mean = F.col("_s1").cast("double") / F.col("_n")
+        sd = F.sqrt(
+            F.greatest(
+                F.col("_s2").cast("double") / F.col("_n") - mean * mean, F.lit(0.0)
+            )
+        )
+        return stats.select(
+            F.round(mean - F.lit(z) * sd, 6).alias("_lo"),
+            F.round(mean + F.lit(z) * sd, 6).alias("_hi"),
+        )
+    pass1 = norms.filter(finite).crossJoin(
+        F.broadcast(band_of(norms.filter(finite)))
+    ).filter((nn >= F.col("_lo")) & (nn <= F.col("_hi"))).drop("_lo", "_hi")
+    band2 = band_of(pass1)
+    return norms.crossJoin(F.broadcast(band2)).select(
+        id_col,
+        "norm",
+        "n_dims",
+        (~finite | (nn < F.col("_lo")) | (nn > F.col("_hi"))).alias("is_outlier"),
+    )

@@ -1675,6 +1675,63 @@ def similarity_topk_ivfpq_appended_q(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "embedding_outliers",
+    f"""
+    WITH norms AS (
+      SELECT vec_id,
+             round(sqrt(list_reduce(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)), 6) AS norm,
+             CAST(len(embedding) AS INT) AS n_dims
+      FROM embeddings
+    ),
+    fin AS (
+      SELECT * FROM norms
+      WHERE norm IS NOT NULL AND NOT isnan(norm) AND n_dims > 0
+    ),
+    band1 AS (
+      SELECT round((s1::DOUBLE / n) - 3.0 * sqrt(greatest(
+               s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n), 0.0)), 6)
+               AS lo,
+             round((s1::DOUBLE / n) + 3.0 * sqrt(greatest(
+               s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n), 0.0)), 6)
+               AS hi
+      FROM (SELECT count(*) AS n, sum(norm::DECIMAL(18,6)) AS s1,
+                   sum((norm * norm)::DECIMAL(24,12)) AS s2 FROM fin)
+    ),
+    trimmed AS (
+      SELECT fin.* FROM fin, band1 WHERE norm >= lo AND norm <= hi
+    ),
+    band2 AS (
+      SELECT round((s1::DOUBLE / n) - 3.0 * sqrt(greatest(
+               s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n), 0.0)), 6)
+               AS lo,
+             round((s1::DOUBLE / n) + 3.0 * sqrt(greatest(
+               s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n), 0.0)), 6)
+               AS hi
+      FROM (SELECT count(*) AS n, sum(norm::DECIMAL(18,6)) AS s1,
+                   sum((norm * norm)::DECIMAL(24,12)) AS s2 FROM trimmed)
+    )
+    SELECT vec_id, norm, n_dims,
+           (norm IS NULL OR isnan(norm) OR n_dims = 0
+            OR norm < lo OR norm > hi) AS is_outlier
+    FROM norms, band2
+    """,
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-embedding detection (operators/similarity
+    embedding_outliers): rows whose L2 norm leaves the trimmed corpus
+    mean ± 3σ band, plus empty/non-finite rows — the encoder-fleet
+    failure modes (zero fallbacks, overflows, truncations). Norm, not
+    cosine: cosine is scale-invariant and blind to exactly these
+    failures; two-pass trimmed moments so one huge-norm row cannot
+    mask a near-zero one. One projection + two global moment
+    aggregates + broadcast band joins; decimal-backed moments
+    value-hash cross-engine."""
+    from py_data_pipeline_app_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(load_table(spark, "embeddings", sf_dir), z=3.0)
+
+
+@register(
     "chunk_dedup_rebuild",
     f"""
     WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),

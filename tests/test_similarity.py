@@ -476,3 +476,23 @@ def test_lsh_config_feeds_operator(spark, emb):
     want = {(v, v + 1_000_000) for v in range(0, n, 10)}
     hit = len(found & want) / len(want)
     assert hit >= 0.85, hit
+
+
+def test_embedding_outliers_flags_planted_junk(spark, emb):
+    """Planted near-zero and huge-norm 'encoder failure' rows must be
+    flagged; the unit-norm-ish corpus overwhelmingly must not."""
+    from py_data_pipeline_app_spark.operators.similarity import embedding_outliers
+
+    junk = spark.createDataFrame(
+        [(9_000_000, [0.0001] * 64, 0),          # near-zero fallback
+         (9_000_001, [50.0] * 64, 0),            # overflow-ish
+         (9_000_002, [float("nan")] * 64, 0),    # non-finite
+         (9_000_003, [], 0)],                    # empty row
+        "vec_id long, embedding array<float>, label int",
+    )
+    planted = emb.unionByName(junk)
+    out = {r.vec_id: r for r in embedding_outliers(planted, z=3.0).collect()}
+    for vid in (9_000_000, 9_000_001, 9_000_002, 9_000_003):
+        assert out[vid].is_outlier, vid
+    base_flagged = sum(1 for v, r in out.items() if v < 9_000_000 and r.is_outlier)
+    assert base_flagged / emb.count() < 0.05

@@ -60,6 +60,7 @@ FAMILY = [
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_appended",
     "embedding_dim_stats",
+    "embedding_outliers",
     "text_lang_id",
     "text_quality",
     "text_token_stats",
