@@ -61,6 +61,7 @@ HEADLINE = [
     "embedding_near_dup",
     "semantic_dedup",
     "similarity_topk",
+    "semantic_doc_retrieval",
     "similarity_topk_ivf",
     "similarity_topk_ivf_indexed",
     "similarity_topk_ivf_appended",

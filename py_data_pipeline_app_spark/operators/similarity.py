@@ -934,3 +934,38 @@ def embedding_outliers(
         "n_dims",
         (~finite | (nn < F.col("_lo")) | (nn > F.col("_hi"))).alias("is_outlier"),
     )
+
+
+def retrieve_docs(
+    emb: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    doc_cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+) -> DataFrame:
+    """Retrieval composition (the RAG fetch pattern): ANN top-k over
+    the embedding table, then hydrate each hit with its document row —
+    the engine's tables composing end-to-end instead of stopping at id
+    lists. Returns (query_id, doc_id, rank, score, *doc_cols).
+
+    Scale shape: the top-k result is |queries|·k rows — broadcast it
+    against the document table, so hydration is a map-side hash join
+    (the doc scan prunes to the selected columns; with the corpus
+    bucketed by id it is a point-lookup pattern). Uses the exact
+    brute-force ranker for oracle fidelity; swap in ivf_topk /
+    ivfpq_topk for the probed scale path — the hydration join is
+    identical."""
+    hits = brute_force_topk(
+        emb, queries, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    )
+    d = docs.select(F.col(doc_id_col), *[F.col(c) for c in doc_cols])
+    return (
+        F.broadcast(hits)
+        .join(d, hits[id_col] == d[doc_id_col])
+        .select(query_id_col, doc_id_col, "rank", "score", *doc_cols)
+    )

@@ -1732,6 +1732,43 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_doc_retrieval",
+    f"""
+    WITH hits AS (
+      SELECT query_id, vec_id, score, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               round({_sql_cos('c.embedding', 'q.embedding')}, 9) AS score,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_sql_cos('c.embedding', 'q.embedding')}, 9) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+      ) WHERE rank <= 3
+    )
+    SELECT h.query_id, d.doc_id, h.rank, h.score, d.lang, d.source, d.n_chars
+    FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+    """,
+)
+def semantic_doc_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval composition (operators/similarity retrieve_docs — the
+    RAG fetch pattern): exact cosine top-3 for 5 query vectors over the
+    embedding table, each hit hydrated with its document row (the
+    embedding and document tables share the id space). The |queries|·k
+    hit set broadcasts into the hydration join, so the document scan
+    is a pruned map-side lookup; swap the ranker for ivf/ivfpq_topk
+    for the probed scale path — the hydration join is identical."""
+    from py_data_pipeline_app_spark.operators.similarity import retrieve_docs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return retrieve_docs(emb, queries, docs, k=3)
+
+
+@register(
     "chunk_dedup_rebuild",
     f"""
     WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),

@@ -285,3 +285,16 @@ def test_ivfpq_rebuild_with_appends_fails(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="appended batches"):
         build_ivfpq_index(emb, path, n_centroids=8, m=M, ksub=8, dim=DIM)
+
+
+def test_pq_encode_plan_is_zero_shuffle(emb, cb):
+    """Encoding must be a pure projection over the scan — no Exchange:
+    at corpus scale the encode pass IS the scan, and a shuffle would
+    be pure waste (nothing is keyed)."""
+    plan = (
+        pq_encode(emb, cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

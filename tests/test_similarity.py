@@ -496,3 +496,23 @@ def test_embedding_outliers_flags_planted_junk(spark, emb):
         assert out[vid].is_outlier, vid
     base_flagged = sum(1 for v, r in out.items() if v < 9_000_000 and r.is_outlier)
     assert base_flagged / emb.count() < 0.05
+
+
+def test_retrieve_docs_hydrates_hits(spark, emb):
+    from py_data_pipeline_app_spark.operators.similarity import (
+        brute_force_topk,
+        retrieve_docs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = retrieve_docs(emb, queries, docs, k=2).collect()
+    hits = brute_force_topk(emb, queries, k=2).collect()
+    doc_rows = {r.doc_id: r for r in docs.collect()}
+    want_ids = {(r.query_id, r.vec_id) for r in hits if r.vec_id in doc_rows}
+    assert {(r.query_id, r.doc_id) for r in out} == want_ids
+    for r in out:
+        d = doc_rows[r.doc_id]
+        assert (r.lang, r.source, r.n_chars) == (d.lang, d.source, d.n_chars)
