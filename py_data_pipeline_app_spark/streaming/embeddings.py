@@ -38,24 +38,36 @@ def start_embedding_ingest_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = 16,
+    index_kind: str = "ivf",
     query_name: str = "embedding_ingest",
 ) -> StreamingQuery:
-    """File-landing → per-batch IVF index append. The index must
-    already exist (``build_ivf_index`` over the initial corpus — the
-    centroid set is fixed at build time; appends never move it, which
-    is what makes probe results independent of arrival order,
-    parity-tested against one full rebuild). ``availableNow`` drains
-    the landing directory and terminates, so repeated calls with one
-    checkpoint fold newly landed files incrementally."""
+    """File-landing → per-batch index append. The index must already
+    exist (``build_ivf_index`` / ``build_ivfpq_index`` over the initial
+    corpus — centroids, and for IVF-PQ the codebooks, are fixed at
+    build time; appends never move them, which is what makes probe
+    results independent of arrival order, parity-tested against one
+    full rebuild). ``index_kind`` picks the layout: ``"ivf"`` appends
+    raw vectors, ``"ivfpq"`` appends PQ codes (the compressed feed —
+    same plumbing, 1/32 the bytes landing per batch; note IVF-PQ has
+    no compaction yet, so ``compact_every`` applies to IVF only).
+    ``availableNow`` drains the landing directory and terminates, so
+    repeated calls with one checkpoint fold newly landed files
+    incrementally."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        ivfpq_index_append,
+    )
     from py_data_pipeline_app_spark.operators.similarity import (
         ivf_index_append,
         ivf_index_compact,
     )
 
+    if index_kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"index_kind must be 'ivf' or 'ivfpq', got {index_kind!r}")
     stream = spark.readStream.schema(schema).parquet(landing)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_index_append(
+        append = ivf_index_append if index_kind == "ivf" else ivfpq_index_append
+        append(
             spark,
             index_path,
             batch_df,
@@ -63,7 +75,12 @@ def start_embedding_ingest_stream(
             vec_col=vec_col,
             batch_token=f"{batch_id:08d}",
         )
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        if (
+            index_kind == "ivf"
+            and compact_every
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
             ivf_index_compact(spark, index_path, keep_newest=True)
 
     return (

@@ -99,3 +99,42 @@ def test_replayed_batch_token_overwrites(spark, emb, tmp_path):
         .count()
     )
     assert total == batch.count()
+
+
+def test_streamed_ivfpq_appends_probe_like_full_rebuild(spark, emb, tmp_path):
+    """index_kind='ivfpq': streamed batches of PQ codes must probe
+    identically to one compressed rebuild with the same tables."""
+    import pyspark.sql.functions as F2
+
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index = str(tmp_path / "index")
+    initial = emb.filter(F2.col("vec_id") % 3 == 0)
+    build_ivfpq_index(initial, index, n_centroids=16, m=8, ksub=16, dim=64)
+    for part in (1, 2):
+        emb.filter(F2.col("vec_id") % 3 == part).coalesce(1).write.parquet(
+            f"{landing}/b{part}"
+        )
+        q = start_embedding_ingest_stream(
+            spark, landing + "/*", ckpt, SCHEMA, index, index_kind="ivfpq"
+        )
+        q.awaitTermination(120)
+    queries = emb.filter(F2.col("vec_id") < 10).select(
+        F2.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, ivfpq_topk(spark, index, queries, k=5, nprobe=4).collect())
+    )
+    ref = str(tmp_path / "ref")
+    cents = spark.read.parquet(f"{index}/centroids")
+    cbs = spark.read.parquet(f"{index}/codebooks")
+    build_ivfpq_index(emb, ref, cents=cents, codebooks=cbs)
+    want = sorted(
+        map(tuple, ivfpq_topk(spark, ref, queries, k=5, nprobe=4).collect())
+    )
+    assert got == want
