@@ -75,6 +75,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "text_repetition_filter",
     "chunk_dedup_rebuild",
+    "span_dedup_incremental",
     "text_pii_scrub",
     "benchmark_decontamination",
     "cross_corpus_decontamination",

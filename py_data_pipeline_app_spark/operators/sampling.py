@@ -255,7 +255,6 @@ def epoch_oversample(
     Scale shape: one hash + one ``explode(sequence(...))`` per row —
     zero shuffle, linear in OUTPUT size (which is the point: the
     operator materializes the mixture a trainer consumes)."""
-    n_copies = None
     for src, e in epochs.items():
         if e < 0:
             raise ValueError(f"epochs for {src!r} must be >= 0, got {e}")

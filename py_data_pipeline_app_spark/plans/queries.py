@@ -1768,9 +1768,9 @@ def semantic_doc_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieve_docs(emb, queries, docs, k=3)
 
 
-@register(
-    "chunk_dedup_rebuild",
-    f"""
+# Batch span-dedup oracle — ALSO the parity oracle for the incremental
+# fold (folding id-ordered batches ≡ one batch run over everything).
+_CHUNK_DEDUP_SQL = f"""
     WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
     ch AS (
       SELECT doc_id, pos,
@@ -1793,8 +1793,10 @@ def semantic_doc_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_chunks,
            CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS INT) AS n_kept
     FROM k GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("chunk_dedup_rebuild", _CHUNK_DEDUP_SQL)
 def chunk_dedup_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level span dedup (C4-style line dedup generalized to
     10-token chunks): only the globally first occurrence of each chunk
@@ -1806,6 +1808,33 @@ def chunk_dedup_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from py_data_pipeline_app_spark.operators.curation import chunk_dedup_rebuild
 
     return chunk_dedup_rebuild(load_table(spark, "documents", sf_dir))
+
+
+@register("span_dedup_incremental", _CHUNK_DEDUP_SQL)
+def span_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL span dedup (operators/span_dedup_incremental): the
+    corpus arrives as two id-ordered batches folded against a
+    persisted chunk-fingerprint index — per-fold cost ∝ batch chunks +
+    one fingerprint join, history never re-chunked, novel fingerprints
+    appended under idempotent batch tokens. The oracle is the BATCH
+    span-dedup SQL over the whole corpus: a green row IS the
+    fold-vs-batch parity check (first-occurrence order is (batch, doc,
+    pos) both ways), value-hashed cross-engine. Folds are EAGER at
+    plan-construction time (fold order is dedup precedence; same
+    timing asymmetry note as the other incremental-index queries)."""
+    from py_data_pipeline_app_spark.operators.span_dedup_incremental import (
+        incremental_span_fold,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    index = _scratch_dir("span_index")
+    first = incremental_span_fold(
+        spark, index, docs.filter(F.col("doc_id") < 250), batch_token="b0"
+    )
+    second = incremental_span_fold(
+        spark, index, docs.filter(F.col("doc_id") >= 250), batch_token="b1"
+    )
+    return first.unionByName(second)
 
 
 _SQL_STOP = {

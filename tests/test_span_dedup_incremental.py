@@ -1,0 +1,102 @@
+"""Incremental span dedup: fold-vs-batch parity over crafted batches,
+replay idempotence, config drift, and lock exclusion."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from py_data_pipeline_app_spark.operators.curation import chunk_dedup_rebuild
+from py_data_pipeline_app_spark.operators.span_dedup_incremental import (
+    incremental_span_fold,
+)
+
+BOILER = "all rights reserved contact us terms of service apply now"  # 10 toks
+U1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+U2 = "one two three four five six seven eight nine ten"
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, U1 + " " + BOILER),
+        (2, U2 + " " + BOILER),   # boilerplate repeats -> scrubbed here
+        (10, U1 + " " + BOILER),  # batch 2: everything already seen
+        (11, "totally novel words here"),
+        (20, U2),                 # batch 3: seen in batch 1
+        (21, "fresh content appears at last"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fold_all(spark, corpus, index):
+    parts = []
+    for lo, hi, tok in ((0, 10, "b0"), (10, 20, "b1"), (20, 99, "b2")):
+        parts.append(
+            incremental_span_fold(
+                spark,
+                index,
+                corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                batch_token=tok,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_fold_parity_with_batch(spark, corpus, tmp_path):
+    got = sorted(map(tuple, _fold_all(spark, corpus, str(tmp_path / "idx")).collect()))
+    want = sorted(map(tuple, chunk_dedup_rebuild(corpus).collect()))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[10][1] == ""          # exact re-crawl scrubs to empty
+    assert by_id[20][1] == ""          # span seen two batches ago
+    assert by_id[11][3] == 1           # novel doc keeps its chunk
+
+
+def test_replayed_fold_is_idempotent(spark, corpus, tmp_path):
+    index = str(tmp_path / "idx")
+    b0 = corpus.filter(F.col("doc_id") < 10)
+    first = sorted(
+        map(tuple, incremental_span_fold(spark, index, b0, batch_token="t").collect())
+    )
+    # foreachBatch replay: same token, same batch
+    again = sorted(
+        map(tuple, incremental_span_fold(spark, index, b0, batch_token="t").collect())
+    )
+    assert first == again
+    fps = spark.read.option("recursiveFileLookup", "true").parquet(f"{index}/fps")
+    assert fps.count() == fps.distinct().count()
+
+
+def test_config_drift_fails_loudly(spark, corpus, tmp_path):
+    index = str(tmp_path / "idx")
+    incremental_span_fold(
+        spark, index, corpus.filter(F.col("doc_id") < 10), batch_token="a"
+    ).collect()
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        incremental_span_fold(
+            spark,
+            index,
+            corpus.filter(F.col("doc_id") >= 10),
+            chunk_tokens=5,
+            batch_token="b",
+        )
+
+
+def test_lock_excludes_concurrent_fold(spark, corpus, tmp_path):
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        _acquire_index_lock,
+    )
+
+    index = str(tmp_path / "idx")
+    fs, lock = _acquire_index_lock(spark, index, "test holds lock")
+    try:
+        with pytest.raises(RuntimeError, match="locked"):
+            incremental_span_fold(
+                spark, index, corpus.filter(F.col("doc_id") < 10), batch_token="x"
+            )
+    finally:
+        fs.delete(lock, False)

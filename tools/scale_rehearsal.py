@@ -69,6 +69,7 @@ FAMILY = [
     "tfidf_top_terms",
     "text_repetition_filter",
     "chunk_dedup_rebuild",
+    "span_dedup_incremental",
     "text_token_diversity",
     "text_perplexity_buckets",
     "text_html_strip",
