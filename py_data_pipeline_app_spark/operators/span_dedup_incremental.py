@@ -155,3 +155,40 @@ def incremental_span_fold(
         )
     finally:
         fs.delete(lock, False)
+
+
+def compact_fps(spark: SparkSession, index_path: str, *, keep_newest: bool = False) -> int:
+    """Merge the ``fps/batch-*`` subdirectories into one
+    ``batch-compact-{token}`` directory of distinct fingerprints. Each
+    fold adds one subdirectory the next fold's history read must list;
+    a long-lived stream accretes one per micro-batch — compaction
+    bounds that driver-side listing cost. ``keep_newest=True`` leaves
+    the lexically newest batch untouched so the one micro-batch
+    Structured Streaming could replay keeps overwriting its own append
+    (the contract shared with the LSH/IVF compactors). Serialized with
+    folds by the same lock. Returns the number of directories merged."""
+    fs, lock = _acquire_index_lock(spark, index_path, "fps compaction")
+    try:
+        jvm = spark._jvm.org.apache.hadoop.fs.Path
+        fps_path = jvm(f"{index_path}/{FPS_SUBDIR}")
+        if not fs.exists(fps_path):
+            return 0
+        dirs = sorted(
+            str(s.getPath())
+            for s in fs.listStatus(fps_path)
+            if s.isDirectory() and s.getPath().getName().startswith("batch-")
+        )
+        if keep_newest and dirs:
+            dirs = dirs[:-1]
+        if len(dirs) < 2:
+            return 0
+        token = f"compact-{uuid.uuid4().hex[:12]}"
+        merged = spark.read.parquet(*dirs).distinct()
+        merged.write.mode("overwrite").parquet(
+            f"{index_path}/{FPS_SUBDIR}/batch-{token}"
+        )
+        for d in dirs:
+            fs.delete(jvm(d), True)
+        return len(dirs)
+    finally:
+        fs.delete(lock, False)

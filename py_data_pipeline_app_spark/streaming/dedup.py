@@ -188,3 +188,67 @@ def start_near_dup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_span_dedup_stream(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    schema: T.StructType,
+    index_path: str,
+    out_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+    compact_every: int | None = 16,
+    query_name: str = "span_dedup_docs",
+) -> StreamingQuery:
+    """Streaming SPAN dedup: every arriving micro-batch is folded
+    against the persisted chunk-fingerprint index
+    (operators.span_dedup_incremental) and its REBUILT documents — all
+    previously-seen spans scrubbed, whether seen in earlier batches or
+    earlier in this one — land under ``out/batch-{id}``. The crawl-
+    cadence twin of the batch ``chunk_dedup_rebuild``: the union of
+    every micro-batch's output equals one batch run over everything
+    streamed so far (parity-tested).
+
+    Exactly-once under replay: the fold's ``batch_token`` is the
+    micro-batch id (a retried batch excludes its own half-committed
+    fingerprint append from history and overwrites both its append and
+    its output subdir). Index maintenance is automatic: every
+    ``compact_every`` micro-batches the fingerprint subdirectories
+    merge (keep-newest, so the one replayable batch stays
+    overwritable); the index lock makes any out-of-band race fail
+    loudly. Unbounded-history state lives in parquet — the streaming
+    state store stays empty, same design as the near-dup stream."""
+    from py_data_pipeline_app_spark.operators.span_dedup_incremental import (
+        compact_fps,
+        incremental_span_fold,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    base = out_path.rstrip("/")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rebuilt = incremental_span_fold(
+            spark,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            chunk_tokens=chunk_tokens,
+            batch_token=f"{batch_id:08d}",
+        )
+        rebuilt.write.mode("overwrite").parquet(f"{base}/batch-{batch_id:08d}")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_fps(spark, index_path, keep_newest=True)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

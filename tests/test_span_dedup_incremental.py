@@ -100,3 +100,39 @@ def test_lock_excludes_concurrent_fold(spark, corpus, tmp_path):
             )
     finally:
         fs.delete(lock, False)
+
+
+def test_streaming_span_dedup_parity_and_compaction(spark, corpus, tmp_path):
+    """Streamed micro-batches (with a compaction boundary) must union
+    to the batch operator's output, with bounded fps subdirs."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from py_data_pipeline_app_spark.streaming.dedup import (
+        read_dedup_output,
+        start_span_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    for i, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 99))):
+        corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(f"{landing}/b{i}")
+        q = start_span_dedup_stream(
+            spark, landing + "/*", ckpt, schema, index, out, compact_every=2
+        )
+        q.awaitTermination(120)
+    got = sorted(map(tuple, read_dedup_output(spark, out).collect()))
+    want = sorted(map(tuple, chunk_dedup_rebuild(corpus).collect()))
+    assert got == want
+    n_dirs = len(
+        [d for d in os.listdir(f"{index}/fps") if d.startswith("batch-")]
+    )
+    assert n_dirs <= 2, n_dirs
