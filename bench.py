@@ -78,6 +78,7 @@ HEADLINE = [
     "span_dedup_incremental",
     "text_pii_scrub",
     "benchmark_decontamination",
+    "benchmark_span_scrub",
     "cross_corpus_decontamination",
     "sequence_packing",
     "training_set_curation",

@@ -606,3 +606,87 @@ def bigram_merge_candidates(
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(k)
     )
+
+
+def benchmark_span_scrub(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination that REWRITES instead of just counting
+    (:func:`contamination_stats` is the audit; this is the fix): every
+    document is split into ``chunk_tokens``-token spans and any span
+    whose fingerprint appears among the benchmark's spans is dropped —
+    the chunk-granular scrub keeps the rest of a lightly-contaminated
+    document instead of discarding it wholesale. Returns (id,
+    text_scrubbed, n_chunks, n_removed).
+
+    The benchmark's span-fingerprint set is tiny next to the corpus
+    and BROADCASTS into one left join; chunking is a per-row
+    projection, so the only shuffle is the per-document rollup — the
+    same two-exchange shape as the span-dedup family, with the
+    first-occurrence window replaced by a membership probe. Benchmark
+    spans are fingerprinted at EVERY token offset (a sliding window,
+    not aligned chunks), so a leaked span is caught wherever it lands
+    inside a training document's chunk grid as long as the chunk is a
+    verbatim benchmark substring."""
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    # sliding benchmark spans: every offset, every length 1..chunk_tokens
+    # capped to the tail — membership must catch the final short chunk too
+    btoks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(btoks), F.lit(1)))
+    bench_spans = benchmark.select(
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(F.slice(btoks, i, chunk_tokens), " "),
+            )
+        ).alias("span")
+    )
+    bench_fps = (
+        bench_spans.filter(F.col("span") != "")
+        .select(F.md5("span").alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    ).withColumn("fp", F.md5(F.col("chunk")))
+    marked = exploded.join(F.broadcast(bench_fps), "fp", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("_hit").isNotNull().cast("int")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_hit").isNull(),
+                                F.struct(F.col("pos"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("text_scrubbed"),
+        )
+        .select(
+            id_col,
+            "text_scrubbed",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_removed").cast("int").alias("n_removed"),
+        )
+    )

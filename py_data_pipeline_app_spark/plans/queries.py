@@ -2189,6 +2189,55 @@ def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_span_scrub",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
+    bspans AS (
+      SELECT DISTINCT md5(span) AS fp FROM (
+        SELECT list_aggregate(ws[i : i+9], 'string_agg', ' ') AS span
+        FROM (
+          SELECT ws, unnest(range(1, greatest(len(ws), 1) + 1)) AS i
+          FROM toks WHERE doc_id % 97 = 0
+        )
+      ) WHERE span <> ''
+    ),
+    ch AS (
+      SELECT doc_id, pos,
+             list_aggregate(ws[pos*10+1 : pos*10+10], 'string_agg', ' ') AS chunk
+      FROM (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws)/10.0) AS INT))) AS pos
+        FROM toks WHERE doc_id % 97 <> 0
+      )
+    ),
+    mk AS (
+      SELECT doc_id, pos, chunk, b.fp IS NOT NULL AS hit
+      FROM ch LEFT JOIN bspans b ON md5(ch.chunk) = b.fp
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT hit THEN chunk END,
+                               ' ' ORDER BY pos), '') AS text_scrubbed,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INT) AS n_removed
+    FROM mk GROUP BY doc_id
+    """,
+)
+def benchmark_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination that REWRITES (operators/curation
+    benchmark_span_scrub): training documents (every 97th doc is the
+    benchmark stand-in) lose any 10-token chunk that appears verbatim
+    in the benchmark at ANY token offset — chunk-granular, so a
+    lightly-contaminated document keeps its clean remainder instead of
+    being dropped wholesale (contamination_stats is the audit; this is
+    the fix). Benchmark span fingerprints broadcast; the corpus scans
+    once; only the per-document rollup shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return CUR.benchmark_span_scrub(rest, bench, chunk_tokens=10)
+
+
+@register(
     "sequence_packing",
     f"""
     WITH d AS (

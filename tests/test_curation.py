@@ -274,3 +274,24 @@ def test_bigram_merge_candidates_python_model(spark):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == want
     assert got[0] == ("new york", 3)
+
+
+def test_benchmark_span_scrub_removes_planted_leak(spark):
+    from py_data_pipeline_app_spark.operators.curation import benchmark_span_scrub
+
+    bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            # chunk 1 = bench tokens 2..11 (interior offset) -> removed
+            (1, clean + " q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+            (2, clean),                       # untouched
+            (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),  # fully leaked -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in benchmark_span_scrub(docs, bench).collect()}
+    assert out[1].text_scrubbed == clean and out[1].n_removed == 1
+    assert out[2].text_scrubbed == clean and out[2].n_removed == 0
+    assert out[3].text_scrubbed == "" and out[3].n_removed == 1
