@@ -85,7 +85,7 @@ def _acquire_index_lock(spark: SparkSession, index_path: str, what: str):
     fs.mkdirs(jvm_path.getParent())
     if not fs.createNewFile(jvm_path):
         raise RuntimeError(
-            f"LSH index at {index_path} is locked by a concurrent fold or "
+            f"index at {index_path} is locked by a concurrent fold or "
             f"compaction ({what} refused). If the previous operation crashed, "
             f"remove the stale marker {index_path}/{LOCK_FILE} and retry."
         )

@@ -568,7 +568,35 @@ def ivfpq_index_append(
     from its build-time checksum — drifted centroids mis-probe,
     drifted codebooks make ADC scores meaningless. Appending a vec_id
     already in the index is unsupported (the reader unions). Returns
-    the batch token."""
+    the batch token. Serialized against other mutators by the shared
+    atomic lock marker."""
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        _acquire_index_lock,
+    )
+
+    lock_fs, lock = _acquire_index_lock(spark, index_path, "IVF-PQ append")
+    try:
+        return _ivfpq_index_append_locked(
+            spark,
+            index_path,
+            new_vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_token=batch_token,
+        )
+    finally:
+        lock_fs.delete(lock, False)
+
+
+def _ivfpq_index_append_locked(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    batch_token: str | None,
+) -> str:
     import uuid
 
     cents = spark.read.parquet(f"{index_path}/centroids")

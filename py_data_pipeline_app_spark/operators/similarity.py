@@ -744,7 +744,37 @@ def ivf_index_append(
     assigned against different centroid sets NEVER probe consistently,
     which would silently drop true neighbors. Appending a ``vec_id``
     already in the index is unsupported (the reader unions, so the id
-    would surface twice). Returns the batch token."""
+    would surface twice). Serialized against other mutators by the
+    shared atomic lock marker (a concurrent compaction deleting
+    subdirectories mid-append fails loudly instead of silently).
+    Returns the batch token."""
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        _acquire_index_lock,
+    )
+
+    lock_fs, lock = _acquire_index_lock(spark, index_path, "IVF append")
+    try:
+        return _ivf_index_append_locked(
+            spark,
+            index_path,
+            new_vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_token=batch_token,
+        )
+    finally:
+        lock_fs.delete(lock, False)
+
+
+def _ivf_index_append_locked(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    batch_token: str | None,
+) -> str:
     cents = spark.read.parquet(f"{index_path}/centroids")
     cfg = spark.read.parquet(f"{index_path}/config").first()
     checksum = _ivf_centroid_checksum(cents)
@@ -788,8 +818,21 @@ def ivf_index_compact(spark, index_path: str, *, keep_newest: bool = False) -> i
     lexically newest batch subdirectory untouched so the one
     micro-batch Structured Streaming could still replay after a crash
     keeps overwriting its own append instead of racing a deletion
-    (same contract as dedup_incremental.compact_index). Returns the
+    (same contract as dedup_incremental.compact_index). Serialized
+    against appends by the shared atomic lock marker. Returns the
     number of append directories merged (0 = nothing to do)."""
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        _acquire_index_lock,
+    )
+
+    lock_fs, lock = _acquire_index_lock(spark, index_path, "IVF compaction")
+    try:
+        return _ivf_index_compact_locked(spark, index_path, keep_newest)
+    finally:
+        lock_fs.delete(lock, False)
+
+
+def _ivf_index_compact_locked(spark, index_path: str, keep_newest: bool) -> int:
     fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
     if not fs.exists(appends_path):
         return 0

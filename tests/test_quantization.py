@@ -298,3 +298,43 @@ def test_pq_encode_plan_is_zero_shuffle(emb, cb):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_index_mutators_respect_lock(spark, emb, tmp_path):
+    """A held index lock must make appends and compactions fail loudly
+    (the LSH index's serialization contract, now shared by IVF/IVF-PQ)."""
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        _acquire_index_lock,
+    )
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+    )
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+    )
+
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(half, ivf, n_centroids=8)
+    fs, lock = _acquire_index_lock(spark, ivf, "test")
+    try:
+        with pytest.raises(RuntimeError, match="locked"):
+            ivf_index_append(spark, ivf, rest, batch_token="x")
+        with pytest.raises(RuntimeError, match="locked"):
+            ivf_index_compact(spark, ivf)
+    finally:
+        fs.delete(lock, False)
+
+    pq = str(tmp_path / "pq")
+    build_ivfpq_index(half, pq, n_centroids=8, m=M, ksub=8, dim=DIM)
+    fs, lock = _acquire_index_lock(spark, pq, "test")
+    try:
+        with pytest.raises(RuntimeError, match="locked"):
+            ivfpq_index_append(spark, pq, rest, batch_token="x")
+    finally:
+        fs.delete(lock, False)
