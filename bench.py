@@ -83,6 +83,7 @@ HEADLINE = [
     "sequence_packing",
     "training_set_curation",
     "training_set_curation_leakage_safe",
+    "training_set_curation_v2",
     "split_leakage_audit",
     "source_cap_sample",
     "source_temperature_mix",

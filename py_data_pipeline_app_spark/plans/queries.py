@@ -3342,11 +3342,15 @@ def text_token_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE chain computing per-document LM cross-entropy (the
 # perplexity_buckets computation up to the per-doc aggregate) — reused
-# by the bucket query and the source-reputation rollup.
-_PPL_CORE_CTES = f"""
+# by the bucket query, the source-reputation rollup, and the composed
+# v2 curation pipeline (which scores CLEANED text, so the relation is
+# a parameter; it must expose (doc_id, text)).
+def _ppl_core_ctes(docs_rel: str = "documents") -> str:
+    ws = _SQL_WS if docs_rel == "documents" else "string_split_regex(trim(text), '\\s+')"
+    return f"""
     tok AS (
       SELECT doc_id, tok FROM (
-        SELECT doc_id, unnest({_SQL_WS}) AS tok FROM documents
+        SELECT doc_id, unnest({ws}) AS tok FROM {docs_rel}
       ) WHERE tok <> ''
     ),
     counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
@@ -3367,6 +3371,9 @@ _PPL_CORE_CTES = f"""
              round(-(sum(lp::DECIMAL(18,6))::DOUBLE) / count(*), 6) AS ce
       FROM scored GROUP BY doc_id
     )"""
+
+
+_PPL_CORE_CTES = _ppl_core_ctes()
 
 
 @register(
@@ -3577,6 +3584,114 @@ def source_epoch_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_oversample(
         docs, {"src0": 2.5, "src1": 0.5}, default_epochs=1.0
     ).select("doc_id", "source", "epoch_copy")
+
+
+@register(
+    "training_set_curation_v2",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '{_HTML_PLANT_PREFIX}' || text || '{_HTML_PLANT_SUFFIX}'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script\\s*>',
+                                    ' ', 'g'),
+                     '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS text
+      FROM raw
+    ),
+    {_ppl_core_ctes("cleaned")},
+    with_src AS (
+      SELECT a.doc_id, a.n_tokens, a.ce, c.source
+      FROM agg a JOIN cleaned c USING (doc_id)
+    ),
+    per_src AS (
+      SELECT source, count(*) AS sn, sum(ce::DECIMAL(18,6)) AS ss
+      FROM with_src GROUP BY source
+    ),
+    overall AS (SELECT (sum(ss)::DOUBLE / sum(sn)) AS ov FROM per_src),
+    rep AS (
+      SELECT source,
+             round(ss::DOUBLE / sn, 6) <= round(ov, 6) AS src_reputable
+      FROM per_src, overall
+    )
+    SELECT w.source,
+           CASE WHEN w.ce <= 3.41 THEN 'head'
+                WHEN w.ce > 3.45 THEN 'tail'
+                ELSE 'middle' END AS bucket,
+           r.src_reputable,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w.n_tokens) AS BIGINT) AS total_tokens
+    FROM with_src w JOIN rep r USING (source)
+    GROUP BY w.source, bucket, r.src_reputable
+    """,
+)
+def training_set_curation_v2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's passes composed end-to-end — the crawl-to-corpus v2
+    pipeline: planted markup is stripped (HTML residue like '&' and
+    '<fin>' survives as TOKENS), the cleaned text is scored by the
+    corpus-trained unigram LM (the residue tokens are OOV, so
+    ex-markup documents drift into the tail bucket — the passes
+    reinforce each other), sources are reputation-flagged against the
+    corpus mean, and the rollup reports (source, bucket, reputable)
+    cohorts with document and token counts. ONE scoring pass feeds
+    both the per-document buckets and the per-source reputation; the
+    corpus shuffles only for the LM count, the per-doc rollup, and the
+    final cohort aggregate."""
+    from py_data_pipeline_app_spark.functions.text import strip_html
+    from py_data_pipeline_app_spark.operators.curation import perplexity_buckets
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(_HTML_PLANT_PREFIX), F.col("text"), F.lit(_HTML_PLANT_SUFFIX)
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = raw.select("doc_id", "source", strip_html("text").alias("text"))
+    pb = perplexity_buckets(
+        cleaned, vocab_size=32, head_cutoff=3.41, tail_cutoff=3.45
+    ).select("doc_id", "n_tokens", "cross_entropy", "bucket")
+    with_src = pb.join(cleaned.select("doc_id", "source"), "doc_id")
+    per_src = with_src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_sn"),
+        F.sum(F.col("cross_entropy").cast("decimal(18,6)")).alias("_ss"),
+    )
+    overall = per_src.agg(
+        (F.sum("_ss").cast("double") / F.sum("_sn")).alias("_ov")
+    )
+    rep = per_src.crossJoin(F.broadcast(overall)).select(
+        "source",
+        (
+            F.round(F.col("_ss").cast("double") / F.col("_sn"), 6)
+            <= F.round(F.col("_ov"), 6)
+        ).alias("src_reputable"),
+    )
+    return (
+        with_src.join(F.broadcast(rep), "source")
+        .groupBy("source", "bucket", "src_reputable")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
 
 
 @register(

@@ -84,6 +84,7 @@ FAMILY = [
     "sequence_packing",
     "training_set_curation",
     "training_set_curation_leakage_safe",
+    "training_set_curation_v2",
     "split_leakage_audit",
     "dataset_split_profile",
     "stratified_lang_rebalance",
