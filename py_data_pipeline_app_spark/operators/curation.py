@@ -630,9 +630,13 @@ def benchmark_span_scrub(
     same two-exchange shape as the span-dedup family, with the
     first-occurrence window replaced by a membership probe. Benchmark
     spans are fingerprinted at EVERY token offset (a sliding window,
-    not aligned chunks), so a leaked span is caught wherever it lands
-    inside a training document's chunk grid as long as the chunk is a
-    verbatim benchmark substring."""
+    not aligned chunks), so a full-length chunk matches wherever the
+    leak lands inside the document's chunk grid. One documented gap:
+    a document's FINAL chunk can be shorter than ``chunk_tokens``, and
+    short spans are only generated from the benchmark's tail offsets —
+    an interior benchmark fragment shorter than a full chunk at the
+    very end of a document slips through (verbatim leaks long enough
+    to matter span full chunks)."""
     toks = tokens(text_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(

@@ -48,13 +48,14 @@ def start_embedding_ingest_stream(
     results independent of arrival order, parity-tested against one
     full rebuild). ``index_kind`` picks the layout: ``"ivf"`` appends
     raw vectors, ``"ivfpq"`` appends PQ codes (the compressed feed —
-    same plumbing, 1/32 the bytes landing per batch; note IVF-PQ has
-    no compaction yet, so ``compact_every`` applies to IVF only).
+    same plumbing, 1/32 the bytes landing per batch). Both layouts
+    auto-compact keep-newest every ``compact_every`` batches.
     ``availableNow`` drains the landing directory and terminates, so
     repeated calls with one checkpoint fold newly landed files
     incrementally."""
     from py_data_pipeline_app_spark.operators.quantization import (
         ivfpq_index_append,
+        ivfpq_index_compact,
     )
     from py_data_pipeline_app_spark.operators.similarity import (
         ivf_index_append,
@@ -75,13 +76,11 @@ def start_embedding_ingest_stream(
             vec_col=vec_col,
             batch_token=f"{batch_id:08d}",
         )
-        if (
-            index_kind == "ivf"
-            and compact_every
-            and batch_id > 0
-            and batch_id % compact_every == 0
-        ):
-            ivf_index_compact(spark, index_path, keep_newest=True)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact = (
+                ivf_index_compact if index_kind == "ivf" else ivfpq_index_compact
+            )
+            compact(spark, index_path, keep_newest=True)
 
     return (
         stream.writeStream.foreachBatch(sink)

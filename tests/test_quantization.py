@@ -338,3 +338,33 @@ def test_index_mutators_respect_lock(spark, emb, tmp_path):
             ivfpq_index_append(spark, pq, rest, batch_token="x")
     finally:
         fs.delete(lock, False)
+
+
+def test_ivfpq_compact_preserves_probes(spark, emb, queries, tmp_path):
+    """Compaction merges code appends into the base with identical
+    probe results and removes the append directories."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_compact,
+        ivfpq_topk,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=16, m=M, ksub=KSUB, dim=DIM
+    )
+    ivfpq_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 1), batch_token="b"
+    )
+    before = sorted(
+        map(tuple, ivfpq_topk(spark, path, queries, k=5, nprobe=4).collect())
+    )
+    assert ivfpq_index_compact(spark, path) == 1
+    after = sorted(
+        map(tuple, ivfpq_topk(spark, path, queries, k=5, nprobe=4).collect())
+    )
+    assert before == after
+    assert not os.path.isdir(os.path.join(path, "appends"))
