@@ -240,6 +240,10 @@ def main() -> None:
             "what": "semantic_dedup with n_centroids scaled ~N/275 (constant "
             "expected cluster size) instead of the oracle-pinned k=16 — "
             "within-cluster pair cost stays bounded as the corpus grows",
+            "note": "assignment folds over k centroids per row, so the "
+            "scaled-k variant only wins once within-cluster pair mass "
+            "(quadratic in cluster size) outgrows the linear k-fold "
+            "assignment - measure both before picking k at a new scale",
             "sf0.1_sec": t_base,
             "x10_sec": t_x10,
             "ratio": round(t_x10 / t_base, 2) if t_base > 0 else None,
