@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "boilerplate_line_strip",
+    "doc_winnowing_fingerprints",
     "dedup_cluster_assignment",
     "dedup_cluster_assignment_star",
     # embedding_near_dup is the scale-safe high-threshold config; the
@@ -68,6 +71,7 @@ HEADLINE = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_appended",
+    "hard_negative_topk",
     "text_quality",
     "text_token_stats",
     # curation passes:

@@ -694,3 +694,95 @@ def benchmark_span_scrub(
             F.col("n_removed").cast("int").alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_df: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate removal: a line whose normalized form
+    appears in ≥ ``min_df`` distinct documents OF THE SAME SOURCE is
+    template chrome (nav menus, cookie banners, subscribe footers), not
+    content, and is dropped from every document carrying it. This is
+    the CCNet / RefinedWeb line-level dedup pass, scoped per source
+    because boilerplate is a property of the site template — the same
+    sentence across unrelated sources is quotation, handled by the
+    span-dedup family (:func:`chunk_dedup_rebuild`) instead.
+
+    Differs from span dedup in the action: span dedup keeps the FIRST
+    occurrence and drops the rest; boilerplate strip drops ALL
+    occurrences once a line crosses the document-frequency threshold —
+    the correct semantics for template chrome, which is noise in its
+    first document too.
+
+    Scale shape — three keyed, data-proportional exchanges, the same
+    plan CCNet runs over Common Crawl:
+
+    1. explode lines (in-task), aggregate distinct-doc counts per
+       (source, line-hash) — map-side partial agg on a compact key;
+    2. equi-join the exploded lines against the boilerplate key set
+       (df ≥ min_df) — a left anti-ish flag join on (source, hash);
+       AQE broadcasts it when the template set is small, and it
+       shrinks further as min_df rises;
+    3. regroup by document to rebuild text in line order.
+
+    Never a cross join; line text crosses the wire once (hashing
+    happens before the first exchange). Returns (id, text_clean,
+    n_lines, n_kept) — empty-norm lines (blank separators) are never
+    boilerplate and always kept; a fully-stripped document keeps ''.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")
+    )
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("_norm", norm)
+        .withColumn("_h", F.md5(F.col("_norm")))
+    )
+    boiler = (
+        lines.filter(F.col("_norm") != "")
+        .select(source_col, "_h", id_col)
+        .distinct()
+        .groupBy(source_col, "_h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select(source_col, "_h", F.lit(True).alias("_is_b"))
+    )
+    flagged = lines.join(boiler, [source_col, "_h"], "left").withColumn(
+        "_kept", F.col("_is_b").isNull() | (F.col("_norm") == "")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_lines", "n_kept")
+    )

@@ -133,6 +133,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by word-``n``-gram CONTAINMENT ≥ threshold.
+
+    Containment C = |∩| / min(|A|, |B|) — the subset-duplicate
+    detector Jaccard misses: a partial scrape, a truncated mirror, or
+    a quote-heavy derivative of a long document shares nearly all of
+    the *shorter* side's shingles, yet its Jaccard against the source
+    is only len_short/len_long (a 40 %-prefix copy scores J ≈ 0.4,
+    C ≈ 1.0). Broder (1997) defines both resemblance and containment
+    over the same shingle sets; dedup pipelines need the second for
+    partial-overlap families.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — one
+    groupBy on the shingle builds posting lists (reused for sizes and
+    pair expansion), ``max_df`` bounds the df² pair blowup of viral
+    shingles, pair multiplicity IS the intersection count — so the
+    scale properties are identical; only the final scoring differs.
+    Returns (id_a, id_b, containment, jaccard): both scores, because a
+    high-C / low-J pair (subset) is actioned differently from a
+    high-C / high-J pair (full duplicate) downstream."""
+    sh = word_shingles(df, text_col, n, id_col)
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ms")
+    )
+    if max_df is not None:
+        grouped = grouped.filter(F.size("_ms") <= max_df)
+    sizes = (
+        grouped.select(F.explode("_ms").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    e = grouped.filter(F.size("_ms") >= 2).select(
+        F.col("_ms"), F.posexplode("_ms").alias("_i", "id_a")
+    )
+    inter = (
+        e.select(
+            "id_a", F.explode(F.expr("slice(_ms, _i + 2, size(_ms))")).alias("id_b")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

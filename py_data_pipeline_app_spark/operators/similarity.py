@@ -1012,3 +1012,50 @@ def retrieve_docs(
         .join(d, hits[id_col] == d[doc_id_col])
         .select(query_id_col, doc_id_col, "rank", "score", *doc_cols)
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query vector, the top-``k`` most-similar corpus vectors whose
+    ``label`` DIFFERS from the query's — the near-miss impostors that
+    make the best negatives (the standard dense-retrieval recipe:
+    mine negatives from the model's own nearest neighbors rather than
+    sampling at random, e.g. ANCE / DPR hard negatives).
+
+    Same scale shape as :func:`brute_force_topk`: the (small) labeled
+    query set broadcasts, the corpus is scanned once and never
+    shuffled, the label-mismatch predicate filters inside the scan
+    task BEFORE scoring (so same-label rows cost no cosine), and only
+    scored candidates reach the per-query ranking window. Swap the
+    scan for :func:`ivf_topk` probing when an index exists — the
+    mining semantics (filter, then rank) are unchanged."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("_qlabel"))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
+    )

@@ -720,6 +720,7 @@ from py_data_pipeline_app_spark.operators.dedup import (  # noqa: E402
     connected_components_star,
     exact_dedup,
     minhash_dedup_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -3808,3 +3809,247 @@ def salted_segment_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum("o_totalprice").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 additions: cross-document boilerplate removal, containment
+# near-dup, winnowing fingerprints, hard-negative mining.
+# ---------------------------------------------------------------------------
+
+# Planted per-source template chrome: the synthetic corpus has no
+# naturally-shared lines (probed: zero (source, line) pairs with df>=2),
+# so the query plants the thing the operator exists to remove — a
+# cookie banner on doc_id % 7 == 0 and a per-source subscribe footer on
+# doc_id % 5 == 0 (~5 and ~3-4 docs per 25-doc source at sf0.01, both
+# over the min_df=3 bar). Same planted-input pattern as the
+# _PLANTED_CORPUS_SQL embedding family; the Spark side and the oracle
+# build the identical modified corpus, so the gate still value-hashes
+# the operator end-to-end.
+_BOILER_DOCS_SQL = """(
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'Accept cookies to continue' || chr(10) ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'Subscribe to the ' || source || ' newsletter!'
+              ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def _with_planted_boilerplate(docs: DataFrame) -> DataFrame:
+    """Spark twin of _BOILER_DOCS_SQL: same ids, same concatenation."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("Accept cookies to continue\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("\nSubscribe to the "),
+                    F.col("source"),
+                    F.lit(" newsletter!"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "boilerplate_line_strip",
+    f"""
+    WITH docs2 AS (SELECT * FROM {_BOILER_DOCS_SQL}),
+    split AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM docs2),
+    lines0 AS (SELECT doc_id, source, ls,
+                      unnest(range(1, len(ls) + 1)) AS pos
+               FROM split),
+    lines AS (SELECT doc_id, source, pos, ls[pos] AS line,
+                     trim(regexp_replace(lower(ls[pos]), '\\s+', ' ', 'g')) AS norm
+              FROM lines0),
+    boiler AS (SELECT source, md5(norm) AS h
+               FROM lines WHERE norm <> ''
+               GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+    flagged AS (SELECT l.doc_id, l.pos, l.line,
+                       (b.h IS NOT NULL AND l.norm <> '') AS is_b
+                FROM lines l
+                LEFT JOIN boiler b
+                  ON l.source = b.source AND md5(l.norm) = b.h)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_b), '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def boilerplate_line_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document boilerplate line removal
+    (operators/curation.boilerplate_strip): lines appearing in ≥ 3
+    distinct documents of the same source are template chrome and are
+    dropped from ALL of them; documents are rebuilt in line order.
+    Planted cookie-banner/newsletter lines (see _BOILER_DOCS_SQL)
+    exercise both the per-source scoping and the drop-all semantics;
+    the oracle replays the df-count, the flag join and the ordered
+    rebuild exactly."""
+    from py_data_pipeline_app_spark.operators.curation import boilerplate_strip
+
+    docs = _with_planted_boilerplate(load_table(spark, "documents", sf_dir))
+    return boilerplate_strip(docs, min_df=3)
+
+
+# Planted truncated copies: a 40 %-prefix mirror of every 40th document
+# (id + 2000000) — the subset-duplicate family containment exists for.
+# Against its source it scores containment ≈ 1.0 but Jaccard ≈ 0.4,
+# invisible to the registered jaccard-0.5 near-dup pass.
+_CONTAIN_DOCS_SQL = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         list_aggregate(ws[1:greatest((len(ws) * 2) // 5, 3)],
+                        'string_agg', ' ')
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents)
+  WHERE doc_id % 40 = 0
+)"""
+
+
+def _with_planted_prefix_copies(docs: DataFrame) -> DataFrame:
+    """Spark twin of _CONTAIN_DOCS_SQL: same ids, same 40 %-prefix
+    truncation arithmetic (integer 2n/5, floor 3 words)."""
+    from py_data_pipeline_app_spark.functions.text import tokens as _toks
+
+    base = docs.select("doc_id", "text")
+    ws = _toks("text")
+    # exact integer 2n/5 (DuckDB `//`): subtract the mod before dividing
+    n2 = F.size(ws) * 2
+    prefix_len = F.greatest(((n2 - n2 % 5) / 5).cast("int"), F.lit(3))
+    planted = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, prefix_len), " ").alias("text"),
+    )
+    return base.unionByName(planted)
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH docs2 AS (SELECT * FROM {_CONTAIN_DOCS_SQL}),
+    toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM docs2),
+    sh0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws)-2, 1)+1),
+               i -> list_aggregate(ws[i:i+2], 'string_agg', ' ')))) AS shingle
+      FROM toks
+    ),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(nc::DOUBLE / least(sa.n, sb.n), 6) AS containment,
+           round(nc::DOUBLE / (sa.n + sb.n - nc), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(nc::DOUBLE / least(sa.n, sb.n), 6) >= 0.8
+    """,
+)
+def dedup_ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram CONTAINMENT near-dup pairs at 0.8
+    (operators/dedup.ngram_containment_pairs): detects
+    subset/truncation duplicates — the planted 40 %-prefix mirrors
+    (see _CONTAIN_DOCS_SQL) score containment ≈ 1.0 against their
+    sources but Jaccard ≈ 0.4, below the registered jaccard pass's
+    0.5 bar. Same inverted-index plan as dedup_ngram_jaccard (posting
+    lists, df-cap, never a cross join); only the scoring differs, and
+    the result carries both scores so downstream can split
+    full-duplicate from subset-duplicate actions."""
+    return ngram_containment_pairs(
+        _with_planted_prefix_copies(load_table(spark, "documents", sf_dir)),
+        n=3,
+        threshold=0.8,
+        max_df=100,
+    )
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(norm) - 15, 1) + 1),
+               i -> ('0x' || substr(md5(substr(norm, i, 16)), 1, 15))
+                      ::UBIGINT::BIGINT) AS gh
+      FROM n
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) <= 32 THEN [list_min(gh)]
+                  ELSE list_transform(range(32, len(gh) + 1),
+                                      p -> list_min(gh[p-31:p]))
+             END AS mins
+      FROM g
+    )
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+    """,
+)
+def doc_winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (functions/text.winnowing_fingerprints;
+    Schleimer et al. SIGMOD 2003): char-16-gram hashes, window-32
+    minima, distinct per document — the position-diverse overlap
+    fingerprint (any shared passage ≥ window+gram-1 chars guarantees a
+    shared fingerprint). Zero shuffles: normalize → gram-hash →
+    window-min are all per-row higher-order array expressions; the
+    oracle replays the identical hash and window arithmetic."""
+    from py_data_pipeline_app_spark.functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load_table(spark, "documents", sf_dir), gram=16, window=32
+    )
+
+
+@register(
+    "hard_negative_topk",
+    f"""
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round({_sql_cos('c.embedding', 'q.embedding')}, 9) AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_sql_cos('c.embedding', 'q.embedding')}, 9) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings c
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+        ON c.label <> q.label
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negative_topk):
+    top-5 nearest different-label corpus vectors per query — the
+    ANCE/DPR-style near-miss negatives for contrastive training. The
+    labeled query set broadcasts; the corpus scans once with the
+    label-mismatch filter applied before any cosine is computed."""
+    from py_data_pipeline_app_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_topk(emb, queries, k=5)
