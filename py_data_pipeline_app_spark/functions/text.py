@@ -281,7 +281,8 @@ def winnowing_fingerprints(
     overlap of two top-level blocks — O(|doc|·log window) element
     ops. The naive per-window ``array_min(slice(...))`` is
     O(|doc|·window) with a fresh array copy per window inside an
-    interpreted lambda: measured 17 s vs 0.9 s for this stage at
+    interpreted lambda: the full operator measured 19.2 s naive vs
+    4.4 s with the sparse table + the normalize staging below, at
     sf0.1. Two staging rules make it work: every level is its OWN
     projection column (expressions referenced twice are not inlined
     by CollapseProject, so each level computes once — inlining the

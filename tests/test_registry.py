@@ -92,6 +92,19 @@ def test_no_registered_query_is_stale():
         assert order.index(n) < gate_cap, (
             f"new query {n} would not fit the next gate prefix"
         )
-    # structural bound: what rotates out of one round (N - cap) must fit
-    # in the next round's prefix alongside the never-verified entries
-    assert len(order) - gate_cap + len(never) <= gate_cap
+    # Structural staleness invariant, stated precisely:
+    # (1) everything OUTSIDE the next gate prefix must carry a green row
+    #     from the LATEST round — it was just verified, so it is at most
+    #     one round stale when the next gate skips it;
+    beyond = order[gate_cap:]
+    not_fresh = [n for n in beyond if last.get(n, -1) != current]
+    assert not_fresh == [], (
+        f"rotated-out queries not verified in round {current}: {not_fresh}"
+    )
+    # (2) the rotated-out set itself fits the round-after-next prefix,
+    #     so the two-round alternation is sustainable. Equivalently
+    #     N <= 2*cap; each future round can then add at most
+    #     2*cap - N new queries without breaking (1).
+    assert len(beyond) <= gate_cap, (
+        f"{len(beyond)} rotated-out queries cannot fit a {gate_cap}-row gate"
+    )
