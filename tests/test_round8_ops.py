@@ -193,3 +193,22 @@ def test_hard_negatives_exclude_same_label_and_rank_correctly(spark):
         (4, 2),
     ]
     assert all(r.score <= 1.0 for r in got)
+
+
+def test_winnowing_overlap_pairs_shared_passage(spark):
+    from py_data_pipeline_app_spark.operators.dedup import winnowing_overlap_pairs
+
+    shared = (
+        "a genuinely long shared passage that runs well past one full "
+        "winnowing window so several fingerprints must coincide between the two"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"first document opening {shared} first ending"),
+            Row(doc_id=2, text=f"second document different start {shared} tail two"),
+            Row(doc_id=3, text="entirely unrelated text with no common passage at all"),
+        ]
+    )
+    pairs = winnowing_overlap_pairs(docs, min_shared=3, max_df=None).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].n_shared >= 3

@@ -93,6 +93,12 @@ FAMILY = [
     "media_feature_topk",
     "media_frame_sample",
     "media_resize_profile",
+    # round-8 additions
+    "boilerplate_line_strip",
+    "dedup_ngram_containment",
+    "doc_winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "hard_negative_topk",
 ]
 
 
