@@ -181,7 +181,14 @@ def pq_encode(
     encoding is a pure projection computed in the scan task — the
     shape that survives a 100 TB corpus, because the encode pass IS
     the scan. ``approx_norm`` is stored at encode time so ranking
-    never re-derives it per (row, query) pair."""
+    never re-derives it per (row, query) pair.
+
+    The codes array is materialized as an intermediate column before
+    ``approx_norm`` reads it: the norm's per-subspace lookup references
+    the codes m times, and codegen does not common-subexpression the
+    full argmin encode (~m·ksub·dsub fused ops per row) across those
+    references — inlined, the encode ran m+1 times per row (measured
+    ~3× slower end-to-end at sf0.1; the winnowing staging pitfall)."""
     cb, m, _ = _collect_codebook_literal(codebooks)
     vec = F.col(vec_col)
     dim_expr = F.size(vec)
@@ -205,18 +212,20 @@ def pq_encode(
         return F.array_min(scored)["pos"]
 
     codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best_code)
+    staged = corpus.withColumn("_pq_codes", codes.cast("array<int>"))
+    codes_col = F.col("_pq_codes")
     approx = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda s: F.element_at(
                 F.element_at(cb, (s + 1).cast("int")),
-                (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
+                (F.element_at(codes_col, (s + 1).cast("int")) + 1).cast("int"),
             ),
         )
     )
-    return corpus.select(
+    return staged.select(
         F.col(id_col),
-        codes.cast("array<int>").alias("codes"),
+        codes_col.alias("codes"),
         l2_norm(approx).alias("approx_norm"),
         *[F.col(c) for c in extra_cols],
     )
