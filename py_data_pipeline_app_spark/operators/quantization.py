@@ -44,6 +44,7 @@ import hashlib
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.similarity import (
     _assign_to_centroids,
+    _bucket_layout,
     _hadoop_fs,
     _ivf_centroid_checksum,
     _query_probes,
@@ -382,6 +383,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    files_per_bucket: int | None = None,
 ) -> None:
     """Materialize the IVF-PQ index — the standard corpus-scale ANN
     layout (FAISS's IVFPQ shape, rebuilt Spark-first): every vector's
@@ -437,6 +439,12 @@ def build_ivfpq_index(
         id_col=id_col,
         vec_col=vec_col,
         extra_cols=("centroid_id",),
+    )
+    # files_per_bucket bounds the (task x bucket) small-files blowup of
+    # a bare partitionBy write; the repartition shuffles only the
+    # ~32x-compressed code rows (see build_ivf_index's layout note)
+    combined = _bucket_layout(
+        combined, files_per_bucket, n_buckets=n_centroids, id_col=id_col
     )
     combined.write.partitionBy("centroid_id").mode("overwrite").parquet(
         f"{index_path}/assigned"

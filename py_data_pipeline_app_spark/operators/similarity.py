@@ -553,6 +553,26 @@ def _ivf_probe_topk(
 IVF_APPENDS_SUBDIR = "appends"
 
 
+def _bucket_layout(
+    assigned: DataFrame,
+    files_per_bucket: int | None,
+    *,
+    n_buckets: int,
+    id_col: str,
+) -> DataFrame:
+    """Optionally repartition index rows on (centroid_id, id-hash salt)
+    before a ``partitionBy`` write, bounding each bucket directory to
+    ``files_per_bucket`` files (each (bucket, salt) pair lands in
+    exactly one task). None = pass through (no shuffle, one file per
+    (task, bucket) pair)."""
+    if files_per_bucket is None:
+        return assigned
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(files_per_bucket))
+    return assigned.repartition(
+        max(n_buckets * files_per_bucket, 1), F.col("centroid_id"), salt
+    )
+
+
 def _hadoop_fs(spark, path: str):
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
@@ -663,6 +683,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    files_per_bucket: int | None = None,
 ) -> None:
     """Materialize the IVF index: the corpus with its bucket
     assignment, written PARTITIONED BY centroid_id (one directory per
@@ -683,7 +704,17 @@ def build_ivf_index(
     New embedding batches append incrementally via
     :func:`ivf_index_append` — a rebuild while appends exist would
     orphan their assignments (the reader unions them), so it fails
-    loudly; remove the index directory to truly rebuild."""
+    loudly; remove the index directory to truly rebuild.
+
+    ``files_per_bucket`` bounds the file count: a bare
+    ``partitionBy`` write emits one file per (task, bucket) pair —
+    the classic small-files problem, ~tasks×buckets objects at corpus
+    scale. When set, rows are repartitioned on (centroid_id, an
+    id-hash salt in [0, files_per_bucket)) first, so each bucket
+    directory holds at most ``files_per_bucket`` files at the cost of
+    ONE keyed shuffle of the index rows (the layout-control trade
+    ``write_training_shards``'s files_per_shard already makes). Leave
+    None at demo scale — the shuffle costs more than the files."""
     spark = corpus.sparkSession
     fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
     if fs.exists(appends_path):
@@ -710,6 +741,9 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/config")
     assigned = _assign_to_centroids(
         corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
+    )
+    assigned = _bucket_layout(
+        assigned, files_per_bucket, n_buckets=n_centroids, id_col=id_col
     )
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
         f"{index_path}/assigned"

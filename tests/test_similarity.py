@@ -516,3 +516,42 @@ def test_retrieve_docs_hydrates_hits(spark, emb):
     for r in out:
         d = doc_rows[r.doc_id]
         assert (r.lang, r.source, r.n_chars) == (d.lang, d.source, d.n_chars)
+
+
+def test_files_per_bucket_bounds_index_layout_and_keeps_parity(spark, emb, tmp_path):
+    """files_per_bucket repartitions before the partitionBy write so
+    each bucket directory holds at most that many files (the
+    small-files control), and probed results are unchanged."""
+    import glob
+    import os
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    wide = str(tmp_path / "wide")
+    tight = str(tmp_path / "tight")
+    # many input tasks -> a bare partitionBy write fans out per task
+    spread = emb.repartition(8)
+    build_ivf_index(spread, wide, n_centroids=4)
+    build_ivf_index(spread, tight, n_centroids=4, files_per_bucket=1)
+
+    def files_per_dir(base):
+        counts = {}
+        for d in glob.glob(os.path.join(base, "assigned", "centroid_id=*")):
+            counts[os.path.basename(d)] = len(glob.glob(os.path.join(d, "*.parquet")))
+        return counts
+
+    tight_counts = files_per_dir(tight)
+    assert tight_counts and all(c <= 1 for c in tight_counts.values()), tight_counts
+    # the un-salted layout genuinely fans out on this input, so the
+    # bound is doing real work
+    assert max(files_per_dir(wide).values()) > 1
+
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_topk_indexed(spark, wide, queries, k=5, nprobe=2)
+    b = ivf_topk_indexed(spark, tight, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
