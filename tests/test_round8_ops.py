@@ -168,8 +168,6 @@ def test_winnowing_shared_passage_guarantees_shared_fp(spark):
 
 
 def test_hard_negatives_exclude_same_label_and_rank_correctly(spark):
-    import itertools
-
     rows = []
     for i, (lab, vec) in enumerate(
         [
