@@ -4106,3 +4106,105 @@ def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=3,
         max_df=100,
     )
+
+@register(
+    "source_lang_pivot",
+    """
+    SELECT source,
+           CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+           CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+           CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+           CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_lang_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (extension): per-source language mix as one wide row per
+    source — the corpus-composition matrix every mixture report wants.
+
+    Scale notes: the pivot values are pinned EXPLICITLY (the five
+    corpus languages) — a high-cardinality or undiscovered pivot
+    column is the classic pivot failure (row-width explosion, plus a
+    distinct-discovery job when no values list is given). Even with
+    pinned values, ``groupBy().pivot(values).count()`` plans TWO
+    shuffles (a (source,lang) count agg, then a pivotfirst agg on
+    source — verified via explain), so this query expands the pivot
+    manually into conditional aggregates: one hash agg on ``source``,
+    one Exchange, map-side combined — the plan you want at 100 TB,
+    with identical semantics (plan-asserted single-shuffle in
+    tests/test_relational_shapes.py). Languages outside the pinned
+    list are dropped by contract (document them or add a residual
+    bucket); cells with no documents are true 0s, not nulls."""
+    docs = load_table(spark, "documents", sf_dir).select("source", "lang")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return docs.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("lang") == lg, F.lit(1))).alias(lg)
+            for lg in langs
+        ]
+    )
+
+
+@register(
+    "churned_high_balance_customers",
+    """
+    WITH cutoff AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / count(c_acctbal) AS m
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_balance
+    FROM customer, cutoff
+    WHERE c_acctbal > m
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def churned_high_balance_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + scalar-aggregate cutoff (TPC-H Q22 shape, extension):
+    well-funded customers (balance above the positive-balance average)
+    with NO order since 2000-01-01 — the churn list a re-engagement
+    campaign would pull — summarized per market segment.
+
+    Scale notes: the NOT EXISTS becomes a LEFT ANTI join in Spark; the
+    date predicate sits on the anti side's scan, so it is pushed down
+    to the orders parquet read (min/max rowgroup skipping) BEFORE the
+    join — the anti side shrinks from all orders to recent orders at
+    I/O time. Both sides then shuffle on the key — correct and linear
+    at 100 TB; were the filtered customer side small, AQE would flip
+    it to broadcast from runtime stats. The balance cutoff is a
+    one-row aggregate broadcast into the filter, computed as exact
+    decimal sum followed by ONE double division so both engines see
+    bit-identical cutoffs — a naive double avg() is summation-order
+    dependent and can flip customers sitting exactly at the
+    boundary."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    recent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dec_sum("c_acctbal").cast("double") / F.count("c_acctbal")).alias("m")
+    )
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("m"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("c_acctbal").alias("total_balance"),
+        )
+    )
