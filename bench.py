@@ -56,6 +56,9 @@ HEADLINE = [
     "boilerplate_line_strip",
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "source_lang_pivot",
+    "churned_high_balance_customers",
+    "quality_linear_scores",
     "dedup_cluster_assignment",
     "dedup_cluster_assignment_star",
     # embedding_near_dup is the scale-safe high-threshold config; the

@@ -170,6 +170,63 @@ def train_quality_classifier(
     return lr.fit(assembled)
 
 
+# Coefficients from one seeded `train_quality_classifier` fit over the
+# sf0.01 documents corpus (defaults; LBFGS is deterministic here —
+# pinned by test_training_is_deterministic). This is the production
+# shipping pattern: train on a sample once, then scoring is pure
+# column arithmetic that costs a scan — the model never rides along as
+# an object, just these eight doubles. Refit and re-pin when the
+# corpus distribution moves. The signs mirror the weak LM label's
+# quirks (documented in train_quality_classifier) — the scorer's
+# contract is "reproduces the trained model", not "hand-tuned taste".
+PINNED_WEIGHTS = {
+    "f_log_tokens": 0.119929,
+    "f_distinct_ratio": -1.815622,
+    "f_punct_share": 0.0,
+    "f_digit_share": 0.0,
+    "f_simpson": -1.619499,
+    "f_stopword_share": -17.054096,
+}
+PINNED_BIAS = 4.468778
+
+
+def score_quality_linear(
+    docs: DataFrame,
+    *,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, quality_z, predicted_good): apply a PINNED linear quality
+    model as native column arithmetic — the deployment half of
+    :func:`train_quality_classifier` (its coefficient vector pasted
+    into :data:`PINNED_WEIGHTS`), with zero Python per row and zero
+    shuffle: the whole scorer is one projection fused into the scan.
+
+    Cross-engine determinism (this is the oracle-backed variant of
+    ``score_quality``): every feature is rounded to 6dp BEFORE the dot
+    product — ``f_log_tokens`` is the one libm-dependent feature
+    (``ln`` may differ in the last ulp between engines; same pre-round
+    discipline as the perplexity oracle), the rest are exact integer
+    ratios — and the dot product is a fixed left-to-right sum of six
+    products, which IEEE doubles evaluate bit-identically everywhere.
+    ``quality_z`` is the linear score (sigmoid is monotone, so
+    thresholding z at 0 ≡ thresholding probability at 0.5 — and
+    skipping exp() avoids a second libm dependency)."""
+    w = dict(PINNED_WEIGHTS if weights is None else weights)
+    b = float(PINNED_BIAS if bias is None else bias)
+    feats = quality_feature_frame(docs, text_col=text_col, id_col=id_col)
+    z = F.lit(b)
+    for name in FEATURE_COLS:
+        z = z + F.round(F.col(name), 6) * F.lit(float(w[name]))
+    return feats.select(
+        F.col(id_col),
+        F.round(z, 6).alias("quality_z"),
+        (F.round(z, 6) > 0.0).alias("predicted_good"),
+    )
+
+
 def score_quality(
     model,
     docs: DataFrame,

@@ -4208,3 +4208,95 @@ def churned_high_balance_customers_q(spark: SparkSession, sf_dir: str) -> DataFr
             money_sum("c_acctbal").alias("total_balance"),
         )
     )
+
+# The pinned linear quality model's oracle recomputes the six features
+# in DuckDB and applies the identical fixed-order dot product; the
+# stopword literal is generated from the SAME frozen list the Spark
+# scorer uses, so the two engines cannot drift.
+from py_data_pipeline_app_spark.operators.quality_model import (  # noqa: E402
+    PINNED_BIAS as _QB,
+    PINNED_WEIGHTS as _QW,
+)
+
+_SQL_ALL_STOP = "(" + ",".join(
+    f"'{w}'"
+    for w in __import__(
+        "py_data_pipeline_app_spark.operators.quality_model",
+        fromlist=["_ALL_STOPWORDS"],
+    )._ALL_STOPWORDS
+) + ")"
+
+
+@register(
+    "quality_linear_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_WS}) AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    sim AS (
+      SELECT doc_id,
+             sum(c) AS n,
+             sum(c * c) AS c2,
+             count(*) AS n_types,
+             sum(CASE WHEN lower(tok) IN {_SQL_ALL_STOP} THEN c ELSE 0 END)
+               AS stop_hits
+      FROM tc GROUP BY doc_id
+    ),
+    chars AS (
+      SELECT doc_id,
+             greatest(length(text), 1) AS n_chars,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+      FROM documents
+    ),
+    feat AS (
+      SELECT s.doc_id,
+             round(ln(s.n + 1.0), 6) AS f1,
+             round(s.n_types::DOUBLE / s.n, 6) AS f2,
+             round(c.punct::DOUBLE / c.n_chars, 6) AS f3,
+             round(c.digits::DOUBLE / c.n_chars, 6) AS f4,
+             round(1.0 - s.c2::DOUBLE / (s.n * s.n)::DOUBLE, 6) AS f5,
+             round(s.stop_hits::DOUBLE / s.n, 6) AS f6
+      FROM sim s JOIN chars c USING (doc_id)
+    )
+    SELECT doc_id,
+           round({_QB!r}
+                 + f1 * ({_QW["f_log_tokens"]!r})
+                 + f2 * ({_QW["f_distinct_ratio"]!r})
+                 + f3 * ({_QW["f_punct_share"]!r})
+                 + f4 * ({_QW["f_digit_share"]!r})
+                 + f5 * ({_QW["f_simpson"]!r})
+                 + f6 * ({_QW["f_stopword_share"]!r}), 6) AS quality_z,
+           round({_QB!r}
+                 + f1 * ({_QW["f_log_tokens"]!r})
+                 + f2 * ({_QW["f_distinct_ratio"]!r})
+                 + f3 * ({_QW["f_punct_share"]!r})
+                 + f4 * ({_QW["f_digit_share"]!r})
+                 + f5 * ({_QW["f_simpson"]!r})
+                 + f6 * ({_QW["f_stopword_share"]!r}), 6) > 0.0
+             AS predicted_good
+    FROM feat
+    """,
+)
+def quality_linear_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quality-model scoring at scan cost (extension — the
+    deployment half of operators/quality_model.py): every document
+    scored by the PINNED logistic-regression coefficient vector from a
+    seeded ``train_quality_classifier`` fit, as pure native-column
+    arithmetic — no model object, no UDF, no shuffle; the scorer IS a
+    projection.
+
+    This closes the loop the ``ivf_topk_trained`` precedent left open:
+    the TRAINING step is iterative (no SQL oracle by nature, covered
+    behaviorally in tests), but once its coefficients are pinned,
+    SCORING is fully SQL-expressible and carries a full value-hash
+    oracle. Determinism comes from rounding each feature to 6dp before
+    a fixed-order dot product (see score_quality_linear docstring);
+    100-TB plan: refit on a sample, re-pin, and the scorer still costs
+    exactly one scan of (doc_id, text)."""
+    from py_data_pipeline_app_spark.operators.quality_model import (
+        score_quality_linear,
+    )
+
+    return score_quality_linear(load_table(spark, "documents", sf_dir))

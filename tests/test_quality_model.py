@@ -80,3 +80,46 @@ def test_training_is_deterministic(spark, corpus):
     c1 = [round(float(x), 9) for x in m1.coefficients]
     c2 = [round(float(x), 9) for x in m2.coefficients]
     assert c1 == c2
+
+
+def test_linear_scorer_reproduces_model_decisions(spark, corpus):
+    """Pin a fit's coefficients into score_quality_linear: its z>0
+    decision must reproduce the model's prob>=0.5 decision everywhere
+    except within the 6dp feature-rounding band around the boundary."""
+    from py_data_pipeline_app_spark.operators.quality_model import (
+        FEATURE_COLS,
+        score_quality_linear,
+    )
+
+    model = train_quality_classifier(corpus, vocab_size=16)
+    weights = dict(zip(FEATURE_COLS, (float(c) for c in model.coefficients)))
+    probs = {r.doc_id: r.quality_prob for r in score_quality(model, corpus).collect()}
+    lin = {
+        r.doc_id: r
+        for r in score_quality_linear(
+            corpus, weights=weights, bias=float(model.intercept)
+        ).collect()
+    }
+    assert set(lin) == set(probs)
+    for doc_id, r in lin.items():
+        if abs(r.quality_z) > 1e-3:
+            assert r.predicted_good == (probs[doc_id] >= 0.5), (
+                doc_id,
+                r.quality_z,
+                probs[doc_id],
+            )
+
+
+def test_linear_scorer_is_shuffle_free(spark, corpus):
+    """The deployed scorer is a projection: no Exchange in the plan."""
+    import contextlib
+    import io
+
+    from py_data_pipeline_app_spark.operators.quality_model import (
+        score_quality_linear,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        score_quality_linear(corpus).explain(mode="simple")
+    assert "Exchange" not in buf.getvalue()
