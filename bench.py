@@ -109,6 +109,25 @@ HEADLINE = [
     "media_feature_topk",
     "media_frame_sample",
     "media_resize_profile",
+    "media_metadata_filter",
+    "media_feature_extract",
+    # reference-fidelity small queries (cheap; tracked so the whole
+    # registry minus the two documented quadratic studies has a
+    # round-over-round wall-time series):
+    "blob_parse_roundtrip",
+    "customer_details_nested",
+    "dimension_current_state",
+    "excel_serial_dates",
+    "json_props_extract",
+    "event_user_distinct",
+    "user_retention_set_ops",
+    "stratified_lang_rebalance",
+    "text_lang_id",
+    # round-8 additions:
+    "interval_window_attribution",
+    "lineitem_column_profile",
+    "shipping_priority_top10",
+    "order_priority_lateness",
 ]
 
 

@@ -74,3 +74,95 @@ def asof_join(
         F.col("_m._rts").alias("asof_ts"),
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_payload],
     )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    fact_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bin_seconds: int = 21600,
+) -> DataFrame:
+    """Range (interval-containment) join: every fact row is paired with
+    every interval row whose half-open window ``[start, end)`` contains
+    ``fact_ts`` (and whose ``keys`` match, when given). A fact inside k
+    overlapping intervals comes back k times — attribution semantics.
+    Dedup ("does the fact fall in ANY window") is a ``groupBy`` away.
+
+    Why not ``facts.join(intervals, ts.between(s, e))``? With no equi
+    key that condition plans as BroadcastNestedLoopJoin — every fact
+    row is tested against EVERY interval, O(|facts| x |intervals|)
+    compute even when intervals are short. The scalable shape is the
+    bin-bucketed rewrite (the same idea behind Databricks' range-join
+    optimization and bucketed overlap joins in genomics engines):
+
+    1. pick a bin width; each fact lands in exactly ONE bin
+       (``floor(unix(ts) / w)``);
+    2. each interval EXPLODES into every bin its span overlaps —
+       short intervals hit few bins;
+    3. equi-join on (keys..., bin) — a plain shuffled join Catalyst
+       and AQE know how to plan, skew-splittable like any other —
+       then re-check exact containment to drop same-bin near-misses.
+
+    No duplicate pairs by construction: a fact has exactly one bin, so
+    each (fact, interval) pair meets at most once. Cost scales with
+    bin-sharing candidate pairs, not the cross product; the interval
+    side is replicated ~span/bin_seconds rows per interval, so pick
+    ``bin_seconds`` near the typical interval length.
+
+    NULL ``end_col`` means a still-open interval ``[start, inf)``:
+    those cannot be exploded into finitely many bins, so they take a
+    keys-only equi-join (or a broadcast cross join when ``keys`` is
+    empty — the open set is the small "current state" slice by
+    contract) + ``ts >= start`` filter, unioned in."""
+    keys = list(keys or [])
+    w = int(bin_seconds)
+    if w <= 0:
+        raise ValueError("bin_seconds must be positive")
+    overlap = set(facts.columns) & set(intervals.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"facts/intervals share non-key columns {sorted(overlap)}; "
+            "rename one side"
+        )
+
+    # exact integer microseconds — unix_timestamp() truncates to whole
+    # seconds, which would mis-bin sub-second boundaries. The cast
+    # accepts TIMESTAMP_NTZ too; applied identically to both sides, so
+    # bins stay aligned regardless of session timezone.
+    wus = w * 1_000_000
+
+    def micros(c: str) -> F.Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    f = facts.withColumn("_bin", F.floor(micros(fact_ts) / wus))
+
+    bounded = intervals.filter(F.col(end_col).isNotNull())
+    open_iv = intervals.filter(F.col(end_col).isNull())
+
+    start_bin = F.floor(micros(start_col) / wus)
+    # end is EXCLUSIVE: an interval ending exactly on a bin edge does
+    # not reach into that bin — hence the 1-microsecond nudge back
+    # before flooring.
+    end_bin = F.floor((micros(end_col) - 1) / wus)
+    b = bounded.withColumn(
+        "_bin", F.explode(F.sequence(start_bin, F.greatest(end_bin, start_bin)))
+    )
+
+    contained = (F.col(fact_ts) >= F.col(start_col)) & (
+        F.col(fact_ts) < F.col(end_col)
+    )
+    matched = f.join(b, on=keys + ["_bin"], how="inner").filter(contained)
+
+    if keys:
+        open_joined = f.join(open_iv, on=keys, how="inner")
+    else:
+        open_joined = f.join(F.broadcast(open_iv), how="cross")
+    open_joined = open_joined.filter(F.col(fact_ts) >= F.col(start_col))
+
+    return matched.unionByName(open_joined).drop("_bin")
+
+

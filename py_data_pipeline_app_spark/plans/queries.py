@@ -4300,3 +4300,209 @@ def quality_linear_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return score_quality_linear(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "interval_window_attribution",
+    f"""
+    WITH w AS (
+      SELECT event_type AS window_type,
+             min(ts) AS win_start,
+             min(ts) + INTERVAL 72 HOUR AS win_end
+      FROM events GROUP BY event_type
+    )
+    SELECT window_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_money_sum('value')} AS sum_value
+    FROM events e
+    JOIN w ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY window_type
+    """,
+)
+def interval_window_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join via the bin-bucketed interval_join operator
+    (extension — operators/temporal.py): per event type, the 72-hour
+    "launch window" starting at its first occurrence; every event is
+    attributed to every window containing its timestamp (overlap =
+    multi-attribution), then rolled up per window.
+
+    The oracle expresses it as the naive theta-join (``ts BETWEEN``)
+    — which in Spark would plan as BroadcastNestedLoopJoin testing
+    every event against every window. interval_join instead explodes
+    each window into the 6-hour bins it overlaps (~12 per window) and
+    equi-joins on the bin, so an event is only checked against windows
+    sharing its bin. Same rows — the gate proves it — different
+    asymptotics: candidate pairs scale with bin co-occupancy, not
+    |events| x |windows|. At 100 TB the (bin) shuffle is AQE
+    skew-splittable like any equi-join."""
+    from py_data_pipeline_app_spark.operators.temporal import interval_join
+
+    events = load_table(spark, "events", sf_dir)
+    wins = (
+        events.groupBy("event_type")
+        .agg(F.min("ts").alias("win_start"))
+        .select(
+            F.col("event_type").alias("window_type"),
+            "win_start",
+            (F.col("win_start") + F.expr("INTERVAL 72 HOURS")).alias("win_end"),
+        )
+    )
+    facts = events.select("event_id", "user_id", "ts", "value")
+    joined = interval_join(
+        facts,
+        wins,
+        fact_ts="ts",
+        start_col="win_start",
+        end_col="win_end",
+        bin_seconds=21600,
+    )
+    return joined.groupBy("window_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        money_sum("value").alias("sum_value"),
+    )
+
+
+_PROFILE_COLS = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def _profile_oracle() -> str:
+    def one(c: str) -> str:
+        if c == "l_shipdate":
+            mn = "strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S')"
+            mx = "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')"
+        elif c in ("l_returnflag", "l_linestatus"):
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        else:
+            mn = f"CAST(CAST(min({c}) AS DECIMAL(18,6)) AS VARCHAR)"
+            mx = f"CAST(CAST(max({c}) AS DECIMAL(18,6)) AS VARCHAR)"
+        return f"""
+        SELECT '{c}' AS column_name,
+               CAST(count({c}) AS BIGINT) AS n_present,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {mn} AS min_value,
+               {mx} AS max_value
+        FROM lineitem"""
+
+    return " UNION ALL ".join(one(c) for c in _PROFILE_COLS)
+
+
+@register("lineitem_column_profile", _profile_oracle())
+def lineitem_column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of lineitem in ONE aggregation job
+    (extension — operators/profile.py): per column, presence/null/
+    exact-distinct counts and stringified min/max. The oracle is six
+    UNION ALL'd single-column profiles; Spark computes all six columns
+    in one scan + one agg, then unpivots with stack. Registered with
+    exact distincts (cross-engine verifiable; Expand-factor 7 at test
+    scale); the 100 TB flip is ``exact=False`` → HyperLogLog++ on the
+    ordinary partial-agg path, documented in the operator."""
+    from py_data_pipeline_app_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        load_table(spark, "lineitem", sf_dir), _PROFILE_COLS, exact=True
+    )
+
+
+@register(
+    "shipping_priority_top10",
+    f"""
+    SELECT l.l_orderkey AS o_orderkey,
+           {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority (extension — relational
+    breadth): BUILDING-segment customers' orders placed before a cutoff
+    with lineitems shipped after it, top-10 order revenues. Three-table
+    join where BOTH dimension filters cut before the shuffle (predicate
+    pushdown reaches the parquet scans), aggregation keyed on the
+    already-shuffled l_orderkey, and the top-10 is a TakeOrdered (no
+    global sort materialization). Tie-break (orderdate, orderkey) makes
+    the limit deterministic cross-engine."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .join(cust, orders["o_custkey"] == cust["c_custkey"], "inner")
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("orderdate").asc(), F.col("o_orderkey").asc()
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_lateness",
+    f"""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_late,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_late,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def order_priority_lateness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped lateness breakdown (extension — relational
+    breadth): lineitems shipped >30 days after their order date,
+    split into high- vs low-priority order counts per return flag —
+    the conditional-aggregation (pivot-in-agg) idiom. One fact-fact
+    equi-join on the natural key + one 3-group agg; both conditions
+    are native column expressions inside the aggregate, so the whole
+    thing is two shuffles and stays in whole-stage codegen."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high & late, 1).otherwise(0)).alias("high_late"),
+        F.sum(F.when(~high & late, 1).otherwise(0)).alias("low_late"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

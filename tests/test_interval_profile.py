@@ -1,0 +1,187 @@
+"""interval_join (operators/temporal.py) and profile_columns
+(operators/profile.py): containment semantics, bin-edge behavior,
+open intervals, plan shape, and the one-job profile."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_data_pipeline_app_spark.operators.profile import profile_columns
+from py_data_pipeline_app_spark.operators.temporal import interval_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    facts = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01T00:00:00")),  # exactly at a start -> in
+            (2, 7, _ts("2024-01-01T05:59:59.500")),  # sub-second before end
+            (3, 7, _ts("2024-01-01T06:00:00")),  # exactly at an end -> out
+            (4, 8, _ts("2024-01-02T12:00:00")),  # key mismatch vs iv 1
+            (5, 7, _ts("2024-03-01T00:00:00")),  # inside the open interval
+        ],
+        "fact_id long, k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 7, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T06:00:00")),
+            (11, 7, _ts("2024-01-01T03:00:00"), _ts("2024-01-01T09:00:00")),
+            (12, 8, _ts("2024-01-02T00:00:00"), _ts("2024-01-03T00:00:00")),
+            (13, 7, _ts("2024-02-01T00:00:00"), None),  # open-ended
+        ],
+        "iv_id long, k long, start timestamp, end timestamp",
+    )
+    return facts, intervals
+
+
+def pairs(df):
+    return sorted((r.fact_id, r.iv_id) for r in df.collect())
+
+
+def test_keyed_containment(frames):
+    facts, intervals = frames
+    out = interval_join(
+        facts,
+        intervals,
+        fact_ts="ts",
+        start_col="start",
+        end_col="end",
+        keys=["k"],
+        bin_seconds=3600,
+    )
+    # fact 1: start-inclusive, iv 10 only; fact 2: overlap region -> both;
+    # fact 3: end-exclusive for 10, inside 11; fact 4: key-matched iv 12;
+    # fact 5: open interval 13
+    assert pairs(out) == [(1, 10), (2, 10), (2, 11), (3, 11), (4, 12), (5, 13)]
+
+
+def test_keyless_matches_naive(spark, frames):
+    facts, intervals = frames
+    out = interval_join(
+        facts.drop("k"),
+        intervals.drop("k").filter(F.col("end").isNotNull()),
+        fact_ts="ts",
+        start_col="start",
+        end_col="end",
+        bin_seconds=7200,
+    )
+    naive = (
+        facts.drop("k")
+        .join(
+            intervals.drop("k").filter(F.col("end").isNotNull()),
+            on=[
+                F.col("ts") >= F.col("start"),
+                F.col("ts") < F.col("end"),
+            ],
+        )
+    )
+    assert pairs(out) == sorted((r.fact_id, r.iv_id) for r in naive.collect())
+
+
+def test_no_duplicate_pairs_with_wide_bins_and_long_intervals(spark):
+    # an interval spanning 50 bins must still produce each pair once
+    facts = spark.createDataFrame(
+        [(i, _ts("2024-01-01T00:00:00")) for i in range(3)],
+        "fact_id long, ts timestamp",
+    ).withColumn("ts", F.col("ts") + F.expr("make_interval(0,0,0,0,fact_id,0,0)"))
+    intervals = spark.createDataFrame(
+        [(99, _ts("2023-12-31T00:00:00"), _ts("2024-01-03T00:00:00"))],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    out = interval_join(
+        facts,
+        intervals,
+        fact_ts="ts",
+        start_col="start",
+        end_col="end",
+        bin_seconds=3600,
+    )
+    assert pairs(out) == [(0, 99), (1, 99), (2, 99)]
+
+
+def test_bounded_branch_is_equi_join(frames):
+    facts, intervals = frames
+    import contextlib
+    import io
+
+    out = interval_join(
+        facts,
+        intervals.filter(F.col("end").isNotNull()),
+        fact_ts="ts",
+        start_col="start",
+        end_col="end",
+        keys=["k"],
+        bin_seconds=3600,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the whole point: a hash/sort-merge equi join, never a nested loop
+    assert "NestedLoop" not in plan
+
+
+def test_overlapping_non_key_columns_rejected(frames):
+    facts, intervals = frames
+    with pytest.raises(ValueError, match="share non-key"):
+        interval_join(
+            facts,
+            intervals.withColumnRenamed("iv_id", "fact_id"),
+            fact_ts="ts",
+            start_col="start",
+            end_col="end",
+            keys=["k"],
+        )
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_profile_basic(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 10.0, None), (4, 9.0, "a")],
+        "id long, x double, s string",
+    )
+    prof = {r.column_name: r for r in profile_columns(df, ["x", "s"]).collect()}
+    x = prof["x"]
+    assert (x.n_present, x.n_null, x.n_distinct) == (3, 1, 3)
+    # min/max computed on the NATIVE type: 9.0 < 10.0 numerically even
+    # though "10.0" < "9.0" lexically
+    assert (x.min_value, x.max_value) == ("2.500000", "10.000000")
+    s = prof["s"]
+    assert (s.n_present, s.n_null, s.n_distinct) == (3, 1, 2)
+    assert (s.min_value, s.max_value) == ("a", "b")
+
+
+def test_profile_is_one_job(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, x double")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    profile_columns(df, ["id", "x"], exact=False).collect()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 2  # one agg job (+ a possible AQE stage probe)
+
+
+def test_profile_approx_path_has_no_expand(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, x double")
+    for exact, want_expand in [(True, True), (False, False)]:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            profile_columns(df, ["id", "x"], exact=exact).explain("formatted")
+        assert ("Expand" in buf.getvalue()) == want_expand
+
+
+def test_profile_validates_columns(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="not in frame"):
+        profile_columns(df, ["nope"])
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
