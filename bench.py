@@ -128,6 +128,7 @@ HEADLINE = [
     "lineitem_column_profile",
     "shipping_priority_top10",
     "order_priority_lateness",
+    "view_click_attribution",
 ]
 
 

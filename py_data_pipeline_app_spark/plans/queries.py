@@ -4506,3 +4506,49 @@ def order_priority_lateness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~high & late, 1).otherwise(0)).alias("low_late"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+@register(
+    "view_click_attribution",
+    f"""
+    WITH v AS (
+      SELECT user_id, ts AS l_ts FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, ts AS r_ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(date_diff('microsecond', v.l_ts, c.r_ts)) AS BIGINT)
+             AS min_gap_us,
+           {sql_money_sum('c.value')} AS attributed_value
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.r_ts >= v.l_ts
+     AND c.r_ts <= v.l_ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def view_click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mode of the stream-stream event-time join (extension —
+    streaming/joins.py): every (view, click) pair of the same user
+    with the click inside 30 minutes of the view, rolled up per user.
+    The SAME builder runs on two live streams — watermarked, with the
+    time-range bound letting Spark evict join state past
+    ``watermark + max_delay`` — and its accumulated output equals this
+    batch run (parity-tested in tests/test_streaming_joins.py; inner
+    stream-stream joins emit matches eagerly, the watermark only
+    bounds state). Plan-wise the range bound rides as a residual
+    predicate on a plain user-keyed equi-join: one shuffle per side,
+    AQE-splittable, clicks-per-view fan-out bounded by the window."""
+    from py_data_pipeline_app_spark.streaming.joins import view_click_pairs
+
+    pairs = view_click_pairs(load_table(spark, "events", sf_dir))
+    gap_us = F.unix_micros(F.col("r_ts").cast("timestamp")) - F.unix_micros(
+        F.col("l_ts").cast("timestamp")
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(gap_us).alias("min_gap_us"),
+        money_sum("r_value").alias("attributed_value"),
+    )
