@@ -129,6 +129,9 @@ HEADLINE = [
     "shipping_priority_top10",
     "order_priority_lateness",
     "view_click_attribution",
+    "nation_market_share",
+    "daily_value_trend",
+    "small_quantity_order_revenue",
 ]
 
 

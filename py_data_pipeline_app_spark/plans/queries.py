@@ -4552,3 +4552,161 @@ def view_click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(gap_us).alias("min_gap_us"),
         money_sum("r_value").alias("attributed_value"),
     )
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)')}
+               AS nation_revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, nation_revenue,
+           round(nation_revenue /
+                 CAST(sum(CAST(nation_revenue AS DECIMAL(18,6))) OVER
+                        (PARTITION BY region) AS DOUBLE), 6) AS region_share
+    FROM rev
+    """,
+)
+def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share (extension — relational breadth):
+    each nation's revenue as a share of its region's total. The
+    share denominator is a WINDOW over the aggregate — sum(revenue)
+    OVER (PARTITION BY region) on the ~25-row agg result — so the
+    full fact volume is reduced FIRST (broadcast snowflake joins +
+    one keyed agg) and the window runs on a frame that fits in one
+    task regardless of input scale. Division happens once, on
+    doubles, then HALF_UP-rounded to 6dp for cross-engine hashing."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "nation_revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("region")
+    denom = F.sum(F.col("nation_revenue").cast("decimal(18,6)")).over(w).cast(
+        "double"
+    )
+    return rev.withColumn(
+        "region_share", F.round(F.col("nation_revenue") / denom, 6)
+    )
+
+
+@register(
+    "daily_value_trend",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {sql_money_sum('value')} AS day_value,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, day_value, n_events,
+           round(CAST(sum(CAST(day_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 2) AS ma7
+    FROM d
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                       AND CURRENT ROW)
+    """,
+)
+def daily_value_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing (extension — window-frame breadth): daily
+    event value totals with a 7-day trailing moving average via a
+    RANGE frame keyed on the date — the frame follows the time axis,
+    so missing days shrink the window rather than silently stretching
+    it (the rows-frame bug). The heavy lift is the per-day agg (one
+    keyed shuffle, map-side partials); the window then runs over one
+    row per day — ~36,500 rows per century, driver-scale forever, so
+    the unpartitioned sort is not a 100 TB concern. ma7 rounds the
+    DOUBLE average of already-2dp day values — deterministic because
+    each day_value is exact (decimal-summed) before division."""
+    events = load_table(spark, "events", sf_dir)
+    d = (
+        events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            money_sum("value").alias("day_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    ma7 = F.round(
+        F.sum(F.col("day_value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+        2,
+    )
+    return d.withColumn("ma7", ma7)
+
+
+@register(
+    "small_quantity_order_revenue",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(l_quantity)) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           {sql_money_sum('l.l_extendedprice')} AS small_lot_revenue,
+           CAST(count(*) AS BIGINT) AS n_small_lots
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < pa.half_avg
+    GROUP BY p.p_brand
+    """,
+)
+def small_quantity_order_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-aggregate filter (extension —
+    relational breadth): revenue from lineitems whose quantity is
+    below half their part's average, rolled up by brand. The
+    correlated scalar subquery decorrelates into a per-part aggregate
+    re-joined to the fact — both sides shuffle on l_partkey, and AQE
+    can pick a broadcast for the k-row aggregate side (|parts| ~
+    |lineitem|/30). The half-average compares EXACTLY as the oracle
+    does: decimal sum / count, halved once, one double comparison —
+    no per-row rounding drift."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            0.5
+            * (
+                dec_sum("l_quantity").cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("half_avg")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    return (
+        li.join(pa, li["l_partkey"] == pa["pa_partkey"])
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            money_sum("l_extendedprice").alias("small_lot_revenue"),
+            F.count(F.lit(1)).alias("n_small_lots"),
+        )
+    )
