@@ -1,27 +1,39 @@
 """One-pass column profiling: per-column presence / null / distinct /
-min / max stats in a SINGLE aggregation job (extension — the
-reference's pandas app profiles nothing; this is the ``ANALYZE
-TABLE``-shaped operator every warehouse-scale ingest needs before
-trusting a new drop of data).
+min / max stats (extension — the reference's pandas app profiles
+nothing; this is the ``ANALYZE TABLE``-shaped operator every
+warehouse-scale ingest needs before trusting a new drop of data).
 
-Shape: one ``agg`` carrying every per-column expression at once, then
-an ``unpivot`` (``stack``) of the single result row into one row per
-column. The whole profile is ONE scan + one (tiny) aggregation —
-adding columns widens the aggregation buffer, it does not add jobs or
-scans. Min/max are computed on the NATIVE type (string min of a
-numeric column would compare lexically: "10" < "9") and stringified
-only afterwards, through the repo's decimal(18,6) convention so Spark
-and DuckDB render doubles identically.
+Two execution shapes behind one output schema:
 
-Distinct counts: ``exact=True`` uses ``count(DISTINCT col)`` — with
-several distinct aggregates in one job Catalyst plans an ``Expand``
-(input replicated once per distinct column +1). Exact is what the
-cross-engine oracle can verify, so the registered query pins it, and
-at sf0.1 the expand factor is harmless. At 100 TB flip ``exact=False``:
-``approx_count_distinct`` (HyperLogLog++) folds into the ordinary
-partial-aggregate path — no Expand, no extra shuffle, rsd-bounded
-error — which is the same swap the ``event_user_distinct`` query
-documents.
+``exact=False`` (the 100 TB default): ONE aggregation job carrying
+every per-column expression at once — count / null-count / HLL++
+approx-distinct / min / max — then a ``stack`` unpivot of the single
+result row. One scan, no shuffle beyond the 1-row agg, rsd-bounded
+distinct error.
+
+``exact=True`` (what the cross-engine oracle can verify): exact
+distinct counts. The naive form — several ``count(DISTINCT col)`` in
+one agg — plans an Expand whose first-phase hash map keys every
+distinct VALUE while also dragging every min/max/count buffer through
+those groups; measured 10x slower than the bare distincts at sf0.1.
+Instead the exact path MELTS the table long (one (column, value) row
+per cell, value stringified injectively), then aggregates in two
+keyed phases:
+
+1. ``groupBy(column, value)`` — count per distinct cell value, with
+   map-side partial aggregation soaking up repeated values before the
+   shuffle (a constant column shuffles ~1 row per partition);
+2. ``groupBy(column, salt=hash(value)%256)`` partials →
+   ``groupBy(column)`` — distinct-count is a plain row count (values
+   are distinct across salt buckets by construction), so the second
+   shuffle is skew-proof even when one column holds 10^9 distincts:
+   no single reducer ever sees more than one salt bucket's rows.
+
+Min/max travel as (double-proxy, string) pairs and are re-rendered
+per column type at the end — computed on the NATIVE order (string min
+of a numeric column would compare lexically: "10" < "9"), displayed
+through the repo's decimal(18,6) convention so Spark and DuckDB
+render identically.
 """
 
 from __future__ import annotations
@@ -38,45 +50,35 @@ def _stringify(col: F.Column, dtype: T.DataType) -> F.Column:
     second-resolution format; everything else casts directly."""
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         return col.cast("decimal(18,6)").cast("string")
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     return col.cast("string")
 
 
-def profile_columns(
-    df: DataFrame,
-    cols: list[str],
-    *,
-    exact: bool = True,
-    rsd: float = 0.05,
-) -> DataFrame:
-    """Profile ``cols`` of ``df`` in one aggregation job. Returns one
-    row per column: (column_name, n_present, n_null, n_distinct,
-    min_value, max_value) with min/max stringified deterministically.
-    ``exact=False`` swaps count(DISTINCT) for HyperLogLog++ with
-    relative standard deviation ``rsd`` — the 100 TB configuration."""
-    if not cols:
-        raise ValueError("cols must be non-empty")
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-    missing = [c for c in cols if c not in dtypes]
-    if missing:
-        raise ValueError(f"columns not in frame: {missing}")
+_NUMERIC = (
+    T.DoubleType,
+    T.FloatType,
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DecimalType,
+)
 
+
+def _approx_profile(df: DataFrame, cols: list[str], rsd: float) -> DataFrame:
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in cols:
         col = F.col(c)
-        distinct = (
-            F.count_distinct(col) if exact else F.approx_count_distinct(col, rsd)
-        )
         aggs += [
             F.count(col).alias(f"__present_{c}"),
             F.count(F.when(col.isNull(), F.lit(1))).alias(f"__null_{c}"),
-            distinct.alias(f"__distinct_{c}"),
+            F.approx_count_distinct(col, rsd).alias(f"__distinct_{c}"),
             _stringify(F.min(col), dtypes[c]).alias(f"__min_{c}"),
             _stringify(F.max(col), dtypes[c]).alias(f"__max_{c}"),
         ]
     wide = df.agg(*aggs)
-
     parts = ", ".join(
         f"'{c}', __present_{c}, __null_{c}, __distinct_{c}, __min_{c}, __max_{c}"
         for c in cols
@@ -87,3 +89,117 @@ def profile_columns(
             "(column_name, n_present, n_null, n_distinct, min_value, max_value)"
         )
     )
+
+
+def _exact_profile(df: DataFrame, cols: list[str], n_salts: int) -> DataFrame:
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    branches = []
+    for c in cols:
+        col = F.col(c)
+        dtype = dtypes[c]
+        # injective string form (distinct-count key): full-precision
+        # cast, NOT the display cast — decimal(18,6) would collapse
+        # doubles closer than 1e-6
+        sval = col.cast("string")
+        # double proxy preserving the NATIVE order for min/max
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            dval = F.unix_micros(col.cast("timestamp")).cast("double")
+        elif isinstance(dtype, _NUMERIC):
+            dval = col.cast("double")
+        else:
+            dval = F.lit(None).cast("double")
+        branches.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                sval.alias("sval"),
+                dval.alias("dval"),
+            )
+        )
+
+    long = df.select(F.explode(F.array(*branches)).alias("cell")).select("cell.*")
+
+    # phase 1: one row per distinct (column, value); dval is constant
+    # within a group (sval is injective), min() just picks it
+    per_value = long.groupBy("column_name", "sval").agg(
+        F.count(F.lit(1)).alias("n"), F.min("dval").alias("dval")
+    )
+
+    # phase 2a: partials per (column, salt-of-value) — distinct values
+    # land in disjoint buckets, so distinct-count re-aggregates as a sum
+    present = F.col("sval").isNotNull()
+    salted = per_value.groupBy(
+        "column_name",
+        F.pmod(F.xxhash64("sval"), F.lit(n_salts)).alias("_salt"),
+    ).agg(
+        F.sum(F.when(present, F.col("n")).otherwise(0)).alias("n_present"),
+        F.sum(F.when(~present, F.col("n")).otherwise(0)).alias("n_null"),
+        F.count(F.when(present, F.lit(1))).alias("n_distinct"),
+        F.min("dval").alias("dmin"),
+        F.max("dval").alias("dmax"),
+        F.min(F.when(present, F.col("sval"))).alias("smin"),
+        F.max(F.when(present, F.col("sval"))).alias("smax"),
+    )
+    # phase 2b: fold the ≤ n_salts partials per column
+    prof = salted.groupBy("column_name").agg(
+        F.sum("n_present").alias("n_present"),
+        F.sum("n_null").alias("n_null"),
+        F.sum("n_distinct").alias("n_distinct"),
+        F.min("dmin").alias("dmin"),
+        F.max("dmax").alias("dmax"),
+        F.min("smin").alias("smin"),
+        F.max("smax").alias("smax"),
+    )
+
+    # per-type rendering of min/max from the right carrier
+    def render(bound: str) -> F.Column:
+        d, s = F.col(f"d{bound}"), F.col(f"s{bound}")
+        expr = F.lit(None).cast("string")
+        for c in cols:
+            dtype = dtypes[c]
+            if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+                val = F.date_format(
+                    F.timestamp_micros(d.cast("long")), "yyyy-MM-dd HH:mm:ss"
+                )
+            elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+                val = d.cast("decimal(18,6)").cast("string")
+            elif isinstance(dtype, _NUMERIC):
+                val = _stringify(d.cast(dtype.simpleString()), dtype)
+            else:
+                val = s
+            expr = F.when(F.col("column_name") == c, val).otherwise(expr)
+        return expr
+
+    return prof.select(
+        "column_name",
+        F.col("n_present").cast("long").alias("n_present"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        render("min").alias("min_value"),
+        render("max").alias("max_value"),
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    exact: bool = True,
+    rsd: float = 0.05,
+    n_salts: int = 256,
+) -> DataFrame:
+    """Profile ``cols`` of ``df``. Returns one row per column:
+    (column_name, n_present, n_null, n_distinct, min_value, max_value)
+    with min/max stringified deterministically. ``exact=True`` runs
+    the melt + two-phase salted aggregation (exact distincts, both
+    shuffles skew-proof); ``exact=False`` is the single-pass HLL++
+    configuration — see module docstring for the trade."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    if exact:
+        return _exact_profile(df, cols, n_salts)
+    return _approx_profile(df, cols, rsd)

@@ -167,16 +167,38 @@ def test_profile_is_one_job(spark):
     assert after - before <= 2  # one agg job (+ a possible AQE stage probe)
 
 
-def test_profile_approx_path_has_no_expand(spark):
+def test_profile_plan_shapes(spark):
     import contextlib
     import io
 
     df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, x double")
-    for exact, want_expand in [(True, True), (False, False)]:
+
+    def plan(exact):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             profile_columns(df, ["id", "x"], exact=exact).explain("formatted")
-        assert ("Expand" in buf.getvalue()) == want_expand
+        return buf.getvalue()
+
+    # exact path: melt (Generate) + keyed aggs — never the Expand that
+    # multi-count(DISTINCT) would plan, whose first-phase hash map drags
+    # every min/max buffer through per-value groups
+    p = plan(True)
+    assert "Expand" not in p and "Generate" in p
+    # approx path: single straight-line agg, no Expand (the stack
+    # unpivot is a Generate over the ONE agg output row — fine)
+    p = plan(False)
+    assert "Expand" not in p
+
+
+def test_profile_exact_matches_approx_invariants_and_ints(spark):
+    # integer column exercises the double-proxy -> native re-render
+    df = spark.createDataFrame(
+        [(10, "a"), (9, "b"), (None, "b"), (2, None)], "i long, s string"
+    )
+    prof = {r.column_name: r for r in profile_columns(df, ["i", "s"]).collect()}
+    i = prof["i"]
+    assert (i.n_present, i.n_null, i.n_distinct) == (3, 1, 3)
+    assert (i.min_value, i.max_value) == ("2", "10")  # numeric, not lexical
 
 
 def test_profile_validates_columns(spark):
