@@ -23,6 +23,16 @@ Scaling construction (in /tmp — the driver testdata is read-only):
   pairwise cosine is bit-identical to sf0.1; ACROSS copies vectors
   decorrelate (generic vectors under disjoint rotations), so near-dup
   structure replicates without manufacturing 10-clone clusters.
+- events ×10: copy k shifts event_id and user_id into a disjoint key
+  range; timestamps are untouched. Per-user event sequences (funnels,
+  sessions, SCD2 state runs, as-of matches, view→click pairs)
+  replicate exactly; time-axis structure (daily rollups, interval
+  windows) sees 10x the rows over the same calendar.
+- TPC-H tables ×10: lineitem/orders/customer/supplier/part copies get
+  disjoint key ranges (order, customer, supplier, part keys shifted);
+  nation/region stay fixed, so per-nation aggregates see 10x volume —
+  the realistic shape of a bigger business, and per-part averages
+  (Q17) replicate per shard.
 
 Run:  python tools/scale_rehearsal.py            # full family
       python tools/scale_rehearsal.py dedup_exact similarity_topk
@@ -99,13 +109,32 @@ FAMILY = [
     "doc_winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "hard_negative_topk",
+    # events family (round 8: the x10 build now scales events too)
+    "interval_window_attribution",
+    "view_click_attribution",
+    "daily_value_trend",
+    "event_funnel",
+    "scd2_state_history",
+    "asof_last_click_before_purchase",
+    # relational family (x10 TPC-H tables)
+    "lineitem_column_profile",
+    "pricing_summary",
+    "shipping_priority_top10",
+    "order_priority_lateness",
+    "nation_market_share",
+    "small_quantity_order_revenue",
+    "returned_revenue_by_nation",
+    "churned_high_balance_customers",
+    "salted_segment_revenue",
 ]
 
 
 def build_x10(spark) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(X10_DIR, "_SUCCESS_REHEARSAL")):
+    if os.path.exists(os.path.join(X10_DIR, "_SUCCESS_REHEARSAL")) and os.path.exists(
+        os.path.join(X10_DIR, "events.parquet")  # round-8 table set
+    ):
         return
     docs = spark.read.parquet(f"{SF_BASE}/documents.parquet")
     n_docs = docs.count()
@@ -146,6 +175,53 @@ def build_x10(spark) -> None:
     for c in ecopies[1:]:
         eout = eout.unionByName(c)
     eout.repartition(32).write.mode("overwrite").parquet(f"{X10_DIR}/embeddings.parquet")
+
+    # events + TPC-H tables: disjoint key-shifted copies (shard-
+    # isomorphic scale-up); nation/region stay fixed -> per-nation
+    # volume x10, which is what a 10x business looks like
+    def shifted_copies(df, shift_cols: dict[str, int]):
+        out = df
+        for k in range(1, SCALE):
+            c = df
+            for col, n in shift_cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(k * n))
+            out = out.unionByName(c)
+        return out
+
+    def count_of(name: str) -> int:
+        return spark.read.parquet(f"{SF_BASE}/{name}.parquet").count()
+
+    n_events = count_of("events")
+    events = spark.read.parquet(f"{SF_BASE}/events.parquet")
+    n_users = events.agg(F.max("user_id")).first()[0] + 1
+    shifted_copies(events, {"event_id": n_events, "user_id": n_users}).repartition(
+        32
+    ).write.mode("overwrite").parquet(f"{X10_DIR}/events.parquet")
+
+    n_ord = count_of("orders")
+    n_cust = count_of("customer")
+    n_supp = count_of("supplier")
+    n_part = count_of("part")
+    shifts = {
+        "customer": {"c_custkey": n_cust},
+        "supplier": {"s_suppkey": n_supp},
+        "part": {"p_partkey": n_part},
+        "orders": {"o_orderkey": n_ord, "o_custkey": n_cust},
+        "lineitem": {
+            "l_orderkey": n_ord,
+            "l_partkey": n_part,
+            "l_suppkey": n_supp,
+        },
+    }
+    for name, cols in shifts.items():
+        df = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
+        shifted_copies(df, cols).repartition(32).write.mode("overwrite").parquet(
+            f"{X10_DIR}/{name}.parquet"
+        )
+    for name in ("nation", "region"):
+        spark.read.parquet(f"{SF_BASE}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{X10_DIR}/{name}.parquet")
     open(os.path.join(X10_DIR, "_SUCCESS_REHEARSAL"), "w").write("ok")
 
 
