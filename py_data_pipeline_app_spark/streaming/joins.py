@@ -40,13 +40,25 @@ def event_time_join(
     right_payload: list[str] | None = None,
     max_delay: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` x ``right`` rows sharing ``on`` where the
-    right event lands inside ``[left_ts, left_ts + max_delay]``.
-    Output columns: ``on``, ``l_ts``, ``r_ts``, then payloads prefixed
+    """Join ``left`` x ``right`` rows sharing ``on`` where the right
+    event lands inside ``[left_ts, left_ts + max_delay]``. Output
+    columns: ``on``, ``l_ts``, ``r_ts``, then payloads prefixed
     ``l_`` / ``r_``. On streaming inputs both sides get ``watermark``
     applied (required for state eviction); batch inputs are joined
-    as-is — identical rows, which the correctness gate verifies."""
+    as-is — identical rows, which the correctness gate verifies.
+
+    ``how="left_outer"`` keeps left rows with no partner (nulls on the
+    right) — "views that never converted". On a stream, an unmatched
+    left row can only be DECLARED unmatched once the watermark has
+    passed its whole candidate window (``l_ts + max_delay``), so
+    null-padded rows emit with that delay, and rows whose window the
+    watermark never crosses (the tail of a drained stream) are
+    withheld — inherent to the model, not a bug; batch mode has no
+    such boundary and is the reconciliation path."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported how={how!r}")
     lp = list(left_payload or [])
     rp = list(right_payload or [])
 
@@ -77,7 +89,7 @@ def event_time_join(
         & (r["r_ts"] >= l["l_ts"])
         & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner").drop("_r_key")
+    return l.join(r, cond, how).drop("_r_key")
 
 
 def view_click_pairs(

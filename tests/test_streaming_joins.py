@@ -116,6 +116,89 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert got == batch_rows
 
 
+def test_batch_left_outer_keeps_unmatched_views(sides):
+    views, clicks = sides
+    out = event_time_join(
+        views,
+        clicks,
+        on="user_id",
+        left_payload=["event_id"],
+        right_payload=["event_id"],
+        max_delay="30 minutes",
+        how="left_outer",
+    )
+    rows = {r.l_event_id: r.r_event_id for r in out.collect()}
+    # every view survives; 3 (user 8) has no click at all -> null
+    assert rows == {1: 11, 2: 12, 3: None}
+
+
+def test_streaming_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Outer semantics on a live stream: an unmatched view can only be
+    declared unmatched once the watermark passes its candidate window,
+    which takes a LATER batch. Three single-file micro-batches:
+    b1 = matched pair + unmatched view, b2 = late events advancing
+    both sides' watermarks past the unmatched view's window, b3 = even
+    later events giving the evicted state a batch to emit in."""
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{tmp_path}/landing/{name}"
+        )
+
+    land(
+        "f1",
+        [
+            (1, 7, "view", _ts("2024-01-01T10:00:00")),  # never clicked
+            (2, 8, "view", _ts("2024-01-01T10:05:00")),
+            (12, 8, "click", _ts("2024-01-01T10:10:00")),  # matches 2
+        ],
+    )
+    land(
+        "f2",
+        [
+            (3, 90, "view", _ts("2024-01-01T12:00:00")),
+            (13, 91, "click", _ts("2024-01-01T12:00:00")),
+        ],
+    )
+    land(
+        "f3",
+        [
+            (4, 92, "view", _ts("2024-01-01T13:00:00")),
+            (14, 93, "click", _ts("2024-01-01T13:00:00")),
+        ],
+    )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        f"{tmp_path}/landing/*"
+    )
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = event_time_join(
+        views,
+        clicks,
+        on="user_id",
+        left_payload=["event_id"],
+        right_payload=["event_id"],
+        max_delay="30 minutes",
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .option("path", f"{tmp_path}/out")
+        .trigger(availableNow=True)
+        .queryName("vc_outer")
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r.l_event_id: r.r_event_id for r in spark.read.parquet(f"{tmp_path}/out").collect()}
+    assert got[2] == 12  # matched pair emitted eagerly
+    assert 1 in got and got[1] is None  # unmatched view null-padded post-watermark
+
+
 def test_streaming_plan_is_stateful_join(spark, tmp_path):
     events = load_table(spark, "events", SF_DIR)
     landing = str(tmp_path / "landing")
