@@ -66,7 +66,24 @@ _NUMERIC = (
 )
 
 
-def _approx_profile(df: DataFrame, cols: list[str], rsd: float) -> DataFrame:
+def _qname(q: float) -> str:
+    return f"q{q * 100:g}".replace(".", "_")
+
+
+def _num_proxy(c: str, dtype: T.DataType) -> F.Column | None:
+    """Double proxy preserving native order, or None for non-orderable-
+    as-number types (quantiles are null for those)."""
+    col = F.col(c)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dtype, _NUMERIC):
+        return col.cast("double")
+    return None
+
+
+def _approx_profile(
+    df: DataFrame, cols: list[str], rsd: float, quantiles: list[float]
+) -> DataFrame:
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in cols:
@@ -78,20 +95,33 @@ def _approx_profile(df: DataFrame, cols: list[str], rsd: float) -> DataFrame:
             _stringify(F.min(col), dtypes[c]).alias(f"__min_{c}"),
             _stringify(F.max(col), dtypes[c]).alias(f"__max_{c}"),
         ]
+        proxy = _num_proxy(c, dtypes[c])
+        for q in quantiles:
+            expr = (
+                F.percentile_approx(proxy, q)
+                if proxy is not None
+                else F.max(F.lit(None).cast("double"))
+            )
+            aggs.append(expr.alias(f"__{_qname(q)}_{c}"))
     wide = df.agg(*aggs)
     parts = ", ".join(
         f"'{c}', __present_{c}, __null_{c}, __distinct_{c}, __min_{c}, __max_{c}"
+        + "".join(f", __{_qname(q)}_{c}" for q in quantiles)
         for c in cols
     )
+    qnames = "".join(f", {_qname(q)}" for q in quantiles)
     return wide.select(
         F.expr(
             f"stack({len(cols)}, {parts}) AS "
-            "(column_name, n_present, n_null, n_distinct, min_value, max_value)"
+            f"(column_name, n_present, n_null, n_distinct, min_value, max_value"
+            f"{qnames})"
         )
     )
 
 
-def _exact_profile(df: DataFrame, cols: list[str], n_salts: int) -> DataFrame:
+def _exact_profile(
+    df: DataFrame, cols: list[str], n_salts: int, quantiles: list[float]
+) -> DataFrame:
     dtypes = {f.name: f.dataType for f in df.schema.fields}
 
     branches = []
@@ -170,7 +200,7 @@ def _exact_profile(df: DataFrame, cols: list[str], n_salts: int) -> DataFrame:
             expr = F.when(F.col("column_name") == c, val).otherwise(expr)
         return expr
 
-    return prof.select(
+    out = prof.select(
         "column_name",
         F.col("n_present").cast("long").alias("n_present"),
         F.col("n_null").cast("long").alias("n_null"),
@@ -178,6 +208,24 @@ def _exact_profile(df: DataFrame, cols: list[str], n_salts: int) -> DataFrame:
         render("min").alias("min_value"),
         render("max").alias("max_value"),
     )
+    if quantiles:
+        # EXACT quantiles ride the per-value counts: percentile with a
+        # frequency column collapses each distinct value to one row, so
+        # the sort is over distincts, not cells. Caveat (documented):
+        # this group is keyed by column only — a column with extreme
+        # distinct cardinality should use the approx path's KLL sketch
+        # instead.
+        qaggs = [
+            F.percentile(F.col("dval"), F.lit(q), F.col("n")).alias(_qname(q))
+            for q in quantiles
+        ]
+        qprof = (
+            per_value.filter(F.col("sval").isNotNull() & F.col("dval").isNotNull())
+            .groupBy("column_name")
+            .agg(*qaggs)
+        )
+        out = out.join(qprof, "column_name", "left")
+    return out
 
 
 def profile_columns(
@@ -187,19 +235,30 @@ def profile_columns(
     exact: bool = True,
     rsd: float = 0.05,
     n_salts: int = 256,
+    quantiles: list[float] | None = None,
 ) -> DataFrame:
     """Profile ``cols`` of ``df``. Returns one row per column:
     (column_name, n_present, n_null, n_distinct, min_value, max_value)
     with min/max stringified deterministically. ``exact=True`` runs
     the melt + two-phase salted aggregation (exact distincts, both
     shuffles skew-proof); ``exact=False`` is the single-pass HLL++
-    configuration — see module docstring for the trade."""
+    configuration — see module docstring for the trade.
+
+    ``quantiles`` (e.g. ``[0.5, 0.95]``) appends one double column per
+    requested quantile (named ``q50``, ``q95``, ...) for numeric and
+    timestamp columns (null for strings; timestamps as epoch
+    microseconds). Approx path: KLL-sketch ``percentile_approx`` inside
+    the same single pass. Exact path: ``percentile`` with the per-value
+    frequency column, so the sort is over distinct values, not cells."""
     if not cols:
         raise ValueError("cols must be non-empty")
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in cols if c not in dtypes]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
+    qs = list(quantiles or [])
+    if any(not 0 <= q <= 1 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
     if exact:
-        return _exact_profile(df, cols, n_salts)
-    return _approx_profile(df, cols, rsd)
+        return _exact_profile(df, cols, n_salts, qs)
+    return _approx_profile(df, cols, rsd, qs)

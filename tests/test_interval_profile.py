@@ -139,6 +139,67 @@ def test_overlapping_non_key_columns_rejected(frames):
         )
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_US = 1_000_000
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    facts=st.lists(
+        st.integers(min_value=0, max_value=100_000),  # offset seconds
+        min_size=1,
+        max_size=20,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=100_000),  # start offset
+            st.integers(min_value=0, max_value=50_000),  # duration (may be 0)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_seconds=st.sampled_from([1, 7, 3600, 86400]),
+)
+def test_interval_join_matches_naive_model(spark, facts, ivs, bin_seconds):
+    """Property: for arbitrary facts/intervals and any bin width, the
+    bin-bucketed join returns exactly the naive containment pairs —
+    including empty intervals, bin-edge alignments, and widths far
+    from the interval scale."""
+    base = 1_700_000_000  # epoch seconds
+    fdf = spark.createDataFrame(
+        [(i, (base + s) * _US) for i, s in enumerate(facts)],
+        "fact_id long, us long",
+    ).select("fact_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    idf = spark.createDataFrame(
+        [(j, (base + s) * _US, (base + s + d) * _US) for j, (s, d) in enumerate(ivs)],
+        "iv_id long, sus long, eus long",
+    ).select(
+        "iv_id",
+        F.timestamp_micros(F.col("sus")).alias("start"),
+        F.timestamp_micros(F.col("eus")).alias("end"),
+    )
+    got = sorted(
+        (r.fact_id, r.iv_id)
+        for r in interval_join(
+            fdf,
+            idf,
+            fact_ts="ts",
+            start_col="start",
+            end_col="end",
+            bin_seconds=bin_seconds,
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, s in enumerate(facts)
+        for j, (ivs_s, d) in enumerate(ivs)
+        if ivs_s <= s < ivs_s + d
+    )
+    assert got == expect
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -199,6 +260,24 @@ def test_profile_exact_matches_approx_invariants_and_ints(spark):
     i = prof["i"]
     assert (i.n_present, i.n_null, i.n_distinct) == (3, 1, 3)
     assert (i.min_value, i.max_value) == ("2", "10")  # numeric, not lexical
+
+
+def test_profile_quantiles_exact_and_approx(spark):
+    df = spark.createDataFrame(
+        [(float(v), "s") for v in range(1, 101)], "x double, s string"
+    )
+    for exact in (True, False):
+        prof = {
+            r.column_name: r
+            for r in profile_columns(
+                df, ["x", "s"], exact=exact, quantiles=[0.5, 0.95]
+            ).collect()
+        }
+        assert abs(prof["x"].q50 - 50.5) <= 1.0  # exact: interpolated 50.5
+        assert abs(prof["x"].q95 - 95.0) <= 1.5
+        assert prof["s"].q50 is None and prof["s"].q95 is None
+    with pytest.raises(ValueError, match="quantiles"):
+        profile_columns(df, ["x"], quantiles=[1.5])
 
 
 def test_profile_validates_columns(spark):
