@@ -37,12 +37,25 @@ def asof_join(
     right_payload: list[str],
     id_col: str = "event_id",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the most recent right row of the same
-    ``on`` key with ``right_ts <= left_ts`` (backward as-of). Right
-    payload columns come back prefixed ``asof_``; rows with no match
-    keep NULLs. ``tolerance_seconds`` voids matches older than the
-    window (pandas ``merge_asof(tolerance=...)`` analog)."""
+    """For every left row, attach one right row of the same ``on`` key
+    per ``direction`` (pandas ``merge_asof`` semantics):
+
+    - ``backward`` (default): most recent right with rts <= lts;
+    - ``forward``: earliest right with rts >= lts;
+    - ``nearest``: whichever of the two has the smaller |rts - lts|
+      (ties go backward, matching pandas).
+
+    Right payload columns come back prefixed ``asof_``; rows with no
+    match keep NULLs. ``tolerance_seconds`` voids matches farther than
+    the window in the match direction. Forward is the same single
+    union-tag window pass as backward with the frame mirrored
+    (running FIRST over [current, following)); nearest runs both
+    passes over the SAME shuffle/sort (two window specs, one
+    partitioning — Spark reuses the exchange) and picks per-row."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction={direction!r}")
     lcols = left.columns
     l = left.select(*lcols, F.lit(1).alias("_side"))
     payload = F.struct(
@@ -56,19 +69,71 @@ def asof_join(
         payload.alias("_payload"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (
+
+    # backward: right rows sort BEFORE left at equal ts (side 0 < 1) so
+    # a same-instant right is inside [preceding, current]; forward
+    # mirrors the tie order so it is inside [current, following]
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col(left_ts).asc(), F.col("_side").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w)).filter(
-        F.col("_side") == 1
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("_side").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    if tolerance_seconds is not None:
-        in_window = F.col("_m._rts") >= (
-            F.col(left_ts) - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+
+    if direction in ("backward", "nearest"):
+        u = u.withColumn("_mb", F.last("_payload", ignorenulls=True).over(w_back))
+    if direction in ("forward", "nearest"):
+        u = u.withColumn("_mf", F.first("_payload", ignorenulls=True).over(w_fwd))
+    matched = u.filter(F.col("_side") == 1)
+
+    def gated(m: str, cmp_col) -> F.Column:
+        if tolerance_seconds is None:
+            return F.col(m)
+        return F.when(cmp_col, F.col(m))
+
+    tol = (
+        F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        if tolerance_seconds is not None
+        else None
+    )
+    lts = F.col(left_ts)
+    if direction == "backward":
+        matched = matched.withColumn(
+            "_m", gated("_mb", F.col("_mb._rts") >= lts - tol if tol is not None else None)
         )
-        matched = matched.withColumn("_m", F.when(in_window, F.col("_m")))
+    elif direction == "forward":
+        matched = matched.withColumn(
+            "_m", gated("_mf", F.col("_mf._rts") <= lts + tol if tol is not None else None)
+        )
+    else:  # nearest
+        mb = (
+            F.when(F.col("_mb._rts") >= lts - tol, F.col("_mb"))
+            if tol is not None
+            else F.col("_mb")
+        )
+        mf = (
+            F.when(F.col("_mf._rts") <= lts + tol, F.col("_mf"))
+            if tol is not None
+            else F.col("_mf")
+        )
+        matched = matched.withColumn("_gb", mb).withColumn("_gf", mf)
+        gap_b = F.unix_micros(lts.cast("timestamp")) - F.unix_micros(
+            F.col("_gb._rts").cast("timestamp")
+        )
+        gap_f = F.unix_micros(F.col("_gf._rts").cast("timestamp")) - F.unix_micros(
+            lts.cast("timestamp")
+        )
+        matched = matched.withColumn(
+            "_m",
+            F.when(F.col("_gb").isNull(), F.col("_gf"))
+            .when(F.col("_gf").isNull(), F.col("_gb"))
+            .when(gap_f < gap_b, F.col("_gf"))
+            .otherwise(F.col("_gb")),  # ties -> backward, pandas-style
+        )
     return matched.select(
         *lcols,
         F.col("_m._rts").alias("asof_ts"),

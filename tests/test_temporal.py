@@ -100,3 +100,114 @@ def test_asof_plan_has_no_join(frames):
     assert "Join" not in plan  # union + window, never a join node
     # exactly one shuffle on the key (tree section lists "Exchange (N)")
     assert plan.count("Exchange (") == 1
+
+
+# ---------------------------------------------------------------------------
+# forward / nearest directions (pandas merge_asof parity)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _compare_direction(spark, left_rows, right_rows, direction, tol):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = (
+        asof_join(
+            left,
+            right,
+            on="user_id",
+            right_payload=["event_id"],
+            direction=direction,
+            tolerance_seconds=tol,
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts").rename(columns={"event_id": "r_eid"})
+    kwargs = {}
+    if tol is not None:
+        kwargs["tolerance"] = pd.Timedelta(seconds=tol)
+    exp = (
+        pd.merge_asof(lp, rp, on="ts", by="user_id", direction=direction, **kwargs)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["asof_event_id"].fillna(-1)) == list(exp["r_eid"].fillna(-1)), (
+        direction,
+        tol,
+        left_rows,
+        right_rows,
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),  # (user, offset s)
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t,  # unique (user, ts): no right-side ties
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 60, 200]),
+)
+def test_asof_directions_match_pandas(spark, lefts, rights, direction, tol):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    # unique (user, ts) on the right avoids tie-order ambiguity between
+    # pandas' positional tie-break and our id-ordered one
+    rights = list({(u, s): None for u, s in rights}.keys())
+    left_rows = [
+        (i, u, base + timedelta(seconds=s)) for i, (u, s) in enumerate(lefts)
+    ]
+    right_rows = [
+        (100 + i, u, base + timedelta(seconds=s))
+        for i, (u, s) in enumerate(rights)
+    ]
+    _compare_direction(spark, left_rows, right_rows, direction, tol)
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, 7, datetime(2024, 1, 1, 10, 0, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 7, datetime(2024, 1, 1, 9, 59, 0)),  # 60s before
+            (102, 7, datetime(2024, 1, 1, 10, 1, 0)),  # 60s after
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof_join(
+        left, right, on="user_id", right_payload=["event_id"], direction="nearest"
+    ).collect()
+    assert out[0].asof_event_id == 101  # exact tie -> backward, pandas-style
+
+
+def test_asof_rejects_bad_direction(frames):
+    left, right = frames
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            left, right, on="user_id", right_payload=["event_id"], direction="up"
+        )
