@@ -126,6 +126,51 @@ def test_bounded_branch_is_equi_join(frames):
     assert "NestedLoop" not in plan
 
 
+def test_interval_join_works_stream_static(spark, tmp_path, frames):
+    """The bin-bucketed rewrite is stream-compatible: a streaming facts
+    frame against static intervals is a pair of stream-static joins
+    (equi on the bin + the broadcast open-interval branch), needing no
+    watermark because the static side never grows. Accumulated output
+    equals the batch run."""
+    facts, intervals = frames
+    batch_pairs = pairs(
+        interval_join(
+            facts,
+            intervals,
+            fact_ts="ts",
+            start_col="start",
+            end_col="end",
+            keys=["k"],
+            bin_seconds=3600,
+        )
+    )
+
+    facts.write.parquet(f"{tmp_path}/landing/f1")
+    stream = spark.readStream.schema(facts.schema).parquet(f"{tmp_path}/landing/*")
+    joined = interval_join(
+        stream,
+        intervals,
+        fact_ts="ts",
+        start_col="start",
+        end_col="end",
+        keys=["k"],
+        bin_seconds=3600,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .option("path", f"{tmp_path}/out")
+        .trigger(availableNow=True)
+        .queryName("iv_stream")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.fact_id, r.iv_id) for r in spark.read.parquet(f"{tmp_path}/out").collect()
+    )
+    assert got == batch_pairs
+
+
 def test_overlapping_non_key_columns_rejected(frames):
     facts, intervals = frames
     with pytest.raises(ValueError, match="share non-key"):
