@@ -85,15 +85,18 @@ def _approx_profile(
     df: DataFrame, cols: list[str], rsd: float, quantiles: list[float]
 ) -> DataFrame:
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+    # internal aliases keyed by INDEX, not name — a source column named
+    # "order total" or containing quotes must not leak into the stack
+    # expression; only the escaped display literal carries the name
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         col = F.col(c)
         aggs += [
-            F.count(col).alias(f"__present_{c}"),
-            F.count(F.when(col.isNull(), F.lit(1))).alias(f"__null_{c}"),
-            F.approx_count_distinct(col, rsd).alias(f"__distinct_{c}"),
-            _stringify(F.min(col), dtypes[c]).alias(f"__min_{c}"),
-            _stringify(F.max(col), dtypes[c]).alias(f"__max_{c}"),
+            F.count(col).alias(f"__present_{i}"),
+            F.count(F.when(col.isNull(), F.lit(1))).alias(f"__null_{i}"),
+            F.approx_count_distinct(col, rsd).alias(f"__distinct_{i}"),
+            _stringify(F.min(col), dtypes[c]).alias(f"__min_{i}"),
+            _stringify(F.max(col), dtypes[c]).alias(f"__max_{i}"),
         ]
         proxy = _num_proxy(c, dtypes[c])
         for q in quantiles:
@@ -102,12 +105,17 @@ def _approx_profile(
                 if proxy is not None
                 else F.max(F.lit(None).cast("double"))
             )
-            aggs.append(expr.alias(f"__{_qname(q)}_{c}"))
+            aggs.append(expr.alias(f"__{_qname(q)}_{i}"))
     wide = df.agg(*aggs)
+
+    def name_lit(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     parts = ", ".join(
-        f"'{c}', __present_{c}, __null_{c}, __distinct_{c}, __min_{c}, __max_{c}"
-        + "".join(f", __{_qname(q)}_{c}" for q in quantiles)
-        for c in cols
+        f"{name_lit(c)}, __present_{i}, __null_{i}, __distinct_{i},"
+        f" __min_{i}, __max_{i}"
+        + "".join(f", __{_qname(q)}_{i}" for q in quantiles)
+        for i, c in enumerate(cols)
     )
     qnames = "".join(f", {_qname(q)}" for q in quantiles)
     return wide.select(
@@ -132,27 +140,40 @@ def _exact_profile(
         # cast, NOT the display cast — decimal(18,6) would collapse
         # doubles closer than 1e-6
         sval = col.cast("string")
-        # double proxy preserving the NATIVE order for min/max
+        # EXACT order-preserving carriers for min/max — one per value
+        # domain, so no value is squeezed through a lossy double:
+        # integrals + timestamps ride a long (exact), floats ride a
+        # double (the value itself), decimals ride decimal(38,18)
+        lval = F.lit(None).cast("long")
+        dval = F.lit(None).cast("double")
+        decval = F.lit(None).cast("decimal(38,18)")
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            dval = F.unix_micros(col.cast("timestamp")).cast("double")
-        elif isinstance(dtype, _NUMERIC):
+            lval = F.unix_micros(col.cast("timestamp"))
+        elif isinstance(dtype, (T.DoubleType, T.FloatType)):
             dval = col.cast("double")
-        else:
-            dval = F.lit(None).cast("double")
+        elif isinstance(dtype, T.DecimalType):
+            decval = col.cast("decimal(38,18)")
+        elif isinstance(dtype, _NUMERIC):
+            lval = col.cast("long")
         branches.append(
             F.struct(
                 F.lit(c).alias("column_name"),
                 sval.alias("sval"),
+                lval.alias("lval"),
                 dval.alias("dval"),
+                decval.alias("decval"),
             )
         )
 
     long = df.select(F.explode(F.array(*branches)).alias("cell")).select("cell.*")
 
-    # phase 1: one row per distinct (column, value); dval is constant
-    # within a group (sval is injective), min() just picks it
+    # phase 1: one row per distinct (column, value); the carriers are
+    # constant within a group (sval is injective), min() just picks them
     per_value = long.groupBy("column_name", "sval").agg(
-        F.count(F.lit(1)).alias("n"), F.min("dval").alias("dval")
+        F.count(F.lit(1)).alias("n"),
+        F.min("lval").alias("lval"),
+        F.min("dval").alias("dval"),
+        F.min("decval").alias("decval"),
     )
 
     # phase 2a: partials per (column, salt-of-value) — distinct values
@@ -165,8 +186,12 @@ def _exact_profile(
         F.sum(F.when(present, F.col("n")).otherwise(0)).alias("n_present"),
         F.sum(F.when(~present, F.col("n")).otherwise(0)).alias("n_null"),
         F.count(F.when(present, F.lit(1))).alias("n_distinct"),
+        F.min("lval").alias("lmin"),
+        F.max("lval").alias("lmax"),
         F.min("dval").alias("dmin"),
         F.max("dval").alias("dmax"),
+        F.min("decval").alias("decmin"),
+        F.max("decval").alias("decmax"),
         F.min(F.when(present, F.col("sval"))).alias("smin"),
         F.max(F.when(present, F.col("sval"))).alias("smax"),
     )
@@ -175,36 +200,51 @@ def _exact_profile(
         F.sum("n_present").alias("n_present"),
         F.sum("n_null").alias("n_null"),
         F.sum("n_distinct").alias("n_distinct"),
+        F.min("lmin").alias("lmin"),
+        F.max("lmax").alias("lmax"),
         F.min("dmin").alias("dmin"),
         F.max("dmax").alias("dmax"),
+        F.min("decmin").alias("decmin"),
+        F.max("decmax").alias("decmax"),
         F.min("smin").alias("smin"),
         F.max("smax").alias("smax"),
     )
 
-    # per-type rendering of min/max from the right carrier
+    # per-type rendering of min/max from the matching exact carrier
     def render(bound: str) -> F.Column:
-        d, s = F.col(f"d{bound}"), F.col(f"s{bound}")
+        lv = F.col(f"l{bound}")
+        dv = F.col(f"d{bound}")
+        decv = F.col(f"dec{bound}")
+        sv = F.col(f"s{bound}")
         expr = F.lit(None).cast("string")
         for c in cols:
             dtype = dtypes[c]
             if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
                 val = F.date_format(
-                    F.timestamp_micros(d.cast("long")), "yyyy-MM-dd HH:mm:ss"
+                    F.timestamp_micros(lv), "yyyy-MM-dd HH:mm:ss"
                 )
             elif isinstance(dtype, (T.DoubleType, T.FloatType)):
-                val = d.cast("decimal(18,6)").cast("string")
+                val = dv.cast("decimal(18,6)").cast("string")
+            elif isinstance(dtype, T.DecimalType):
+                val = decv.cast(dtype.simpleString()).cast("string")
             elif isinstance(dtype, _NUMERIC):
-                val = _stringify(d.cast(dtype.simpleString()), dtype)
+                val = lv.cast(dtype.simpleString()).cast("string")
             else:
-                val = s
+                val = sv
             expr = F.when(F.col("column_name") == c, val).otherwise(expr)
         return expr
 
-    out = prof.select(
+    # anchor on a literal frame of column names so an EMPTY input still
+    # yields one zero-count row per column (matching the approx path
+    # and the per-column UNION ALL oracle shape)
+    anchor = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column_name string"
+    )
+    out = anchor.join(prof, "column_name", "left").select(
         "column_name",
-        F.col("n_present").cast("long").alias("n_present"),
-        F.col("n_null").cast("long").alias("n_null"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.coalesce(F.col("n_present"), F.lit(0)).cast("long").alias("n_present"),
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
         render("min").alias("min_value"),
         render("max").alias("max_value"),
     )
@@ -215,12 +255,17 @@ def _exact_profile(
         # this group is keyed by column only — a column with extreme
         # distinct cardinality should use the approx path's KLL sketch
         # instead.
+        qval = F.coalesce(
+            F.col("dval"),
+            F.col("lval").cast("double"),
+            F.col("decval").cast("double"),
+        )
         qaggs = [
-            F.percentile(F.col("dval"), F.lit(q), F.col("n")).alias(_qname(q))
+            F.percentile(qval, F.lit(q), F.col("n")).alias(_qname(q))
             for q in quantiles
         ]
         qprof = (
-            per_value.filter(F.col("sval").isNotNull() & F.col("dval").isNotNull())
+            per_value.filter(F.col("sval").isNotNull() & qval.isNotNull())
             .groupBy("column_name")
             .agg(*qaggs)
         )
@@ -252,6 +297,8 @@ def profile_columns(
     frequency column, so the sort is over distinct values, not cells."""
     if not cols:
         raise ValueError("cols must be non-empty")
+    if len(set(cols)) != len(cols):
+        raise ValueError("cols contains duplicates")
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in cols if c not in dtypes]
     if missing:

@@ -331,3 +331,42 @@ def test_profile_validates_columns(spark):
         profile_columns(df, ["nope"])
     with pytest.raises(ValueError, match="non-empty"):
         profile_columns(df, [])
+    with pytest.raises(ValueError, match="duplicates"):
+        profile_columns(df, ["id", "id"])
+
+
+def test_profile_exact_min_max_beyond_double_precision(spark):
+    # 2^53 and 2^53+1 collapse in a double; the long carrier must not
+    big = 1 << 53
+    df = spark.createDataFrame([(big,), (big + 1,)], "v long")
+    row = profile_columns(df, ["v"]).collect()[0]
+    assert (row.min_value, row.max_value) == (str(big), str(big + 1))
+    assert row.n_distinct == 2
+
+
+def test_profile_empty_frame_yields_zero_rows_per_column(spark):
+    df = spark.createDataFrame([], "id long, x double, s string")
+    for exact in (True, False):
+        rows = {
+            r.column_name: r
+            for r in profile_columns(df, ["id", "x", "s"], exact=exact).collect()
+        }
+        assert set(rows) == {"id", "x", "s"}
+        for r in rows.values():
+            assert (r.n_present, r.n_null, r.n_distinct) == (0, 0, 0)
+            assert r.min_value is None and r.max_value is None
+
+
+def test_profile_awkward_column_names(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b")], ["order total", "it's"]
+    )
+    for exact in (True, False):
+        rows = {
+            r.column_name: r
+            for r in profile_columns(
+                df, ["order total", "it's"], exact=exact
+            ).collect()
+        }
+        assert rows["order total"].n_present == 2
+        assert rows["it's"].n_distinct == 2

@@ -132,10 +132,15 @@ FAMILY = [
 def build_x10(spark) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(X10_DIR, "_SUCCESS_REHEARSAL")) and os.path.exists(
+    marker = os.path.join(X10_DIR, "_SUCCESS_REHEARSAL")
+    if os.path.exists(marker) and os.path.exists(
         os.path.join(X10_DIR, "events.parquet")  # round-8 table set
     ):
         return
+    # a stale marker from a partial build must not survive a crash
+    # mid-rebuild — clear it FIRST so a rerun always rebuilds fully
+    if os.path.exists(marker):
+        os.remove(marker)
     docs = spark.read.parquet(f"{SF_BASE}/documents.parquet")
     n_docs = docs.count()
     copies = []
