@@ -171,6 +171,37 @@ def test_interval_join_works_stream_static(spark, tmp_path, frames):
     assert got == batch_pairs
 
 
+def test_bounded_branch_is_equi_join_without_broadcast(spark, frames):
+    """At 100 TB both sides are big and nothing broadcasts: with the
+    broadcast threshold off, the bounded branch must plan as a shuffled
+    equi-join on the bin (SortMergeJoin/ShuffledHashJoin), never a
+    nested loop — that is the entire point of the bin rewrite."""
+    import contextlib
+    import io
+
+    facts, intervals = frames
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = interval_join(
+            facts,
+            intervals.filter(F.col("end").isNotNull()),
+            fact_ts="ts",
+            start_col="start",
+            end_col="end",
+            keys=["k"],
+            bin_seconds=3600,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "NestedLoop" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_overlapping_non_key_columns_rejected(frames):
     facts, intervals = frames
     with pytest.raises(ValueError, match="share non-key"):
