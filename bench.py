@@ -132,6 +132,7 @@ HEADLINE = [
     "nation_market_share",
     "daily_value_trend",
     "small_quantity_order_revenue",
+    "customer_spend_deciles",
 ]
 
 

@@ -88,3 +88,78 @@ def global_dense_rank(
             (F.col(_LOCAL) + F.col(_OFF)).cast("int").alias(rank_col),
         )
     )
+
+
+_TOT = "__grn_total"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[tuple[str, bool]],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rn_col`` = global row_number over ``order_by`` (list of
+    (column, descending) pairs) plus ``__grn_total`` = total row count,
+    with the same two-phase shape as :func:`global_dense_rank`: range
+    partition on the sort keys, per-partition row_number, per-partition
+    ROW counts (simpler than the dense variant — no distinct needed)
+    cumsum'd over the P summary rows, broadcast back.
+
+    The caller must make ``order_by`` a TOTAL order (include a unique
+    tiebreak column) — equal full keys straddling a range boundary
+    would otherwise be numbered in partition order, deterministic but
+    not oracle-reproducible."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = [F.col(c).desc() if d else F.col(c).asc() for c, d in order_by]
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = ranged.withColumn(
+        _LOCAL, F.row_number().over(Window.partitionBy(_PID).orderBy(*keys))
+    )
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    all_w = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        F.col(_PID),
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias(_OFF),
+        F.sum("_n").over(all_w).alias(_TOT),
+    )
+    out_cols = [F.col(c) for c in df.columns]
+    return local.join(F.broadcast(offsets), _PID).select(
+        *out_cols,
+        (F.col(_LOCAL) + F.col(_OFF)).cast("bigint").alias(rn_col),
+        F.col(_TOT),
+    )
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    order_by: list[tuple[str, bool]],
+    k: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row to one of ``k`` equi-depth buckets of the
+    ``order_by`` total order (deciles at k=10) — the ntile-class
+    operation WITHOUT ntile's single-partition global sort. Bucket =
+    ``floor((rn - 1) * k / n) + 1`` over the two-phase global row
+    number: sizes differ by at most one, boundaries are deterministic,
+    and the only serial step stays the P-row offset cumsum. (Exact
+    ntile() front-loads its remainder rows; this formula spreads them —
+    pick ONE formula and mirror it in any cross-engine check.)"""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    with_rn = global_row_number(df, order_by, rn_col="__edb_rn", num_partitions=num_partitions)
+    bucket = (
+        F.floor((F.col("__edb_rn") - 1) * k / F.col(_TOT)).cast("int") + 1
+    )
+    return with_rn.withColumn(bucket_col, bucket).drop("__edb_rn", _TOT)

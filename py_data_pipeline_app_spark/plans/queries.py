@@ -4710,3 +4710,53 @@ def small_quantity_order_revenue_q(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_small_lots"),
         )
     )
+
+
+@register(
+    "customer_spend_deciles",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey, {sql_money_sum('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(floor((rn - 1) * 10 / n) + 1 AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {sql_money_sum('spend')} AS total_spend,
+           max(spend) AS top_spend,
+           min(spend) AS bottom_spend
+    FROM rn GROUP BY decile
+    """,
+)
+def customer_spend_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth spend deciles (extension — the ntile-class window op
+    done scale-safely, operators/ranking.py): per-customer order spend,
+    bucketed into 10 equal-depth tiers of the (spend desc, custkey)
+    total order, rolled up per tier — the marketing-segmentation /
+    quality-tiering primitive. The oracle writes the naive
+    ``row_number() OVER (ORDER BY ...)`` + bucket arithmetic; Spark
+    runs the two-phase ``equi_depth_buckets``: range partition on the
+    sort key, per-partition row_number, P-row offset cumsum broadcast
+    back — the ONLY single-partition step is over P summary rows, vs
+    ntile()'s full-relation single-partition sort. Tie-break o_custkey
+    makes the order total, so both engines agree row-for-row."""
+    from py_data_pipeline_app_spark.operators.ranking import equi_depth_buckets
+
+    orders = load_table(spark, "orders", sf_dir)
+    spend = orders.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("spend")
+    )
+    tiered = equi_depth_buckets(
+        spend, [("spend", True), ("o_custkey", False)], k=10, bucket_col="decile"
+    )
+    return tiered.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money_sum("spend").alias("total_spend"),
+        F.max("spend").alias("top_spend"),
+        F.min("spend").alias("bottom_spend"),
+    )
