@@ -1,0 +1,44 @@
+"""Regenerate QUERIES.md (the registry index) from plans/queries.py
+docstrings. One row per registered query: name, oracle coverage, first
+docstring line. Run after any registration change:
+
+    python tools/regen_queries_md.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HEADER = """# Query registry index
+
+Generated from `plans/queries.py` docstrings — one row per registered
+`queries()` entry. Every query has a DuckDB oracle (full value-hash
+check in the driver gate). Regenerate with
+`python tools/regen_queries_md.py` if the registry changes.
+
+| Query | Oracle | Summary |
+|---|---|---|
+"""
+
+
+def main() -> None:
+    from py_data_pipeline_app_spark.plans.queries import ORACLES, QUERIES
+
+    lines = []
+    for name in sorted(QUERIES):
+        doc = (QUERIES[name].__doc__ or "").strip().splitlines()[0].strip()
+        oracle = "yes" if name in ORACLES else "rows-only"
+        lines.append(f"| `{name}` | {oracle} | {doc[:64].rstrip()} |")
+    out = os.path.join(REPO, "QUERIES.md")
+    with open(out, "w") as f:
+        f.write(HEADER + "\n".join(lines) + "\n")
+    print(f"wrote {out}: {len(lines)} queries, "
+          f"{sum(1 for n in QUERIES if n in ORACLES)} oracle-backed")
+
+
+if __name__ == "__main__":
+    main()
