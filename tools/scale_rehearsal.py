@@ -126,6 +126,7 @@ FAMILY = [
     "returned_revenue_by_nation",
     "churned_high_balance_customers",
     "salted_segment_revenue",
+    "customer_spend_deciles",
 ]
 
 
