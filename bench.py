@@ -133,6 +133,8 @@ HEADLINE = [
     "daily_value_trend",
     "small_quantity_order_revenue",
     "customer_spend_deciles",
+    "top_revenue_suppliers",
+    "promo_part_suppliers",
 ]
 
 

@@ -4760,3 +4760,114 @@ def customer_spend_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("spend").alias("top_spend"),
         F.min("spend").alias("bottom_spend"),
     )
+
+
+@register(
+    "top_revenue_suppliers",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_money_sum('l_extendedprice * (1 - l_discount)')}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_revenue_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier (extension — relational breadth):
+    the supplier(s) with the maximum quarterly revenue, TIES KEPT — the
+    global-argmax-via-scalar-subquery idiom, distinct from the
+    row_number()-based per-group argmax (`top_spender_per_category`)
+    because equality against the max preserves every tied row without
+    any window sort. Decorrelated Spark-first: one keyed agg builds the
+    per-supplier revenues, a two-phase global max folds them to ONE row
+    (map-side partials — never a single-partition sort), and the
+    winners re-enter as a broadcast equi-join on the revenue value;
+    supplier then joins the ≤|ties| winner rows broadcast, so the
+    supplier table never shuffles. The max comparison is exact because
+    total_revenue is decimal-summed then HALF_UP-rounded identically in
+    both engines — comparing raw double sums would be summation-order
+    dependent and could disagree on the argmax itself."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("_best"))
+    winners = rev.join(
+        F.broadcast(best), rev["total_revenue"] == best["_best"], "inner"
+    ).select("l_suppkey", "total_revenue")
+    return sup.join(
+        F.broadcast(winners), sup["s_suppkey"] == winners["l_suppkey"], "inner"
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@register(
+    "promo_part_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+           CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO' AND p.p_size >= 25 AND l.l_quantity >= 49
+    )
+    """,
+)
+def promo_part_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped qualifying-supplier lookup (extension —
+    relational breadth): suppliers that shipped at least one large lot
+    of a big PROMO part — the EXISTS/IN idiom, executed as LEFT SEMI
+    joins, the one join shape no other registered query exercises. Semi
+    joins are the scale answer to "has at least one match": the probe
+    side emits each row AT MOST once and the match side's fan-out is
+    never materialized (an inner-join-then-distinct would shuffle the
+    full match multiplicity first). Two semis here: lineitem ⋉
+    broadcast(filtered part) qualifies fact rows with zero shuffle
+    (both part filters pushed to its scan), then supplier ⋉ qualifying
+    suppkeys — at 100 TB that semi shuffles only (suppkey) pairs, and
+    AQE turns it into a broadcast when the qualifying set collapses
+    small. acctbal passes through decimal(18,2) per the registry's
+    double-formatting convention."""
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter((F.col("p_type") == "PROMO") & (F.col("p_size") >= 25))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_suppkey", "l_partkey")
+    )
+    qualifying = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi"
+    ).select("l_suppkey")
+    return (
+        sup.join(
+            qualifying, sup["s_suppkey"] == qualifying["l_suppkey"], "left_semi"
+        )
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+        )
+    )

@@ -115,3 +115,86 @@ def test_interval_attribution_matches_naive_theta_join(spark, sf_dir):
         .collect()
     }
     assert out == naive
+
+
+def test_top_revenue_suppliers_keeps_ties_and_matches_max(spark, sf_dir):
+    """Q15 shape: every returned supplier's revenue equals the global
+    max, and the winner set is exactly the argmax set of the directly
+    recomputed per-supplier revenues (ties kept — the semantic that
+    distinguishes join-on-max from a row_number()-based argmax)."""
+    out = QUERIES["top_revenue_suppliers"](spark, sf_dir).collect()
+    assert out, "a non-empty quarter must produce at least one winner"
+
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    rev = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("r")
+        )
+    )
+    best = rev.agg(F.max("r")).first()[0]
+    winners = {r.l_suppkey for r in rev.filter(F.col("r") == best).collect()}
+    assert {r.s_suppkey for r in out} == winners
+    assert all(r.total_revenue == best for r in out)
+
+
+def test_top_revenue_suppliers_plan_has_no_global_sort(spark, sf_dir):
+    """The argmax must fold via a two-phase max agg + broadcast joins —
+    never a global sort or a single-partition window."""
+    df = QUERIES["top_revenue_suppliers"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan or "partial" in plan.lower()
+    # supplier side never shuffles: the only Exchange keys on l_suppkey
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_0-9#]+)", plan)
+    assert all(k.startswith("l_suppkey") for k in exchanges), exchanges
+
+
+def test_promo_part_suppliers_matches_inner_join_distinct(spark, sf_dir):
+    """Semi-join semantics: same supplier set as the naive
+    inner-join-then-distinct, each supplier exactly once."""
+    out = QUERIES["promo_part_suppliers"](spark, sf_dir).collect()
+    ids = [r.s_suppkey for r in out]
+    assert len(ids) == len(set(ids)), "semi join must not fan out"
+
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter((F.col("p_type") == "PROMO") & (F.col("p_size") >= 25))
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") >= 49)
+    naive = {
+        r.l_suppkey
+        for r in li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert set(ids) == naive
+
+
+def test_promo_part_suppliers_plan_is_two_semi_joins(spark, sf_dir):
+    """Both EXISTS hops plan as LeftSemi (match fan-out never
+    materialized) and the part filters reach the parquet scan."""
+    df = QUERIES["promo_part_suppliers"](spark, sf_dir)
+    plan = plan_of(df, mode="extended")
+    assert plan.count("LeftSemi") >= 2, plan
+    formatted = plan_of(df)
+    assert "PushedFilters: [IsNotNull(p_type)" in formatted or (
+        "EqualTo(p_type,PROMO)" in formatted
+    )
