@@ -110,9 +110,19 @@ def incremental_span_fold(
             F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
         ).withColumn("fp", F.md5(F.col("chunk")))
         hist_like = exploded.select("fp").limit(0)
-        history = _pinned_history(
-            spark, index_path, FPS_SUBDIR, hist_like, exclude_token=token
-        ).withColumn("_seen", F.lit(True))
+        # distinct() makes the fold tolerant of duplicate fingerprints
+        # in history (a compaction that crashed after writing its
+        # merged directory but before deleting the sources) — without
+        # it the left join below fans out chunk rows per duplicate and
+        # corrupts n_chunks/n_kept; the LSH fold gets the same
+        # tolerance from its candidate distinct
+        history = (
+            _pinned_history(
+                spark, index_path, FPS_SUBDIR, hist_like, exclude_token=token
+            )
+            .distinct()
+            .withColumn("_seen", F.lit(True))
+        )
         w = Window.partitionBy("fp").orderBy(id_col, "pos")
         marked = (
             exploded.withColumn("rn", F.row_number().over(w))
@@ -184,9 +194,14 @@ def compact_fps(spark: SparkSession, index_path: str, *, keep_newest: bool = Fal
             return 0
         token = f"compact-{uuid.uuid4().hex[:12]}"
         merged = spark.read.parquet(*dirs).distinct()
-        merged.write.mode("overwrite").parquet(
-            f"{index_path}/{FPS_SUBDIR}/batch-{token}"
-        )
+        # staged-invisible write: _staging-* does not match the reader's
+        # batch-* listing filter, so the merged copy becomes visible only
+        # through the atomic rename — the duplicate-history crash window
+        # shrinks to [rename, last source delete], and the fold's
+        # history distinct makes even that window semantically harmless
+        staging = f"{index_path}/{FPS_SUBDIR}/_staging-{token}"
+        merged.write.mode("overwrite").parquet(staging)
+        fs.rename(jvm(staging), jvm(f"{index_path}/{FPS_SUBDIR}/batch-{token}"))
         for d in dirs:
             fs.delete(jvm(d), True)
         return len(dirs)

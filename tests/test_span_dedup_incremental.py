@@ -136,3 +136,58 @@ def test_streaming_span_dedup_parity_and_compaction(spark, corpus, tmp_path):
         [d for d in os.listdir(f"{index}/fps") if d.startswith("batch-")]
     )
     assert n_dirs <= 2, n_dirs
+
+
+def test_duplicate_history_fps_do_not_fan_out(spark, corpus, tmp_path):
+    """A compaction that crashes after its merged batch-compact-* dir
+    becomes visible but before the source dirs are deleted leaves every
+    fingerprint twice in history. The fold's history distinct must keep
+    the rebuild counts exact — without it the fp left-join doubles each
+    seen chunk row and corrupts n_chunks/n_kept."""
+    index = str(tmp_path / "idx")
+    b0 = corpus.filter(F.col("doc_id") < 10)
+    incremental_span_fold(spark, index, b0, batch_token="b0")
+    # simulate the crash window: duplicate the committed batch dir
+    import shutil
+
+    src = tmp_path / "idx" / "fps" / "batch-b0"
+    shutil.copytree(src, tmp_path / "idx" / "fps" / "batch-compact-crash")
+
+    out = {
+        r.doc_id: r
+        for r in incremental_span_fold(
+            spark,
+            index,
+            corpus.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+            batch_token="b1",
+        ).collect()
+    }
+    # doc 10 = U1 + BOILER: both chunks seen in b0 -> 2 chunks, 0 kept
+    assert out[10].n_chunks == 2 and out[10].n_kept == 0
+    assert out[10].text_deduped == ""
+    # doc 11 is novel: 1 chunk, kept
+    assert out[11].n_chunks == 1 and out[11].n_kept == 1
+
+
+def test_compaction_staging_dirs_are_invisible_to_history(spark, corpus, tmp_path):
+    """_staging-* directories (a compaction killed mid-write) must never
+    be read as history: the reader's listing filter accepts batch-*
+    only."""
+    index = str(tmp_path / "idx")
+    b0 = corpus.filter(F.col("doc_id") < 10)
+    incremental_span_fold(spark, index, b0, batch_token="b0")
+    # a half-written staging dir containing garbage parquet would crash
+    # or corrupt the next fold if listed; an empty dir is enough to
+    # prove the filter skips it (reading an empty dir as parquet fails)
+    (tmp_path / "idx" / "fps" / "_staging-dead").mkdir()
+
+    out = {
+        r.doc_id: r
+        for r in incremental_span_fold(
+            spark,
+            index,
+            corpus.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+            batch_token="b1",
+        ).collect()
+    }
+    assert out[10].n_kept == 0 and out[11].n_kept == 1
