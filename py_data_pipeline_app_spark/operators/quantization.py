@@ -48,6 +48,7 @@ from py_data_pipeline_app_spark.operators.similarity import (
     _hadoop_fs,
     _ivf_centroid_checksum,
     _query_probes,
+    float_matrix_lit,
     l2_norm,
 )
 
@@ -162,7 +163,7 @@ def _collect_codebook_literal(codebooks: DataFrame) -> tuple[Column, int, int]:
     for s in range(m):
         if any(cw is None for cw in table[s]):
             raise ValueError(f"codebook for subspace {s} is missing code ids")
-    return F.lit(table), m, ksub
+    return float_matrix_lit(table), m, ksub
 
 
 def pq_encode(

@@ -28,6 +28,35 @@ from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
 
 
+def float_matrix_lit(values) -> Column:
+    """Nested array<double> literal from (arbitrarily nested) Python
+    floats, built as ONE server-side-parsed expression string instead
+    of per-element ``F.lit`` Column composition. The difference is not
+    cosmetic: a 1k–2k-element plane/centroid/codebook matrix costs
+    ~1s of driver-side py4j round trips per plan construction the
+    F.lit way vs ~4ms as a parsed string (measured) — and these
+    matrices are rebuilt on every probe/encode plan. Values are exact:
+    Python ``repr`` emits the shortest round-tripping decimal and
+    Java's correctly-rounded ``parseDouble`` recovers the identical
+    bits, so downstream fold arithmetic (and the cross-engine value
+    hashes that depend on it) is unchanged. Non-finite values are
+    rejected — none of the callers can produce them, and SQL literal
+    syntax has no portable NaN/Infinity spelling."""
+    import math
+
+    def render(x) -> str:
+        if isinstance(x, (list, tuple)):
+            if not x:
+                raise ValueError("empty array has no element type as a literal")
+            return "array(" + ",".join(render(v) for v in x) + ")"
+        v = float(x)
+        if not math.isfinite(v):
+            raise ValueError(f"non-finite literal {v!r}")
+        return repr(v) + "D"
+
+    return F.expr(render(values))
+
+
 def dot(x: Column, y: Column) -> Column:
     """Sequential-fold double dot product — deterministic across
     engines (same fold order ⇒ identical IEEE results)."""
@@ -270,7 +299,7 @@ def hyperplane_lsh_near_dup_pairs(
     planes = _deterministic_hyperplanes(dim, n_planes)
     vec = F.col(vec_col)
     projs = F.transform(
-        F.lit(planes),
+        float_matrix_lit(planes),
         lambda plane: F.aggregate(
             F.zip_with(vec, plane, lambda p, q: p.cast("double") * q),
             F.lit(0.0),
@@ -435,7 +464,7 @@ def _assign_to_centroids(
     ``ORDER BY csim DESC, centroid_id`` the oracle replays."""
     rows = sorted(cents.collect(), key=lambda r: r.centroid_id)
     ids = F.lit([int(r.centroid_id) for r in rows])
-    cvecs = F.lit([[float(x) for x in r.cvec] for r in rows])
+    cvecs = float_matrix_lit([[float(x) for x in r.cvec] for r in rows])
     vec = F.col(vec_col)
     scored = F.transform(
         cvecs,
