@@ -54,6 +54,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import tokens
 from py_data_pipeline_app_spark.operators.dedup import (
     DEFAULT_BANDS,
@@ -117,9 +118,9 @@ def _check_or_write_config(
                 "configuration"
             )
         return
-    spark.createDataFrame(
-        [(num_perms, bands, exact)], "num_perms int, bands int, exact boolean"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    local_rows_df(
+        spark, "num_perms int, bands int, exact boolean", [(num_perms, bands, exact)]
+    ).write.mode("overwrite").parquet(path)
 
 
 def _pinned_history(
@@ -143,7 +144,7 @@ def _pinned_history(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_path):
-        return spark.createDataFrame([], like.schema)
+        return local_rows_df(spark, like.schema, [])
     dirs = [
         str(s.getPath())
         for s in fs.listStatus(jvm_path)
@@ -152,7 +153,7 @@ def _pinned_history(
         and s.getPath().getName() != f"batch-{exclude_token}"
     ]
     if not dirs:
-        return spark.createDataFrame([], like.schema)
+        return local_rows_df(spark, like.schema, [])
     return spark.read.parquet(*sorted(dirs))
 
 

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
 
 def _stringify(col: F.Column, dtype: T.DataType) -> F.Column:
     """Render a min/max value as a cross-engine-deterministic string.
@@ -237,8 +239,8 @@ def _exact_profile(
     # anchor on a literal frame of column names so an EMPTY input still
     # yields one zero-count row per column (matching the approx path
     # and the per-column UNION ALL oracle shape)
-    anchor = df.sparkSession.createDataFrame(
-        [(c,) for c in cols], "column_name string"
+    anchor = local_rows_df(
+        df.sparkSession, "column_name string", [(c,) for c in cols]
     )
     out = anchor.join(prof, "column_name", "left").select(
         "column_name",

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 import hashlib
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.similarity import (
     _assign_to_centroids,
@@ -424,10 +425,11 @@ def build_ivfpq_index(
         )
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    spark.createDataFrame(
-        [(_ivf_centroid_checksum(cents), _codebook_checksum(codebooks))],
+    local_rows_df(
+        spark,
         "centroid_checksum string, codebook_checksum string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/config")
+        [(_ivf_centroid_checksum(cents), _codebook_checksum(codebooks))],
+    ).write.mode("overwrite").parquet(f"{index_path}/config")
     assigned = _assign_to_centroids(
         corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
     )

@@ -24,6 +24,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
 
@@ -765,9 +766,9 @@ def build_ivf_index(
         )
     cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
     checksum = _ivf_centroid_checksum(cents)
-    spark.createDataFrame(
-        [(checksum,)], "centroid_checksum string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/config")
+    local_rows_df(
+        spark, "centroid_checksum string", [(checksum,)]
+    ).write.mode("overwrite").parquet(f"{index_path}/config")
     assigned = _assign_to_centroids(
         corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
     )

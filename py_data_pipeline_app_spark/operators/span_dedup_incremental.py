@@ -33,6 +33,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import tokens
 from py_data_pipeline_app_spark.operators.dedup_incremental import (
     _acquire_index_lock,
@@ -61,9 +62,9 @@ def _check_or_write_config(
                 "configuration"
             )
         return
-    spark.createDataFrame(
-        [(chunk_tokens,)], "chunk_tokens int"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    local_rows_df(
+        spark, "chunk_tokens int", [(chunk_tokens,)]
+    ).write.mode("overwrite").parquet(path)
 
 
 def incremental_span_fold(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark import schemas
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.aggregates import (
     category_totals,
     customer_details_nested,
@@ -94,9 +95,10 @@ def process_upload(
     )
     wh.append(
         "uploads",
-        spark.createDataFrame(
-            [(upload_id, filename, run_ts, counts._n_txn, counts._n_cust, counts._n_prod)],
+        local_rows_df(
+            spark,
             schemas.UPLOADS,
+            [(upload_id, filename, run_ts, counts._n_txn, counts._n_cust, counts._n_prod)],
         ),
     )
 

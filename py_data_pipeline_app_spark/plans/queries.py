@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.scalar import (
     excel_serial_to_date,
     excel_serial_to_timestamp,
@@ -3745,8 +3746,8 @@ def user_retention_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    segments = spark.createDataFrame(
-        [("retained",), ("churned",), ("new",)], "segment string"
+    segments = local_rows_df(
+        spark, "segment string", [("retained",), ("churned",), ("new",)]
     )
     return segments.join(F.broadcast(counted), "segment", "left").select(
         "segment", F.coalesce(F.col("_n"), F.lit(0)).alias("n_users")

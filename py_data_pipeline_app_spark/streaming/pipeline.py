@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from py_data_pipeline_app_spark import schemas
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.parse import parse_customer_blob
 from py_data_pipeline_app_spark.operators.scd import apply_scd_batch
 from py_data_pipeline_app_spark.warehouse import Warehouse
@@ -61,9 +62,10 @@ def start_customer_stream(
             upload_id = wh.next_id("uploads")
         wh.append(
             "uploads",
-            batch_df.sparkSession.createDataFrame(
-                [(upload_id, f"stream-batch-{batch_id}", str(batch_id), 0, batch_df.count(), 0)],
+            local_rows_df(
+                batch_df.sparkSession,
                 schemas.UPLOADS,
+                [(upload_id, f"stream-batch-{batch_id}", str(batch_id), 0, batch_df.count(), 0)],
             ),
             token=token,
         )

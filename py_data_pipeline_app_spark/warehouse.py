@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
 
 class Warehouse:
     """Minimal snapshot-versioned parquet warehouse.
@@ -79,7 +81,7 @@ class Warehouse:
                 append_dir
             )
         if schema is not None:
-            return self.spark.createDataFrame([], schema)
+            return local_rows_df(self.spark, schema, [])
         return None
 
     # -- append logs ---------------------------------------------------------
