@@ -116,6 +116,27 @@ def word_repetition_stats(
     )
 
 
+def with_token_chunks(
+    df: DataFrame, text_col: str, chunk_tokens: int, out: str = "_chunks"
+) -> DataFrame:
+    """``df`` plus an ``out`` column of aligned ``chunk_tokens``-token
+    chunk strings (the span-dedup grid; the final chunk may be short).
+    The token array is STAGED as its own projection column before the
+    per-chunk lambda slices it — inlined, the ``split(trim(text))``
+    re-evaluates once per chunk (the word_shingles staging rule, worth
+    ~chunks× the tokenize cost per row)."""
+    staged = df.withColumn("_ck_toks", tokens(text_col))
+    toks = F.col("_ck_toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    return staged.withColumn(out, chunks).drop("_ck_toks")
+
+
 def ngrams_of(toks: Column, n: int) -> Column:
     """Word ``n``-grams of a token array as space-joined strings;
     arrays shorter than ``n`` yield their whole run as the single gram
@@ -136,8 +157,13 @@ def gram_repetition_stats(
     """Per-document ``n``-gram repetition: total grams, the top gram's
     share, and the share of occurrences in repeated grams — same
     zero-shuffle fold shape as :func:`word_repetition_stats`."""
-    d = df.withColumn("_g", ngram_array(text_col, n)).withColumn(
-        "_gs", run_length_stats(F.sort_array(F.col("_g")))
+    # stage the token array before ngrams_of's per-gram lambda reads it
+    # — an inlined tokens() re-evaluates its split per gram position
+    # (the word_shingles staging rule)
+    d = (
+        df.withColumn("_rtoks", tokens(text_col))
+        .withColumn("_g", ngrams_of(F.col("_rtoks"), n))
+        .withColumn("_gs", run_length_stats(F.sort_array(F.col("_g"))))
     )
     return d.select(
         F.col(id_col),
@@ -253,13 +279,16 @@ def contamination_stats(
     scanned once — grams explode and re-collapse to one row per
     document around a broadcast left join, so the only shuffle is the
     per-document rollup."""
+    # token arrays staged before the per-gram lambdas (word_shingles
+    # staging rule: an inlined tokens() re-splits the text per gram)
     bench_grams = (
-        benchmark.select(F.explode(ngram_array(text_col, n)).alias("_bg"))
+        benchmark.withColumn("_btoks", tokens(text_col))
+        .select(F.explode(ngrams_of(F.col("_btoks"), n)).alias("_bg"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(ngram_array(text_col, n)).alias("_g")
+    doc_grams = docs.withColumn("_dtoks", tokens(text_col)).select(
+        F.col(id_col), F.explode(ngrams_of(F.col("_dtoks"), n)).alias("_g")
     )
     joined = doc_grams.join(
         F.broadcast(bench_grams), doc_grams._g == bench_grams._bg, "left"
@@ -345,16 +374,8 @@ def chunk_dedup_rebuild(
 
     Returns (id, text_deduped, n_chunks, n_kept); fully-scrubbed
     documents keep an empty string (filter on n_kept downstream)."""
-    toks = tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
-        ),
-    )
-    exploded = docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    exploded = with_token_chunks(docs, text_col, chunk_tokens).select(
+        F.col(id_col), F.posexplode(F.col("_chunks")).alias("pos", "chunk")
     ).withColumn("fp", F.md5(F.col("chunk")))
     w = Window.partitionBy("fp").orderBy(id_col, "pos")
     kept = (
@@ -637,19 +658,14 @@ def benchmark_span_scrub(
     an interior benchmark fragment shorter than a full chunk at the
     very end of a document slips through (verbatim leaks long enough
     to matter span full chunks)."""
-    toks = tokens(text_col)
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
-        ),
-    )
     # sliding benchmark spans: every offset, every length 1..chunk_tokens
-    # capped to the tail — membership must catch the final short chunk too
-    btoks = tokens(text_col)
+    # capped to the tail — membership must catch the final short chunk
+    # too. Token arrays staged per the word_shingles rule: inlined, the
+    # benchmark side would re-split its text once per OFFSET.
+    bstaged = benchmark.withColumn("_sp_toks", tokens(text_col))
+    btoks = F.col("_sp_toks")
     starts = F.sequence(F.lit(1), F.greatest(F.size(btoks), F.lit(1)))
-    bench_spans = benchmark.select(
+    bench_spans = bstaged.select(
         F.explode(
             F.transform(
                 starts,
@@ -663,8 +679,8 @@ def benchmark_span_scrub(
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
-    exploded = docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    exploded = with_token_chunks(docs, text_col, chunk_tokens).select(
+        F.col(id_col), F.posexplode(F.col("_chunks")).alias("pos", "chunk")
     ).withColumn("fp", F.md5(F.col("chunk")))
     marked = exploded.join(F.broadcast(bench_fps), "fp", "left")
     return (

@@ -99,16 +99,12 @@ def incremental_span_fold(
     fs, lock = _acquire_index_lock(spark, index_path, "span fold")
     try:
         _check_or_write_config(spark, index_path, chunk_tokens)
-        toks = tokens(text_col)
-        n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-        chunks = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
-            ),
+        from py_data_pipeline_app_spark.operators.curation import (
+            with_token_chunks,
         )
-        exploded = batch.select(
-            F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+
+        exploded = with_token_chunks(batch, text_col, chunk_tokens).select(
+            F.col(id_col), F.posexplode(F.col("_chunks")).alias("pos", "chunk")
         ).withColumn("fp", F.md5(F.col("chunk")))
         hist_like = exploded.select("fp").limit(0)
         # distinct() makes the fold tolerant of duplicate fingerprints
