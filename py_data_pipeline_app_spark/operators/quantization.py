@@ -150,7 +150,9 @@ def train_pq_codebooks(
     )
 
 
-def _collect_codebook_literal(codebooks: DataFrame) -> tuple[Column, int, int]:
+def _collect_codebook_literal(
+    codebooks: DataFrame,
+) -> tuple[Column, int, int, int]:
     """Collect the (tiny) codebook table and re-enter it as ONE nested
     array literal CB[sub_id][code_id] = codeword — a single expression,
     not m×ksub individual lit columns (per-literal py4j round trips
@@ -164,7 +166,11 @@ def _collect_codebook_literal(codebooks: DataFrame) -> tuple[Column, int, int]:
     for s in range(m):
         if any(cw is None for cw in table[s]):
             raise ValueError(f"codebook for subspace {s} is missing code ids")
-    return float_matrix_lit(table), m, ksub
+    # dim = m * dsub comes free with the collect — callers that would
+    # otherwise run a one-row first() job against the query frame just
+    # to learn the vector width should use this instead
+    dsub = len(table[0][0])
+    return float_matrix_lit(table), m, ksub, m * dsub
 
 
 def pq_encode(
@@ -192,7 +198,7 @@ def pq_encode(
     full argmin encode (~m·ksub·dsub fused ops per row) across those
     references — inlined, the encode ran m+1 times per row (measured
     ~3× slower end-to-end at sf0.1; the winnowing staging pitfall)."""
-    cb, m, _ = _collect_codebook_literal(codebooks)
+    cb, m, _, _cb_dim = _collect_codebook_literal(codebooks)
     vec = F.col(vec_col)
     dim_expr = F.size(vec)
     dsub_expr = (dim_expr / m).cast("int")
@@ -271,7 +277,7 @@ def pq_topk(
         codebooks = pq_codebooks(
             corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
         )
-    cb, m, _ = _collect_codebook_literal(codebooks)
+    cb, m, _, _cb_dim = _collect_codebook_literal(codebooks)
     if encoded is None:
         encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     return _adc_rank(
@@ -488,8 +494,7 @@ def ivfpq_topk(
             "build-time checksum - ADC scores against drifted codebooks are "
             "meaningless. Rebuild the index."
         )
-    cb, m, _ = _collect_codebook_literal(codebooks)
-    dim = len(queries.select(vec_col).first()[0])
+    cb, m, _, dim = _collect_codebook_literal(codebooks)
     dsub = dim // m
     probes = _query_probes(
         queries,
