@@ -150,3 +150,22 @@ def test_results_stable_under_partitioning(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert base[n] == again[n], n
+
+
+def test_shingle_tokenize_staged_once(spark, sf_dir):
+    # the staging rule: a lambda captures any outer expression by
+    # SUBTREE, so an inlined tokens() re-splits the document once per
+    # gram position. word_shingles/with_token_chunks stage the token
+    # array as its own projection column; the optimized plan must
+    # therefore contain exactly ONE split() of the text per operator.
+    from py_data_pipeline_app_spark.operators.curation import with_token_chunks
+    from py_data_pipeline_app_spark.operators.dedup import word_shingles
+    from py_data_pipeline_app_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    for df in (
+        word_shingles(docs, "text", 3, "doc_id"),
+        with_token_chunks(docs, "text", 10),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
