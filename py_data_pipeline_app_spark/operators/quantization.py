@@ -46,6 +46,8 @@ from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.similarity import (
     _assign_to_centroids,
     _bucket_layout,
+    _centroid_rows,
+    _centroid_rows_df,
     _hadoop_fs,
     _ivf_centroid_checksum,
     _query_probes,
@@ -150,14 +152,36 @@ def train_pq_codebooks(
     )
 
 
+def _codebook_rows(codebooks) -> list:
+    """``codebooks`` as a (sub_id, code_id)-sorted list of rows —
+    accepts a DataFrame (ONE collect) or an already-collected list.
+    Builders need the table several times (persist, checksum, encode
+    literal); when it is a derived frame (a TakeOrdered sample over
+    the corpus) every re-collect is a full corpus scan at 100 TB."""
+    if isinstance(codebooks, list):
+        return codebooks
+    return sorted(codebooks.collect(), key=lambda r: (r.sub_id, r.code_id))
+
+
+def _codebook_rows_df(spark, rows: list) -> DataFrame:
+    """The collected codebook rows as a JVM-literal frame (zero Python
+    tasks, no re-scan of whatever derived them)."""
+    return local_rows_df(
+        spark,
+        "sub_id int, code_id int, codeword array<double>",
+        [(int(r.sub_id), int(r.code_id), [float(x) for x in r.codeword]) for r in rows],
+    )
+
+
 def _collect_codebook_literal(
-    codebooks: DataFrame,
+    codebooks,
 ) -> tuple[Column, int, int, int]:
     """Collect the (tiny) codebook table and re-enter it as ONE nested
     array literal CB[sub_id][code_id] = codeword — a single expression,
     not m×ksub individual lit columns (per-literal py4j round trips
-    would dominate plan construction, see the hyperplane LSH note)."""
-    rows = codebooks.collect()
+    would dominate plan construction, see the hyperplane LSH note).
+    Accepts a DataFrame or pre-collected rows (``_codebook_rows``)."""
+    rows = _codebook_rows(codebooks)
     m = 1 + max(r.sub_id for r in rows)
     ksub = 1 + max(r.code_id for r in rows)
     table: list[list[list[float]]] = [[None] * ksub for _ in range(m)]  # type: ignore[list-item]
@@ -371,8 +395,8 @@ def _md5_sample_centroids(
     )
 
 
-def _codebook_checksum(codebooks: DataFrame) -> str:
-    rows = codebooks.orderBy("sub_id", "code_id").collect()
+def _codebook_checksum(codebooks) -> str:
+    rows = _codebook_rows(codebooks)
     payload = repr(
         [(r.sub_id, r.code_id, [float(x) for x in r.codeword]) for r in rows]
     )
@@ -429,22 +453,32 @@ def build_ivfpq_index(
         codebooks = pq_codebooks(
             corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
         )
-    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    codebooks.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    # collect both tiny tables ONCE: persist, checksum, assignment
+    # literal, and encode literal each need them, and when they are
+    # derived frames every re-collect re-runs a TakeOrdered over the
+    # corpus — five full corpus scans at 100 TB for a few KB of state
+    cent_rows = _centroid_rows(cents)
+    cb_rows = _codebook_rows(codebooks)
+    _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
+        f"{index_path}/centroids"
+    )
+    _codebook_rows_df(spark, cb_rows).write.mode("overwrite").parquet(
+        f"{index_path}/codebooks"
+    )
     local_rows_df(
         spark,
         "centroid_checksum string, codebook_checksum string",
-        [(_ivf_centroid_checksum(cents), _codebook_checksum(codebooks))],
+        [(_ivf_centroid_checksum(cent_rows), _codebook_checksum(cb_rows))],
     ).write.mode("overwrite").parquet(f"{index_path}/config")
     assigned = _assign_to_centroids(
-        corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
+        corpus, cent_rows, id_col=id_col, vec_col=vec_col
     )
     # one projection end-to-end: centroid assignment and codes are both
     # pure functions of the vector, computed in the same scan task —
     # never a join of two derived frames by id
     combined = pq_encode(
         assigned,
-        codebooks,
+        cb_rows,
         id_col=id_col,
         vec_col=vec_col,
         extra_cols=("centroid_id",),
@@ -479,26 +513,27 @@ def ivfpq_topk(
     (parity-tested; the registered oracle replays probe + encode +
     ADC end-to-end). Fails loudly if the persisted centroids or
     codebooks drift from their build-time checksums."""
-    cents = spark.read.parquet(f"{index_path}/centroids")
-    codebooks = spark.read.parquet(f"{index_path}/codebooks")
+    # one collect per table serves drift check + probe/encode literals
+    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
+    cb_rows = _codebook_rows(spark.read.parquet(f"{index_path}/codebooks"))
     cfg = spark.read.parquet(f"{index_path}/config").first()
-    if _ivf_centroid_checksum(cents) != cfg.centroid_checksum:
+    if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
         raise ValueError(
             f"IVF-PQ index at {index_path}: centroid table does not match its "
             "build-time checksum - probes against drifted centroids silently "
             "miss true neighbors. Rebuild the index."
         )
-    if _codebook_checksum(codebooks) != cfg.codebook_checksum:
+    if _codebook_checksum(cb_rows) != cfg.codebook_checksum:
         raise ValueError(
             f"IVF-PQ index at {index_path}: codebook table does not match its "
             "build-time checksum - ADC scores against drifted codebooks are "
             "meaningless. Rebuild the index."
         )
-    cb, m, _, dim = _collect_codebook_literal(codebooks)
+    cb, m, _, dim = _collect_codebook_literal(cb_rows)
     dsub = dim // m
     probes = _query_probes(
         queries,
-        F.broadcast(cents),
+        F.broadcast(_centroid_rows_df(spark, cent_rows)),
         nprobe=nprobe,
         query_id_col=query_id_col,
         vec_col=vec_col,
@@ -624,16 +659,17 @@ def _ivfpq_index_append_locked(
 ) -> str:
     import uuid
 
-    cents = spark.read.parquet(f"{index_path}/centroids")
-    codebooks = spark.read.parquet(f"{index_path}/codebooks")
+    # one collect per table serves drift check + assignment/encode
+    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
+    cb_rows = _codebook_rows(spark.read.parquet(f"{index_path}/codebooks"))
     cfg = spark.read.parquet(f"{index_path}/config").first()
-    if _ivf_centroid_checksum(cents) != cfg.centroid_checksum:
+    if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
         raise ValueError(
             f"IVF-PQ index at {index_path}: centroid table does not match its "
             "build-time checksum - appends assigned against drifted centroids "
             "would silently miss true neighbors. Rebuild the index."
         )
-    if _codebook_checksum(codebooks) != cfg.codebook_checksum:
+    if _codebook_checksum(cb_rows) != cfg.codebook_checksum:
         raise ValueError(
             f"IVF-PQ index at {index_path}: codebook table does not match its "
             "build-time checksum - codes from drifted codebooks are "
@@ -642,13 +678,13 @@ def _ivfpq_index_append_locked(
     token = batch_token or uuid.uuid4().hex[:12]
     assigned = _assign_to_centroids(
         new_vectors.select(F.col(id_col), F.col(vec_col)),
-        F.broadcast(cents),
+        cent_rows,
         id_col=id_col,
         vec_col=vec_col,
     )
     combined = pq_encode(
         assigned,
-        codebooks,
+        cb_rows,
         id_col=id_col,
         vec_col=vec_col,
         extra_cols=("centroid_id",),

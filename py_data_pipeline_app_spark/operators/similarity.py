@@ -447,6 +447,28 @@ def ivf_topk_trained(
     )
 
 
+def _centroid_rows(cents) -> list:
+    """``cents`` as an id-sorted list of Row(centroid_id, cvec) —
+    accepts a DataFrame (ONE collect) or an already-collected list.
+    Builders need the centroid table several times (persist, checksum,
+    assignment literal); when the table is a derived frame (a
+    TakeOrdered sample over the corpus), every re-collect is a full
+    corpus scan at 100 TB — collect once, thread the rows through."""
+    if isinstance(cents, list):
+        return cents
+    return sorted(cents.collect(), key=lambda r: r.centroid_id)
+
+
+def _centroid_rows_df(spark, rows: list) -> DataFrame:
+    """The collected centroid rows as a JVM-literal frame (zero
+    Python tasks, no re-scan of whatever derived them)."""
+    return local_rows_df(
+        spark,
+        "centroid_id int, cvec array<double>",
+        [(int(r.centroid_id), [float(x) for x in r.cvec]) for r in rows],
+    )
+
+
 def _assign_to_centroids(
     corpus: DataFrame, cents, *, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -463,7 +485,7 @@ def _assign_to_centroids(
     scan didn't already have. Tie-break on equal cosine is the LOWEST
     centroid_id (struct max on (csim, -position)), matching the window
     ``ORDER BY csim DESC, centroid_id`` the oracle replays."""
-    rows = sorted(cents.collect(), key=lambda r: r.centroid_id)
+    rows = _centroid_rows(cents)
     ids = F.lit([int(r.centroid_id) for r in rows])
     cvecs = float_matrix_lit([[float(x) for x in r.cvec] for r in rows])
     vec = F.col(vec_col)
@@ -568,12 +590,23 @@ def _ivf_probe_topk(
     query_id_col: str,
 ) -> DataFrame:
     """Shared IVF probing plan: assign corpus vectors to their nearest
-    centroid (broadcast join + argmax cosine), probe each query's
-    ``nprobe`` nearest buckets, exact-rank the scanned candidates."""
-    cents = F.broadcast(cents)
-    assigned = _assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+    centroid (literal-table argmax cosine), probe each query's
+    ``nprobe`` nearest buckets, exact-rank the scanned candidates.
+
+    The centroid table is collected ONCE and re-enters both the
+    assignment and the probe plan as a JVM-literal frame — when
+    ``cents`` is a derived sample over the corpus, each plan that
+    embedded the frame directly would re-run that sample (full corpus
+    scans at 100 TB for a few KB of state)."""
+    cent_rows = _centroid_rows(cents)
+    cents_local = F.broadcast(
+        _centroid_rows_df(corpus.sparkSession, cent_rows)
+    )
+    assigned = _assign_to_centroids(
+        corpus, cent_rows, id_col=id_col, vec_col=vec_col
+    )
     probes = _query_probes(
-        queries, cents, nprobe=nprobe, query_id_col=query_id_col, vec_col=vec_col
+        queries, cents_local, nprobe=nprobe, query_id_col=query_id_col, vec_col=vec_col
     )
     return _rank_probed(
         assigned, probes, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
@@ -608,11 +641,12 @@ def _hadoop_fs(spark, path: str):
     return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
 
 
-def _ivf_centroid_checksum(cents: DataFrame) -> str:
+def _ivf_centroid_checksum(cents) -> str:
     """Deterministic digest of the centroid table's contents (id-sorted
     values, driver-side over k×dim floats — a few KB). Parquet round
-    trips floats exactly, so build-time and read-back digests agree."""
-    rows = cents.orderBy("centroid_id").collect()
+    trips floats exactly, so build-time and read-back digests agree.
+    Accepts a DataFrame or pre-collected rows (``_centroid_rows``)."""
+    rows = _centroid_rows(cents)
     payload = repr([(r.centroid_id, [float(x) for x in r.cvec]) for r in rows])
     return hashlib.md5(payload.encode()).hexdigest()
 
@@ -764,13 +798,20 @@ def build_ivf_index(
             .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
             .select("centroid_id", "cvec")
         )
-    cents.write.mode("overwrite").parquet(f"{index_path}/centroids")
-    checksum = _ivf_centroid_checksum(cents)
+    # collect the k×dim sample ONCE: persisting, checksumming, and the
+    # assignment literal each needed the table, and when it is a
+    # derived frame every re-collect re-runs the TakeOrdered over the
+    # corpus — three full corpus scans at 100 TB for one tiny table
+    cent_rows = _centroid_rows(cents)
+    _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
+        f"{index_path}/centroids"
+    )
+    checksum = _ivf_centroid_checksum(cent_rows)
     local_rows_df(
         spark, "centroid_checksum string", [(checksum,)]
     ).write.mode("overwrite").parquet(f"{index_path}/config")
     assigned = _assign_to_centroids(
-        corpus, F.broadcast(cents), id_col=id_col, vec_col=vec_col
+        corpus, cent_rows, id_col=id_col, vec_col=vec_col
     )
     assigned = _bucket_layout(
         assigned, files_per_bucket, n_buckets=n_centroids, id_col=id_col
@@ -839,9 +880,10 @@ def _ivf_index_append_locked(
     vec_col: str,
     batch_token: str | None,
 ) -> str:
-    cents = spark.read.parquet(f"{index_path}/centroids")
+    # one collect serves both the drift check and the assignment literal
+    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
     cfg = spark.read.parquet(f"{index_path}/config").first()
-    checksum = _ivf_centroid_checksum(cents)
+    checksum = _ivf_centroid_checksum(cent_rows)
     if checksum != cfg.centroid_checksum:
         raise ValueError(
             f"IVF index at {index_path}: persisted centroids do not match the "
@@ -852,7 +894,7 @@ def _ivf_index_append_locked(
     token = batch_token or uuid.uuid4().hex[:12]
     assigned = _assign_to_centroids(
         new_vectors.select(F.col(id_col), F.col(vec_col)),
-        F.broadcast(cents),
+        cent_rows,
         id_col=id_col,
         vec_col=vec_col,
     )
