@@ -11,21 +11,67 @@ the overhead was the single largest fixed cost in the registered
 index queries.
 
 :func:`local_rows_df` instead renders the rows as ONE JVM-side
-expression — ``inline(array(struct(...), ...))`` over a
+expression — ``inline(array(named_struct(...), ...))`` over a
 single-partition ``range(1)`` — so the plan is a pure-JVM projection:
 no Python task, no RDD scan, and Catalyst folds it to a local
-relation. Intended for SMALL driver-known tables (config manifests,
-anchor/segment label frames, trained centroid tables — tens to a few
-thousand cells); large literals belong in parquet, and per-element
-``F.lit`` composition of big matrices has its own cost story (see
-``similarity.float_matrix_lit``).
+relation. The expression is built as a single parsed STRING, not
+per-cell ``F.lit`` Columns: a 1k-cell centroid/codebook table costs
+~1 s of driver-side py4j round trips the ``F.lit`` way vs ~ms as one
+``expr()`` parse (the ``similarity.float_matrix_lit`` measurement).
+Intended for SMALL driver-known tables (config manifests,
+anchor/segment label frames, centroid/codebook tables — up to a few
+thousand cells); large literals belong in parquet.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType, _parse_datatype_string
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegralType,
+    StringType,
+    StructType,
+    _parse_datatype_string,
+)
+
+
+def _render_cell(v, dt: DataType) -> str:
+    """One cell as a SQL literal expression string, exact under the
+    target type. Python ``repr`` of a float emits the shortest
+    round-tripping decimal and Java's correctly-rounded parser
+    recovers identical bits, so double cells are value-exact."""
+    if v is None:
+        return f"CAST(NULL AS {dt.simpleString()})"
+    if isinstance(dt, ArrayType):
+        if not isinstance(v, (list, tuple)):
+            raise TypeError(f"expected list for {dt.simpleString()}, got {type(v)}")
+        if not v:
+            return f"CAST(array() AS {dt.simpleString()})"
+        inner = ",".join(_render_cell(x, dt.elementType) for x in v)
+        return f"array({inner})"
+    if isinstance(dt, BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, IntegralType):
+        return f"CAST({int(v)} AS {dt.simpleString()})"
+    if isinstance(dt, (DoubleType, FloatType)):
+        f = float(v)
+        if not math.isfinite(f):
+            raise ValueError(f"non-finite literal {f!r} has no portable SQL spelling")
+        return f"CAST({f!r}D AS {dt.simpleString()})"
+    if isinstance(dt, StringType):
+        escaped = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    raise TypeError(
+        f"local_rows_df cannot render a {dt.simpleString()} cell; "
+        "use createDataFrame for exotic types"
+    )
 
 
 def local_rows_df(
@@ -33,15 +79,16 @@ def local_rows_df(
 ) -> DataFrame:
     """DataFrame of driver-local ``rows`` under a DDL-string or
     ``StructType`` schema, built as a single JVM-side literal
-    expression (zero Python tasks at execution — see module
-    docstring). ``None`` cells become typed nulls; every cell is cast
-    to its schema type, so names and types are identical to the
-    ``createDataFrame`` equivalent. Nullability may be TIGHTER
-    (non-null literal cells type non-nullable where createDataFrame
-    marks everything nullable) — safe anywhere a nullable field is
-    accepted, and parquet round-trips read back nullable either way.
-    Empty ``rows`` yields an empty frame of the same shape, still with
-    zero Python tasks (a ``limit(0)`` over one null-struct row)."""
+    expression (zero Python tasks at execution, one ``expr`` parse at
+    plan construction — see module docstring). ``None`` cells become
+    typed nulls; every cell is cast to its schema type, so names and
+    types are identical to the ``createDataFrame`` equivalent.
+    Nullability may be TIGHTER (non-null literal cells type
+    non-nullable where createDataFrame marks everything nullable) —
+    safe anywhere a nullable field is accepted, and parquet
+    round-trips read back nullable either way. Empty ``rows`` yields
+    an empty frame of the same shape, still with zero Python tasks
+    (a ``limit(0)`` over one null-struct row)."""
     dt = schema if isinstance(schema, StructType) else _parse_datatype_string(schema)
     fields = dt.fields
     if not rows:
@@ -49,13 +96,13 @@ def local_rows_df(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields]
         )
         return spark.range(0, 1, 1, 1).select(F.inline(F.array(nulls))).limit(0)
-    structs = [
-        F.struct(
-            *[
-                F.lit(v).cast(f.dataType).alias(f.name)
-                for v, f in zip(r, fields)
-            ]
+    rendered = []
+    for r in rows:
+        cells = ",".join(
+            f"'{f.name}',{_render_cell(v, f.dataType)}"
+            for v, f in zip(r, fields)
         )
-        for r in rows
-    ]
-    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+        rendered.append(f"named_struct({cells})")
+    return spark.range(0, 1, 1, 1).select(
+        F.inline(F.expr("array(" + ",".join(rendered) + ")"))
+    )
