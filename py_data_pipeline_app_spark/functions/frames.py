@@ -66,8 +66,20 @@ def _render_cell(v, dt: DataType) -> str:
             raise ValueError(f"non-finite literal {f!r} has no portable SQL spelling")
         return f"CAST({f!r}D AS {dt.simpleString()})"
     if isinstance(dt, StringType):
-        escaped = str(v).replace("\\", "\\\\").replace("'", "\\'")
-        return f"'{escaped}'"
+        # \uXXXX-escape every character the SQL text layer could
+        # reinterpret: quote/backslash (string syntax), control chars,
+        # and $ { } — the parser's ${...} VARIABLE SUBSTITUTION runs on
+        # the raw SQL text BEFORE parsing and would swallow a literal
+        # "${x}" (found by the hostile-string property test). All
+        # escaped chars are ASCII, so no surrogate-pair handling.
+        out = []
+        for ch in str(v):
+            o = ord(ch)
+            if ch in "\\'${}" or o < 0x20 or o == 0x7F:
+                out.append(f"\\u{o:04X}")
+            else:
+                out.append(ch)
+        return "'" + "".join(out) + "'"
     raise TypeError(
         f"local_rows_df cannot render a {dt.simpleString()} cell; "
         "use createDataFrame for exotic types"

@@ -68,3 +68,49 @@ def test_parquet_round_trip(spark, tmp_path):
     ).write.mode("overwrite").parquet(p)
     row = spark.read.parquet(p).first()
     assert (row.num_perms, row.bands, row.exact) == (64, 16, True)
+
+
+def test_string_escaping_round_trip(spark):
+    """The expr-string renderer must survive hostile strings — quotes,
+    backslashes, control chars, unicode; a silent escaping bug would
+    corrupt every label/manifest frame built from user data."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    hostile = [
+        "it's",
+        'say "hi"',
+        "back\\slash",
+        "new\nline",
+        "tab\there",
+        "semi;colon--comment",
+        "'); DROP TABLE x; --",
+        "nul\x00byte" if False else "ctrl\x01\x02",
+        "üñíçødé ♠♥",
+        "",
+        " ",
+        "%s %d {} ${x}",
+    ]
+    got = local_rows_df(
+        spark, "s string", [(v,) for v in hostile]
+    ).collect()
+    assert sorted(r.s for r in got) == sorted(hostile)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=1, max_codepoint=0x2FF
+                ),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def prop(vals):
+        rows = local_rows_df(spark, "s string", [(v,) for v in vals]).collect()
+        assert sorted(r.s for r in rows) == sorted(vals)
+
+    prop()
