@@ -46,8 +46,12 @@ def test_stateful_stream_converges_to_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(landing / "*"))
     )
+    # idle_eviction=False: a ProcessingTimeTimeout registration keeps an
+    # availableNow query alive (no-data batches until the timeout could
+    # fire — measured as a 120 s awaitTermination burn), and drain-and-
+    # exit is exactly the backfill mode the flag exists for
     q = (
-        user_profile_stream(stream)
+        user_profile_stream(stream, idle_eviction=False)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName("profiles")
@@ -55,7 +59,7 @@ def test_stateful_stream_converges_to_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain did not terminate"
 
     updates = spark.sql("SELECT * FROM profiles").collect()
     # final state per user = the update with the highest event count
@@ -80,3 +84,39 @@ def test_stateful_stream_converges_to_batch(spark, tmp_path):
     assert final[1].n_events == 3
     # and emitted one update row per micro-batch it appeared in
     assert len([r for r in updates if r.user_id == 1]) == 2
+
+
+def test_eviction_variant_emits_then_needs_explicit_stop(spark, tmp_path):
+    """The DEFAULT (idle_eviction=True) fold registers a processing-time
+    timeout, which keeps even an availableNow query alive so pending
+    timeouts can fire — the documented operational contract is: drain
+    the sink, then stop explicitly. This pins both halves: rows arrive,
+    and the query is still active when they have."""
+    import time
+
+    landing = tmp_path / "landing"
+    spark.createDataFrame(BATCH1, EVENTS_SCHEMA).coalesce(1).write.parquet(
+        str(landing / "b0")
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(landing / "*"))
+    q = (
+        user_profile_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles_evict")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM profiles_evict").first().c >= 2:
+                break
+            time.sleep(0.5)
+        rows = {r.user_id: r for r in spark.sql("SELECT * FROM profiles_evict").collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1].n_events == 2 and rows[2].n_events == 1
+        assert q.isActive, "timeout registration should hold the query active"
+    finally:
+        q.stop()
