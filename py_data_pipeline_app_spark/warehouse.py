@@ -108,6 +108,40 @@ class Warehouse:
             return self.spark.read.parquet(d)
         return None
 
+    def vacuum(self, name: str, *, keep_last: int = 2) -> list[int]:
+        """Delete old snapshot versions of ``name``, keeping the newest
+        ``keep_last`` complete ones — the retention pass every
+        snapshot-versioned table needs (a daily-upserted dimension
+        otherwise accretes one full copy per upload, unbounded).
+
+        Readers only ever resolve the HIGHEST complete version, so
+        removing older directories can never change a read. Incomplete
+        versions (no ``_SUCCESS`` — crashed writes) older than the
+        newest kept version are also removed; an incomplete version
+        NEWER than it is left alone, since it may be a concurrent
+        writer mid-flight. ``keep_last`` must be ≥ 1 (the current
+        state is never deleted). Returns the version numbers removed."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 - never delete the current state")
+        complete = self._versions(name)
+        keep = set(complete[-keep_last:])
+        cutoff = min(keep) if keep else 0
+        d = self._table_dir(name)
+        removed: list[int] = []
+        if not os.path.isdir(d):
+            return removed
+        for entry in os.listdir(d):
+            if not (entry.startswith("v") and entry[1:].isdigit()):
+                continue
+            v = int(entry[1:])
+            if v in keep or v > cutoff:
+                continue
+            shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+            removed.append(v)
+        return sorted(removed)
+
     # -- helpers -------------------------------------------------------------
 
     def next_id(self, name: str, id_col: str = "id") -> int:

@@ -139,3 +139,38 @@ def test_append_token_is_idempotent(spark, wh):
     assert wh.read("somelog").count() == 3
     assert wh.read_token("somelog", "batch-7").count() == 1
     assert wh.read_token("somelog", "nope") is None
+
+
+def test_vacuum_keeps_reads_identical_and_bounds_versions(spark, wh):
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    for i in range(5):
+        wh.overwrite("dim", local_rows_df(spark, "k int, v int", [(1, i)]))
+    before = wh.read("dim").collect()
+    removed = wh.vacuum("dim", keep_last=2)
+    assert removed == [1, 2, 3]
+    assert wh.read("dim").collect() == before
+    assert wh._versions("dim") == [4, 5]
+    # keep_last below 1 must refuse - never delete the current state
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wh.vacuum("dim", keep_last=0)
+
+
+def test_vacuum_spares_newer_inflight_writes(spark, wh, tmp_path):
+    import os
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    for i in range(3):
+        wh.overwrite("dim2", local_rows_df(spark, "k int", [(i,)]))
+    # a concurrent writer mid-flight: v9 exists but has no _SUCCESS
+    inflight = os.path.join(wh._table_dir("dim2"), "v9")
+    os.makedirs(inflight)
+    # the complete version below the kept range is removable garbage
+    old = os.path.join(wh._table_dir("dim2"), "v1")
+    removed = wh.vacuum("dim2", keep_last=2)
+    assert removed == [1]
+    assert not os.path.exists(old)
+    assert os.path.exists(inflight), "newer in-flight write must survive"
