@@ -108,6 +108,91 @@ class Warehouse:
             return self.spark.read.parquet(d)
         return None
 
+    def compact_log(self, name: str, *, keep_newest: bool = True) -> int:
+        """Merge the table's append-log subdirectories into one
+        consolidated subdirectory — the retention pass for log tables
+        (each :meth:`append` adds a directory, so a per-upload change
+        log accretes one listing entry per batch forever; readers pay
+        that listing linearly).
+
+        Rows are merged verbatim: appends never rewrite, so the union
+        IS the log, and log rows carry no dedup key — which makes
+        crash recovery the interesting part. The consolidated
+        directory is fully written WITH a ``_MANIFEST`` sidecar
+        (underscore-prefixed, so parquet readers ignore it) naming the
+        source subdirectories BEFORE any source is deleted; every
+        compaction first resumes any prior manifest's unfinished
+        deletes. A crash therefore leaves duplicates only transiently
+        — the next compaction (or this one's retry) deletes exactly
+        the manifested sources, never re-merging them into a second
+        copy.
+
+        ``keep_newest`` (default) leaves the lexically newest
+        subdirectory untouched, so a retried idempotent
+        ``append(token=...)`` of the most recent batch (the only batch
+        a foreachBatch replay re-runs) still overwrites ITS OWN
+        directory instead of resurrecting rows beside the compacted
+        copy — the same replay-safety contract as the LSH index
+        compactor. Single-compactor assumption: the warehouse has no
+        lock protocol (one writer by design, like the reference's
+        single Flask worker) — two concurrent compactions of the same
+        table are undefined. Returns the number of subdirectories
+        merged."""
+        import json
+        import shutil
+
+        log_dir = self._append_log_dir(name)
+        if not os.path.isdir(log_dir):
+            return 0
+
+        def complete_subdirs() -> list[str]:
+            return sorted(
+                e
+                for e in os.listdir(log_dir)
+                if os.path.isdir(os.path.join(log_dir, e))
+                and os.path.exists(os.path.join(log_dir, e, "_SUCCESS"))
+            )
+
+        # resume any crashed compaction: a visible compact dir's manifest
+        # names sources that must die (their rows already live in the
+        # manifested directory); stage dirs that never got renamed are
+        # invisible orphans — remove them
+        for e in os.listdir(log_dir):
+            p = os.path.join(log_dir, e)
+            if e.startswith(".compact-stage-"):
+                shutil.rmtree(p, ignore_errors=True)
+                continue
+            mpath = os.path.join(p, "_MANIFEST")
+            if e.startswith("compact-") and os.path.exists(mpath):
+                with open(mpath) as f:
+                    for src in json.load(f):
+                        shutil.rmtree(
+                            os.path.join(log_dir, src), ignore_errors=True
+                        )
+
+        subs = complete_subdirs()
+        if keep_newest and subs:
+            subs = subs[:-1]
+        if len(subs) < 2:
+            return 0
+        merged = self.spark.read.parquet(
+            *[os.path.join(log_dir, s) for s in subs]
+        )
+        # stage under a dot-prefixed name (parquet listing ignores it, so
+        # readers never see a half-written or manifest-less copy), attach
+        # the manifest, then one atomic rename makes copy+manifest visible
+        # together — there is no instant where the rows exist twice
+        # without the manifest that arbitrates the duplicate
+        token = uuid.uuid4().hex[:12]
+        stage = os.path.join(log_dir, f".compact-stage-{token}")
+        merged.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, "_MANIFEST"), "w") as f:
+            json.dump(subs, f)
+        os.rename(stage, os.path.join(log_dir, f"compact-{token}"))
+        for s in subs:
+            shutil.rmtree(os.path.join(log_dir, s), ignore_errors=True)
+        return len(subs)
+
     def vacuum(self, name: str, *, keep_last: int = 2) -> list[int]:
         """Delete old snapshot versions of ``name``, keeping the newest
         ``keep_last`` complete ones — the retention pass every

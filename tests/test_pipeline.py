@@ -174,3 +174,53 @@ def test_vacuum_spares_newer_inflight_writes(spark, wh, tmp_path):
     assert removed == [1]
     assert not os.path.exists(old)
     assert os.path.exists(inflight), "newer in-flight write must survive"
+
+
+def test_compact_log_preserves_rows_and_bounds_listing(spark, wh):
+    import os
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    for i in range(4):
+        wh.append("log1", local_rows_df(spark, "k int, v int", [(i, i * 10)]),
+                  token=f"batch-{i}")
+    before = sorted(tuple(r) for r in wh.read("log1").collect())
+    merged = wh.compact_log("log1")
+    assert merged == 3  # newest kept back
+    after = sorted(tuple(r) for r in wh.read("log1").collect())
+    assert after == before
+    subdirs = [e for e in os.listdir(wh._append_log_dir("log1"))
+               if not e.startswith(".")]
+    assert len(subdirs) == 2  # compact-* + batch-3
+    # a replay of the kept-back newest token overwrites its own dir:
+    # rows must not duplicate
+    wh.append("log1", local_rows_df(spark, "k int, v int", [(3, 30)]),
+              token="batch-3")
+    assert sorted(tuple(r) for r in wh.read("log1").collect()) == before
+
+
+def test_compact_log_resumes_crashed_deletes(spark, wh):
+    import json
+    import os
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    for i in range(3):
+        wh.append("log2", local_rows_df(spark, "k int", [(i,)]),
+                  token=f"batch-{i}")
+    before = sorted(tuple(r) for r in wh.read("log2").collect())
+    # simulate a compaction that crashed AFTER its atomic rename but
+    # BEFORE deleting its sources: consolidated copy + manifest visible,
+    # sources still present -> rows transiently duplicated
+    log_dir = wh._append_log_dir("log2")
+    local_rows_df(spark, "k int", [(0,), (1,)]).write.parquet(
+        os.path.join(log_dir, "compact-crashed")
+    )
+    with open(os.path.join(log_dir, "compact-crashed", "_MANIFEST"), "w") as f:
+        json.dump(["batch-0", "batch-1"], f)
+    assert len(wh.read("log2").collect()) == 5  # the transient duplicates
+    # any later compaction first resumes the manifested deletes
+    wh.compact_log("log2")
+    assert sorted(tuple(r) for r in wh.read("log2").collect()) == before
+    assert not os.path.exists(os.path.join(log_dir, "batch-0"))
+    assert not os.path.exists(os.path.join(log_dir, "batch-1"))
