@@ -35,10 +35,21 @@ def start_customer_stream(
     checkpoint_dir: str,
     *,
     max_files_per_trigger: int = 1,
+    maintain_every: int | None = 16,
 ) -> StreamingQuery:
     """Watch ``landing_dir`` for parquet customer-blob files (schema:
     raw string, _sheet_pos long) and fold each micro-batch into the
-    customer dimension + address-change log."""
+    customer dimension + address-change log.
+
+    Warehouse maintenance is AUTOMATIC: every ``maintain_every``
+    micro-batches the fold compacts both append logs (one subdirectory
+    lands per batch — unbounded listing otherwise) and vacuums old
+    dimension snapshots (one full copy per batch otherwise). Running
+    it inside foreachBatch structurally serializes maintenance with
+    folds (the single-compactor contract), and ``compact_log``'s
+    keep-newest rule preserves the replayed-batch token-overwrite
+    idempotency exactly like the LSH index stream's auto-compaction.
+    Pass ``maintain_every=None`` to manage retention out-of-band."""
     stream = (
         spark.readStream.schema(schemas.CUSTOMERS_RAW)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -87,6 +98,12 @@ def start_customer_stream(
             token=token,
         )
         wh.overwrite("customers", scd.new_state)
+        if maintain_every and batch_id > 0 and batch_id % maintain_every == 0:
+            wh.compact_log("uploads")
+            wh.compact_log("address_changes")
+            # keep_last=2: the snapshot just written plus its parent —
+            # the read at the top of this fold can never lose its input
+            wh.vacuum("customers", keep_last=2)
 
     return (
         stream.writeStream.foreachBatch(fold_batch)

@@ -128,3 +128,39 @@ def test_windowed_event_stream_matches_batch(spark, tmp_path):
         | F.col("w.n_events").isNull()
     ).count()
     assert mismatches == 0
+
+
+def test_stream_auto_maintenance_bounds_warehouse_layout(spark, tmp_path):
+    """With maintain_every=2, a 5-batch replay must leave the append
+    logs compacted (bounded subdir count), the dimension vacuumed to 2
+    snapshots, and every row value identical to the unmaintained fold."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(5):
+        spark.createDataFrame(
+            [(_blob("C1", f"addr {i}"), 0), (_blob(f"C{i + 2}", f"new {i}"), 1)],
+            schemas.CUSTOMERS_RAW,
+        ).coalesce(1).write.parquet(f"{landing}/b{i}")
+    q = start_customer_stream(spark, wh, landing + "/*", ckpt, maintain_every=2)
+    q.awaitTermination(180)
+
+    # semantics: C1 moved 4 times; one change row per move
+    changes = wh.read("address_changes").collect()
+    assert len(changes) == 4
+    assert {r.customer_id for r in changes} == {"C1"}
+    dim = {r.customer_id: r.address for r in wh.read("customers").collect()}
+    assert dim["C1"] == "addr 4" and len(dim) == 6
+    uploads = wh.read("uploads").collect()
+    assert len(uploads) == 5
+
+    # layout: logs compacted (fewer subdirs than batches), snapshots bounded
+    def live_subdirs(table):
+        d = wh._append_log_dir(table)
+        return [e for e in os.listdir(d) if not e.startswith(".")]
+
+    assert len(live_subdirs("uploads")) < 5
+    assert len(live_subdirs("address_changes")) < 5
+    assert len(wh._versions("customers")) == 2
