@@ -1127,13 +1127,19 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (grouped expansion, chunk-capped), exact cosine
     verification touches candidates only — never an all-pairs join.
 
-    This is the scale-safe regime: 8-bit bands admit ~1.6% of random
+    This is the production regime: 8-bit bands admit ~1.6% of random
     pairs as candidates and recall RISES with the pair's cosine
-    (≈ 0.96 at the planted 0.975, → 1 at 1.0), so the candidate set
-    tracks the true near-dup mass instead of growing quadratically —
-    the 10× rehearsal measured ×1.39 for this config vs ×16.6 for the
-    low-threshold recall study (see hyperplane_lsh_near_dup_pairs'
-    tuning table; the study is registered as embedding_near_dup_lowt).
+    (≈ 0.96 at the planted 0.975, → 1 at 1.0). Be precise about what
+    that buys: a CONSTANT admission fraction is still quadratic in N,
+    just with a small constant — the 10× rehearsal measures this
+    config's total-wall ratio in BENCH_sf1.json (~5× at the 20k-vector
+    decade, vs immediate candidate blow-up for the low-threshold study
+    registered as embedding_near_dup_lowt). The scale play at each new
+    decade is to RE-SIZE the banding (lsh_config_for: more bits per
+    band as N grows, planes raised to hold recall) so bucket occupancy
+    stays constant; the rehearsal's followup_lsh_scaled entry measures
+    exactly that variant. Fixed configs are pinned here because the
+    oracle must replay the banding bit-for-bit.
     The sf corpora have no natural high-cosine pairs, so the query
     plants deterministic perturbed copies (cosine ≈ 0.975) of every
     10th vector — the oracle replays planting, hyperplanes, band keys
