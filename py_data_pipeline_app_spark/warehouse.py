@@ -64,10 +64,32 @@ class Warehouse:
             os.path.join(self._table_dir(name), f"v{nxt}")
         )
 
-    def read(self, name: str, schema: T.StructType | None = None) -> DataFrame | None:
+    def read(
+        self,
+        name: str,
+        schema: T.StructType | None = None,
+        *,
+        version: int | None = None,
+    ) -> DataFrame | None:
         """Latest snapshot (or the append log). None if absent and no
-        schema given; an empty typed frame if a schema is supplied."""
+        schema given; an empty typed frame if a schema is supplied.
+
+        ``version`` reads a specific snapshot instead of the newest —
+        the versioned layout's time travel (inspect the dimension as of
+        upload N, diff two states, reproduce a report). Raises if that
+        version does not exist or is incomplete; note :meth:`vacuum`
+        deletes old versions, so history reaches back only as far as
+        the retention policy keeps it."""
         vs = self._versions(name)
+        if version is not None:
+            if version not in vs:
+                raise ValueError(
+                    f"table {name!r} has no complete snapshot v{version}; "
+                    f"available: {vs} (older versions may have been vacuumed)"
+                )
+            return self.spark.read.parquet(
+                os.path.join(self._table_dir(name), f"v{version}")
+            )
         if vs:
             return self.spark.read.parquet(
                 os.path.join(self._table_dir(name), f"v{vs[-1]}")
@@ -226,6 +248,11 @@ class Warehouse:
             shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
             removed.append(v)
         return sorted(removed)
+
+    def versions(self, name: str) -> list[int]:
+        """Complete snapshot versions of ``name``, oldest first — the
+        readable time-travel range (see :meth:`read`'s ``version``)."""
+        return self._versions(name)
 
     # -- helpers -------------------------------------------------------------
 

@@ -224,3 +224,22 @@ def test_compact_log_resumes_crashed_deletes(spark, wh):
     assert sorted(tuple(r) for r in wh.read("log2").collect()) == before
     assert not os.path.exists(os.path.join(log_dir, "batch-0"))
     assert not os.path.exists(os.path.join(log_dir, "batch-1"))
+
+
+def test_read_version_time_travel(spark, wh):
+    import pytest as _pytest
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    for i in range(3):
+        wh.overwrite("dim3", local_rows_df(spark, "k int, v int", [(1, i)]))
+    assert wh.versions("dim3") == [1, 2, 3]
+    assert wh.read("dim3", version=1).collect()[0].v == 0
+    assert wh.read("dim3", version=3).collect()[0].v == 2
+    assert wh.read("dim3").collect()[0].v == 2  # default = newest
+    with _pytest.raises(ValueError, match="no complete snapshot v7"):
+        wh.read("dim3", version=7)
+    # vacuumed history is gone and says so
+    wh.vacuum("dim3", keep_last=1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        wh.read("dim3", version=1)
