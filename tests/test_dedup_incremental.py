@@ -5,6 +5,7 @@ band_buckets contract both paths share."""
 import pytest
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.dedup import (
     band_buckets,
     minhash_dedup_pairs,
@@ -28,7 +29,7 @@ def docs(spark):
         rows.append((i * 10, t))
         rows.append((i * 10 + 1, t))  # exact word-set dup of each base doc
         rows.append((i * 10 + 2, t + " extra trailing words appended here"))
-    return spark.createDataFrame(rows, "doc_id long, text string")
+    return local_rows_df(spark, "doc_id long, text string", rows)
 
 
 def _pairs(df):
@@ -271,16 +272,18 @@ def test_refold_same_doc_id_identical_content_no_fanout(spark, tmp_path):
     identical content) must not fan the verification joins out into
     duplicate pair rows — token sets are latest-wins per doc_id."""
     index = str(tmp_path / "index")
-    b1 = spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+    b1 = local_rows_df(
+        spark,
         "doc_id long, text string",
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
     )
     incremental_lsh_fold(
         spark, index, b1, threshold=0.5, batch_token="one"
     ).collect()
-    b2 = spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (3, "alpha beta gamma delta zeta")],
+    b2 = local_rows_df(
+        spark,
         "doc_id long, text string",
+        [(1, "alpha beta gamma delta"), (3, "alpha beta gamma delta zeta")],
     )
     out = incremental_lsh_fold(
         spark, index, b2, threshold=0.5, batch_token="two"
@@ -308,7 +311,7 @@ def test_exact_mode_within_batch_emission_is_sum_of_group_pairs(spark, tmp_path)
         for _ in range(s):
             rows.append((next_id, text))
             next_id += 1
-    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = local_rows_df(spark, "doc_id long, text string", rows)
     out = incremental_lsh_fold(
         spark, str(tmp_path / "index"), batch, threshold=1.0, batch_token="a"
     ).collect()

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.curation import (
     pii_scrub,
     run_length_stats,
@@ -22,9 +23,10 @@ TOKLIST = st.lists(WORD, min_size=0, max_size=40)
 @settings(max_examples=15, deadline=None)
 @given(st.lists(TOKLIST, min_size=1, max_size=20))
 def test_run_length_stats_matches_counter(spark, toklists):
-    df = spark.createDataFrame(
-        [(i, toks) for i, toks in enumerate(toklists)],
+    df = local_rows_df(
+        spark,
         "i long, toks array<string>",
+        [(i, toks) for i, toks in enumerate(toklists)],
     )
     out = df.select(
         "i", run_length_stats(F.sort_array(F.col("toks"))).alias("s")
@@ -55,8 +57,8 @@ def test_pii_scrub_counts_match_injections(spark, rows):
         parts += [f"user{k}@host.example" for k in range(n_em)]
         parts += ["12-345-678-9012"] * n_ph
         texts.append(" ".join(parts))
-    df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], ["i", "t"]
+    df = local_rows_df(
+        spark, "i long, t string", [(i, t) for i, t in enumerate(texts)]
     )
     out = {r.i: r for r in pii_scrub(df, text_col="t").collect()}
     for i, (_, n_em, n_ph) in enumerate(rows):
@@ -84,7 +86,7 @@ def test_incremental_fold_union_equals_batch_lsh(spark, toklists, n_batches, thr
     )
 
     docs = [(i, " ".join(toks)) for i, toks in enumerate(toklists)]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = local_rows_df(spark, "doc_id long, text string", docs)
     expected = sorted(
         (r.id_a, r.id_b, r.jaccard)
         for r in minhash_dedup_pairs(df, threshold=threshold).collect()
@@ -115,7 +117,7 @@ def test_chunk_dedup_rebuild_matches_python_reference(spark, toklists):
     from py_data_pipeline_app_spark.operators.curation import chunk_dedup_rebuild
 
     docs = [(i, " ".join(toks)) for i, toks in enumerate(toklists)]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = local_rows_df(spark, "doc_id long, text string", docs)
     out = {r.doc_id: r for r in chunk_dedup_rebuild(df, chunk_tokens=3).collect()}
 
     seen: set[str] = set()
@@ -146,7 +148,7 @@ def test_source_cap_sample_respects_cap_for_any_distribution(spark, srcs, cap):
     from py_data_pipeline_app_spark.operators.sampling import source_cap_sample
 
     rows = [(i, f"s{g}") for i, g in enumerate(srcs)]
-    df = spark.createDataFrame(rows, "doc_id long, source string")
+    df = local_rows_df(spark, "doc_id long, source string", rows)
     out = source_cap_sample(df, cap=cap).collect()
     sizes = Counter(r.source for r in out)
     truth = Counter(f"s{g}" for g in srcs)
@@ -176,7 +178,7 @@ def test_simhash64_matches_python_reference(spark, toklists):
         return sum(1 << j for j in range(60) if votes[j] > 0)
 
     docs = [(i, " ".join(toks)) for i, toks in enumerate(toklists)]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df = local_rows_df(spark, "doc_id long, text string", docs)
     got = {r.doc_id: r.simhash for r in simhash64(df).collect()}
     for i, toks in enumerate(toklists):
         assert got[i] == py_simhash(toks), (i, toks)
