@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.curation import (
     contamination_stats,
     pack_sequences,
@@ -22,7 +23,7 @@ def docs(spark):
         (3, "go go stop go go stop go go stop go go stop"),  # repeated 2-grams
         (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
     ]
-    return spark.createDataFrame(rows, ["doc_id", "text"])
+    return local_rows_df(spark, "doc_id long, text string", rows)
 
 
 def test_repetition_filter_flags_degenerate_docs(docs):
@@ -40,13 +41,14 @@ def test_repetition_filter_flags_degenerate_docs(docs):
 
 
 def test_pii_scrub_counts_and_redacts(spark):
-    df = spark.createDataFrame(
+    df = local_rows_df(
+        spark,
+        "id long, t string",
         [
             (1, "reach me at a.b#1@mail.example or 12-345-678-9012"),
             (2, "no pii here at all"),
             (3, "two mails x@y.z and q@r.s plus 99-111-222-3333"),
         ],
-        ["id", "t"],
     )
     out = {r.id: r for r in pii_scrub(df, text_col="t").collect()}
     assert out[1].n_emails == 1 and out[1].n_phones == 1
@@ -62,7 +64,7 @@ def test_pii_scrub_email_abutting_phone(spark):
     # The email domain class spans digits/hyphens, so an email glued to
     # a phone would swallow the phone digits if emails scrubbed first;
     # phone-first keeps counts consistent with the scrubbed text.
-    df = spark.createDataFrame([(1, "ping a@b.c12-345-678-9012 now")], ["id", "t"])
+    df = local_rows_df(spark, "id long, t string", [(1, "ping a@b.c12-345-678-9012 now")])
     row = pii_scrub(df, text_col="t").collect()[0]
     assert row.n_phones == 1
     assert row.scrubbed.count("<PHONE>") == 1
@@ -71,16 +73,17 @@ def test_pii_scrub_email_abutting_phone(spark):
 
 
 def test_contamination_finds_planted_overlap(spark):
-    bench = spark.createDataFrame(
-        [(100, "one two three four five six seven")], ["doc_id", "text"]
+    bench = local_rows_df(
+        spark, "doc_id long, text string", [(100, "one two three four five six seven")]
     )
-    docs = spark.createDataFrame(
+    docs = local_rows_df(
+        spark,
+        "doc_id long, text string",
         [
             (1, "one two three four five six seven"),  # identical -> frac 1.0
             (2, "zero one two three four five nine"),  # shares 'one..five' 5-gram
             (3, "alpha beta gamma delta epsilon zeta"),  # disjoint
         ],
-        ["doc_id", "text"],
     )
     out = {r.doc_id: r for r in contamination_stats(docs, bench, n=5).collect()}
     assert out[1].contamination_frac == 1.0
@@ -89,8 +92,8 @@ def test_contamination_finds_planted_overlap(spark):
 
 
 def test_pack_sequences_invariants(spark):
-    docs = spark.createDataFrame(
-        [(i, "w " * (i % 50 + 1)) for i in range(200)], ["doc_id", "text"]
+    docs = local_rows_df(
+        spark, "doc_id long, text string", [(i, "w " * (i % 50 + 1)) for i in range(200)]
     )
     packed = pack_sequences(docs, seq_len=64, n_shards=4).collect()
     by_shard: dict[int, list] = {}
@@ -147,7 +150,7 @@ def test_chunk_dedup_rebuild_scrubs_repeats_keeps_first(spark):
         (3, u2 + " " + boiler),          # keeps u2, loses the boilerplate
         (4, "totally unique words here"),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = local_rows_df(spark, "doc_id long, text string", rows)
     out = {r.doc_id: r for r in chunk_dedup_rebuild(df, chunk_tokens=10).collect()}
     assert out[1].text_deduped == rows[0][1]          # first doc keeps all
     assert out[1].n_chunks == 2 and out[1].n_kept == 2
@@ -168,7 +171,7 @@ def test_token_diversity_matches_python_model(spark):
         (3, "spam spam spam ham ham eggs"),
         (4, "one"),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = local_rows_df(spark, "doc_id long, text string", rows)
     got = {r.doc_id: r for r in token_diversity(df).collect()}
     for doc_id, text in rows:
         toks = text.split()
@@ -197,7 +200,7 @@ def test_perplexity_buckets_python_model(spark):
         (2, "a b c d"),          # d is OOV under vocab_size=3
         (3, "zz yy zz yy"),      # all OOV -> worst score
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = local_rows_df(spark, "doc_id long, text string", rows)
     got = {
         r.doc_id: r
         for r in perplexity_buckets(
@@ -235,10 +238,10 @@ def test_perplexity_external_lm(spark):
         unigram_lm,
     )
 
-    ref = spark.createDataFrame([(1, "clean clean text text")], ["doc_id", "text"])
+    ref = local_rows_df(spark, "doc_id long, text string", [(1, "clean clean text text")])
     lm = unigram_lm(ref, vocab_size=10)
-    crawl = spark.createDataFrame(
-        [(10, "clean text"), (11, "junk junk junk")], ["doc_id", "text"]
+    crawl = local_rows_df(
+        spark, "doc_id long, text string", [(10, "clean text"), (11, "junk junk junk")]
     )
     got = {
         r.doc_id: r.cross_entropy
@@ -262,7 +265,7 @@ def test_bigram_merge_candidates_python_model(spark):
         (3, "one token"),
         (4, "solo"),
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = local_rows_df(spark, "doc_id long, text string", rows)
     got = [(r.pair, r.n_occurrences) for r in bigram_merge_candidates(df, k=3).collect()]
     # python model
     from collections import Counter
@@ -281,15 +284,16 @@ def test_benchmark_span_scrub_removes_planted_leak(spark):
 
     bench_text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
     clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
-    docs = spark.createDataFrame(
+    bench = local_rows_df(spark, "doc_id long, text string", [(100, bench_text)])
+    docs = local_rows_df(
+        spark,
+        "doc_id long, text string",
         [
             # chunk 1 = bench tokens 2..11 (interior offset) -> removed
             (1, clean + " q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
             (2, clean),                       # untouched
             (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),  # fully leaked -> empty
         ],
-        ["doc_id", "text"],
     )
     out = {r.doc_id: r for r in benchmark_span_scrub(docs, bench).collect()}
     assert out[1].text_scrubbed == clean and out[1].n_removed == 1

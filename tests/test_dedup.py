@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -27,7 +28,7 @@ def corpus(spark):
         (5, "the quick brown fox jumps over the lazy cat"),  # near (1 word off)
         (6, "completely unrelated text with unique tokens zebra"),
     ]
-    return spark.createDataFrame(rows, ["doc_id", "text"])
+    return local_rows_df(spark, "doc_id long, text string", rows)
 
 
 def test_exact_dedup_groups_normalized_copies(corpus):
@@ -79,7 +80,7 @@ def test_ngram_jaccard_max_df_drops_stop_shingles(spark):
     # shingle "a a a" appears in every doc; with max_df it contributes
     # no candidate pairs.
     rows = [(i, "a a a unique%d token%d word%d" % (i, i, i)) for i in range(6)]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = local_rows_df(spark, "doc_id long, text string", rows)
     no_cap = ngram_jaccard_pairs(df, n=3, threshold=0.01).count()
     capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=3).count()
     assert no_cap > 0
@@ -175,8 +176,8 @@ def test_connected_components_merges_chains(spark):
     from py_data_pipeline_app_spark.operators.dedup import connected_components
 
     # chain 1-2-3 (no direct 1-3 edge), pair 10-11, isolated-pair 20-21
-    edges = spark.createDataFrame(
-        [(2, 1), (2, 3), (10, 11), (21, 20)], ["id_a", "id_b"]
+    edges = local_rows_df(
+        spark, "id_a long, id_b long", [(2, 1), (2, 3), (10, 11), (21, 20)]
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
@@ -186,8 +187,8 @@ def test_connected_components_long_path(spark):
     from py_data_pipeline_app_spark.operators.dedup import connected_components
 
     # a 12-node path stresses multi-round propagation (diameter 11)
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(11, 0, -1)], ["id_a", "id_b"]
+    edges = local_rows_df(
+        spark, "id_a long, id_b long", [(i, i + 1) for i in range(11, 0, -1)]
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert set(got.values()) == {1}
@@ -216,11 +217,11 @@ def test_connected_components_star_parity(spark):
         [e for e in random_edges if e[0] != e[1]],               # random
     ]
     for edges in cases:
-        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        df = local_rows_df(spark, "id_a long, id_b long", edges)
         base = {r.node: r.comp for r in connected_components(df).collect()}
         star = {r.node: r.comp for r in connected_components_star(df).collect()}
         assert star == base, edges[:4]
-    empty = spark.createDataFrame([], "id_a long, id_b long")
+    empty = local_rows_df(spark, "id_a long, id_b long", [])
     assert connected_components_star(empty).count() == 0
 
 
@@ -232,8 +233,8 @@ def test_connected_components_star_beats_diameter_bound(spark):
         connected_components_star,
     )
 
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(39, 0, -1)], ["id_a", "id_b"]
+    edges = local_rows_df(
+        spark, "id_a long, id_b long", [(i, i + 1) for i in range(39, 0, -1)]
     )
     got = {
         r.node: r.comp
@@ -260,8 +261,8 @@ def test_cross_corpus_ngram_jaccard_matches_python_model(spark):
         (102, "pack my box with five dozen liquor jugs"),
         (103, "sphinx of black quartz judge my vow"),
     ]
-    left = spark.createDataFrame(left_rows, "doc_id long, text string")
-    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+    left = local_rows_df(spark, "doc_id long, text string", left_rows)
+    right = local_rows_df(spark, "doc_id long, text string", right_rows)
     got = {
         (r.id_left, r.id_right): r.jaccard
         for r in cross_corpus_ngram_jaccard(
