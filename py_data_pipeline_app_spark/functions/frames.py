@@ -27,17 +27,21 @@ from __future__ import annotations
 
 import math
 
+from datetime import date, datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DataType,
+    DateType,
     DoubleType,
     FloatType,
     IntegralType,
     StringType,
     StructType,
+    TimestampType,
     _parse_datatype_string,
 )
 
@@ -65,6 +69,19 @@ def _render_cell(v, dt: DataType) -> str:
         if not math.isfinite(f):
             raise ValueError(f"non-finite literal {f!r} has no portable SQL spelling")
         return f"CAST({f!r}D AS {dt.simpleString()})"
+    if isinstance(dt, TimestampType):
+        if not isinstance(v, datetime) or v.tzinfo is not None:
+            raise TypeError(
+                "timestamp cells must be NAIVE datetimes (session-local, "
+                "matching createDataFrame); got "
+                f"{type(v).__name__}{' with tzinfo' if isinstance(v, datetime) else ''}"
+            )
+        frac = f".{v.microsecond:06d}" if v.microsecond else ""
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}{frac}'"
+    if isinstance(dt, DateType):
+        if isinstance(v, datetime) or not isinstance(v, date):
+            raise TypeError(f"date cells must be datetime.date, got {type(v).__name__}")
+        return f"DATE '{v.isoformat()}'"
     if isinstance(dt, StringType):
         # \uXXXX-escape every character the SQL text layer could
         # reinterpret: quote/backslash (string syntax), control chars,

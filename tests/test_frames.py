@@ -114,3 +114,26 @@ def test_string_escaping_round_trip(spark):
         assert sorted(r.s for r in rows) == sorted(vals)
 
     prop()
+
+
+def test_timestamp_and_date_cells(spark):
+    from datetime import date, datetime, timezone
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 30, 0), date(2024, 2, 29)),
+        (datetime(2024, 6, 1, 0, 0, 0, 123456), date(1999, 12, 31)),
+        (None, None),
+    ]
+    schema = "ts timestamp, d date"
+    got = local_rows_df(spark, schema, rows).collect()
+    want = spark.createDataFrame(rows, schema).collect()
+    key = lambda r: str(r)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # tz-aware datetimes are ambiguous across session zones: refuse
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="NAIVE"):
+        local_rows_df(
+            spark, "ts timestamp",
+            [(datetime(2024, 1, 1, tzinfo=timezone.utc),)],
+        )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.quality_model import (
     quality_feature_frame,
     score_quality,
@@ -31,12 +32,12 @@ def corpus(spark):
         rows.append((i, CLEAN[i % len(CLEAN)] + f" sentence variant {i % 7}"))
     for i in range(60, 90):
         rows.append((i, JUNK[i % len(JUNK)]))
-    return spark.createDataFrame(rows, "doc_id long, text string")
+    return local_rows_df(spark, "doc_id long, text string", rows)
 
 
 def test_features_match_python_model(spark):
-    df = spark.createDataFrame(
-        [(1, "aa bb aa cc 12 !!")], "doc_id long, text string"
+    df = local_rows_df(
+        spark, "doc_id long, text string", [(1, "aa bb aa cc 12 !!")]
     )
     r = quality_feature_frame(df).collect()[0]
     import math

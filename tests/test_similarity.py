@@ -8,6 +8,7 @@ import math
 import pyspark.sql.functions as F
 import pytest
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -27,8 +28,9 @@ def emb(spark):
 
 
 def test_cosine_matches_python(spark):
-    df = spark.createDataFrame(
-        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["x", "y"]
+    df = local_rows_df(
+        spark, "x array<double>, y array<double>",
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])]
     )
     got = df.select(cosine(F.col("x"), F.col("y")).alias("c")).collect()[0].c
     dot = 1 * 4 + 2 * 5 + 3 * 6
@@ -89,7 +91,7 @@ def test_hyperplane_lsh_recall_on_planted_dups(spark):
         v = [rng.uniform(-1, 1) for _ in range(16)]
         rows.append((2 * i, v))
         rows.append((2 * i + 1, [x + 1e-6 for x in v]))
-    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    df = local_rows_df(spark, "vec_id long, embedding array<double>", rows)
     found = {
         (r.id_a, r.id_b)
         for r in hyperplane_lsh_near_dup_pairs(

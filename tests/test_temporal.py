@@ -7,6 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.temporal import asof_join
 
 
@@ -16,23 +17,25 @@ def _ts(s):
 
 @pytest.fixture(scope="module")
 def frames(spark):
-    left = spark.createDataFrame(
+    left = local_rows_df(
+        spark,
+        "event_id long, user_id long, ts timestamp",
         [
             (101, 1, _ts("2024-01-01T10:00:00")),
             (102, 1, _ts("2024-01-01T12:00:00")),
             (103, 2, _ts("2024-01-01T09:00:00")),  # before any right row
             (104, 3, _ts("2024-01-01T11:00:00")),  # user with no right rows
-        ],
-        "event_id long, user_id long, ts timestamp",
+        ]
     )
-    right = spark.createDataFrame(
+    right = local_rows_df(
+        spark,
+        "event_id long, user_id long, ts timestamp",
         [
             (1, 1, _ts("2024-01-01T09:30:00")),
             (2, 1, _ts("2024-01-01T10:00:00")),  # exactly at left 101 -> matches
             (3, 1, _ts("2024-01-01T11:59:00")),
             (4, 2, _ts("2024-01-01T09:30:00")),
-        ],
-        "event_id long, user_id long, ts timestamp",
+        ]
     )
     return left, right
 
@@ -87,8 +90,14 @@ def test_asof_tolerance(frames):
     assert out[103].asof_event_id is None
 
 
-def test_asof_plan_has_no_join(frames):
-    left, right = frames
+def test_asof_plan_has_no_join(frames, spark):
+    # multi-partition inputs via createDataFrame's parallelize path: the
+    # JVM-literal fixtures are single-partition, which trivially
+    # satisfies the window's clustering and hides the keyed Exchange
+    # this test exists to count
+    left, right = (
+        spark.createDataFrame(df.collect(), df.schema) for df in frames
+    )
     import io, contextlib
 
     buf = io.StringIO()
@@ -113,11 +122,11 @@ from hypothesis import strategies as st  # noqa: E402
 def _compare_direction(spark, left_rows, right_rows, direction, tol):
     import pandas as pd
 
-    left = spark.createDataFrame(
-        left_rows, "event_id long, user_id long, ts timestamp"
+    left = local_rows_df(
+        spark, "event_id long, user_id long, ts timestamp", left_rows
     )
-    right = spark.createDataFrame(
-        right_rows, "event_id long, user_id long, ts timestamp"
+    right = local_rows_df(
+        spark, "event_id long, user_id long, ts timestamp", right_rows
     )
     got = (
         asof_join(
@@ -186,16 +195,18 @@ def test_asof_directions_match_pandas(spark, lefts, rights, direction, tol):
 def test_asof_nearest_tie_goes_backward(spark):
     from datetime import datetime
 
-    left = spark.createDataFrame(
-        [(1, 7, datetime(2024, 1, 1, 10, 0, 0))],
+    left = local_rows_df(
+        spark,
         "event_id long, user_id long, ts timestamp",
+        [(1, 7, datetime(2024, 1, 1, 10, 0, 0))]
     )
-    right = spark.createDataFrame(
+    right = local_rows_df(
+        spark,
+        "event_id long, user_id long, ts timestamp",
         [
             (101, 7, datetime(2024, 1, 1, 9, 59, 0)),  # 60s before
             (102, 7, datetime(2024, 1, 1, 10, 1, 0)),  # 60s after
-        ],
-        "event_id long, user_id long, ts timestamp",
+        ]
     )
     out = asof_join(
         left, right, on="user_id", right_payload=["event_id"], direction="nearest"
