@@ -7,6 +7,7 @@ from datetime import datetime
 
 from pyspark.sql import types as T
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.streaming.dedup import (
     read_dedup_output,
     start_dedup_stream,
@@ -31,7 +32,7 @@ def test_streaming_dedup_within_and_beyond_watermark(spark, tmp_path):
     out = str(tmp_path / "out")
 
     def land(name, rows):
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        local_rows_df(spark, SCHEMA, rows).write.parquet(
             f"{landing}/{name}"
         )
 
@@ -106,7 +107,7 @@ def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path):
         b2.append((i * 10 + 2, t + " with extra trailing words", _ts(11, 30 + i)))
 
     def land(name, rows):
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        local_rows_df(spark, SCHEMA, rows).write.parquet(
             f"{landing}/{name}"
         )
 
@@ -134,7 +135,7 @@ def test_streaming_near_dup_matches_batch_lsh(spark, tmp_path):
         .parquet(str(tmp_path / "pairs"))
         .collect()
     )
-    all_docs = spark.createDataFrame(b1 + b2, SCHEMA).select("doc_id", "text")
+    all_docs = local_rows_df(spark, SCHEMA, b1 + b2).select("doc_id", "text")
     expected = sorted(
         (r.id_a, r.id_b, r.jaccard)
         for r in minhash_dedup_pairs(all_docs, threshold=0.5).collect()
@@ -171,7 +172,7 @@ def test_streaming_near_dup_auto_compaction_bounds_index(spark, tmp_path):
         )
 
     def land(name, rows):
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        local_rows_df(spark, SCHEMA, rows).write.parquet(
             f"{landing}/{name}"
         )
 
@@ -207,8 +208,8 @@ def test_streaming_near_dup_auto_compaction_bounds_index(spark, tmp_path):
         .parquet(str(tmp_path / "pairs"))
         .collect()
     )
-    all_docs = spark.createDataFrame(
-        [r for b in batches for r in b], SCHEMA
+    all_docs = local_rows_df(
+        spark, SCHEMA, [r for b in batches for r in b]
     ).select("doc_id", "text")
     expected = sorted(
         (r.id_a, r.id_b, r.jaccard)
