@@ -149,8 +149,11 @@ class Warehouse:
         the manifested sources, never re-merging them into a second
         copy.
 
-        ``keep_newest`` (default) leaves the lexically newest
-        subdirectory untouched, so a retried idempotent
+        ``keep_newest`` (default) leaves the most recently WRITTEN
+        subdirectory untouched (by its ``_SUCCESS`` mtime — lexical
+        order lies twice here: unpadded stream tokens sort batch-10
+        before batch-9, and a prior ``compact-*`` dir sorts after
+        every batch), so a retried idempotent
         ``append(token=...)`` of the most recent batch (the only batch
         a foreachBatch replay re-runs) still overwrites ITS OWN
         directory instead of resurrecting rows beside the compacted
@@ -194,7 +197,14 @@ class Warehouse:
 
         subs = complete_subdirs()
         if keep_newest and subs:
-            subs = subs[:-1]
+            newest = max(
+                subs,
+                key=lambda e: (
+                    os.path.getmtime(os.path.join(log_dir, e, "_SUCCESS")),
+                    e,
+                ),
+            )
+            subs = [s for s in subs if s != newest]
         if len(subs) < 2:
             return 0
         merged = self.spark.read.parquet(

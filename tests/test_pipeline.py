@@ -226,6 +226,39 @@ def test_compact_log_resumes_crashed_deletes(spark, wh):
     assert not os.path.exists(os.path.join(log_dir, "batch-1"))
 
 
+def test_compact_log_keeps_write_time_newest_not_lexical(spark, wh):
+    import os
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    # The customer stream's tokens are unpadded (batch-10 sorts
+    # LEXICALLY before batch-9) and compact-* dirs sort after every
+    # batch-* dir — so "keep the newest" must go by write time, or the
+    # one batch a foreachBatch replay can re-run gets merged away and
+    # its token-overwrite replay duplicates rows.
+    for i in range(11):
+        wh.append("log3", local_rows_df(spark, "k int", [(i,)]),
+                  token=f"batch-{i}")
+    before = sorted(tuple(r) for r in wh.read("log3").collect())
+    log_dir = wh._append_log_dir("log3")
+    wh.compact_log("log3")
+    assert os.path.isdir(os.path.join(log_dir, "batch-10")), (
+        "the replayable newest batch must survive compaction untouched"
+    )
+    # replay of the newest batch overwrites its own dir: no duplicates
+    wh.append("log3", local_rows_df(spark, "k int", [(10,)]), token="batch-10")
+    assert sorted(tuple(r) for r in wh.read("log3").collect()) == before
+    # once a compact-* dir exists (lexically last forever), a LATER
+    # batch must still be the kept-newest on the next pass
+    wh.append("log3", local_rows_df(spark, "k int", [(11,)]), token="batch-11")
+    wh.compact_log("log3")
+    assert os.path.isdir(os.path.join(log_dir, "batch-11"))
+    wh.append("log3", local_rows_df(spark, "k int", [(11,)]), token="batch-11")
+    assert sorted(tuple(r) for r in wh.read("log3").collect()) == sorted(
+        before + [(11,)]
+    )
+
+
 def test_read_version_time_travel(spark, wh):
     import pytest as _pytest
 
