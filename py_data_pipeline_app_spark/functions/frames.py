@@ -125,11 +125,19 @@ def local_rows_df(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields]
         )
         return spark.range(0, 1, 1, 1).select(F.inline(F.array(nulls))).limit(0)
+    names = [_render_cell(f.name, StringType()) for f in fields]
     rendered = []
-    for r in rows:
+    for i, r in enumerate(rows):
+        # zip would silently drop surplus cells; mirror createDataFrame
+        # and refuse an arity mismatch loudly
+        if len(r) != len(fields):
+            raise ValueError(
+                f"row {i} has {len(r)} cells but the schema has "
+                f"{len(fields)} fields"
+            )
         cells = ",".join(
-            f"'{f.name}',{_render_cell(v, f.dataType)}"
-            for v, f in zip(r, fields)
+            f"{n},{_render_cell(v, f.dataType)}"
+            for n, v, f in zip(names, r, fields)
         )
         rendered.append(f"named_struct({cells})")
     return spark.range(0, 1, 1, 1).select(

@@ -137,3 +137,14 @@ def test_timestamp_and_date_cells(spark):
             spark, "ts timestamp",
             [(datetime(2024, 1, 1, tzinfo=timezone.utc),)],
         )
+
+
+def test_row_arity_mismatch_refused(spark):
+    import pytest as _pytest
+
+    # zip-truncation would silently drop the surplus cell; refuse like
+    # createDataFrame does
+    with _pytest.raises(ValueError, match="row 1 has 3 cells"):
+        local_rows_df(spark, "a int, b int", [(1, 2), (1, 2, 3)])
+    with _pytest.raises(ValueError, match="row 0 has 1 cell"):
+        local_rows_df(spark, "a int, b int", [(1,)])
