@@ -700,46 +700,22 @@ def ivfpq_index_compact(spark, index_path: str, *, keep_newest: bool = False) ->
     ``assigned/`` codes table — the IVF compactor's twin for the
     compressed layout (codes are pure functions of (vector, frozen
     codebooks), so the merge is a plain union rewrite). Crash-safe by
-    staging (full write to ``assigned-compact`` before a two-rename
-    swap); ``keep_newest=True`` leaves the lexically newest batch for
-    a replayable streaming micro-batch; serialized against appends by
-    the shared lock. Returns the number of directories merged."""
+    staging + manifest, keep-newest by write time — the shared
+    protocol in ``similarity._compact_assigned_locked`` (the two
+    layouts differ only in what a row holds); serialized against
+    appends by the shared lock. Returns the number of directories
+    merged."""
     from py_data_pipeline_app_spark.operators.dedup_incremental import (
         _acquire_index_lock,
     )
-    from py_data_pipeline_app_spark.operators.similarity import _hadoop_fs
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _compact_assigned_locked,
+    )
 
     lock_fs, lock = _acquire_index_lock(spark, index_path, "IVF-PQ compaction")
     try:
-        fs, appends_path = _hadoop_fs(
-            spark, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}"
+        return _compact_assigned_locked(
+            spark, index_path, IVFPQ_APPENDS_SUBDIR, keep_newest
         )
-        if not fs.exists(appends_path):
-            return 0
-        batch_dirs = sorted(
-            str(s.getPath())
-            for s in fs.listStatus(appends_path)
-            if s.isDirectory() and s.getPath().getName().startswith("batch-")
-        )
-        if keep_newest and batch_dirs:
-            batch_dirs = batch_dirs[:-1]
-        if not batch_dirs:
-            return 0
-        merged = spark.read.parquet(f"{index_path}/assigned")
-        for d in batch_dirs:
-            merged = merged.unionByName(spark.read.parquet(d))
-        staged = f"{index_path}/assigned-compact"
-        merged.write.partitionBy("centroid_id").mode("overwrite").parquet(staged)
-        jvm = spark._jvm.org.apache.hadoop.fs.Path
-        old = jvm(f"{index_path}/assigned-old")
-        fs.delete(old, True)
-        fs.rename(jvm(f"{index_path}/assigned"), old)
-        fs.rename(jvm(staged), jvm(f"{index_path}/assigned"))
-        fs.delete(old, True)
-        for d in batch_dirs:
-            fs.delete(jvm(d), True)
-        if not keep_newest:
-            fs.delete(jvm(f"{index_path}/{IVFPQ_APPENDS_SUBDIR}"), True)
-        return len(batch_dirs)
     finally:
         lock_fs.delete(lock, False)

@@ -914,57 +914,132 @@ def ivf_index_compact(spark, index_path: str, *, keep_newest: bool = False) -> i
 
     Assignments are pure functions of (vector, centroids), so the
     merge is a plain union rewrite — no recomputation. Crash-safe by
-    staging: the merged table is fully written to ``assigned-compact``
-    BEFORE the old base and appends are swapped out, and a crash
-    between stages leaves either the old layout (retry merges again)
-    or a complete staged copy (retry finishes the swap); the reader
-    never sees a half-written base because the swap is two renames.
-    Do not run concurrently with appends or probes — EXCEPT inside a
-    streaming foreachBatch with ``keep_newest=True``, which leaves the
-    lexically newest batch subdirectory untouched so the one
-    micro-batch Structured Streaming could still replay after a crash
-    keeps overwriting its own append instead of racing a deletion
-    (same contract as dedup_incremental.compact_index). Serialized
-    against appends by the shared atomic lock marker. Returns the
-    number of append directories merged (0 = nothing to do)."""
+    staging + manifest (see :func:`_compact_assigned_locked`): a retry
+    after a crash at ANY point either re-merges, finishes the
+    interrupted swap, or completes the interrupted cleanup — never
+    duplicates rows, never loses the base table. Do not run
+    concurrently with appends or probes — EXCEPT inside a streaming
+    foreachBatch with ``keep_newest=True``, which leaves the most
+    recently WRITTEN batch subdirectory untouched (by modification
+    time — tokens are caller-chosen strings, so lexical order proves
+    nothing) so the one micro-batch Structured Streaming could still
+    replay after a crash keeps overwriting its own append instead of
+    racing a deletion (same contract as
+    dedup_incremental.compact_index). Serialized against appends by
+    the shared atomic lock marker. Returns the number of append
+    directories merged (0 = nothing to do)."""
     from py_data_pipeline_app_spark.operators.dedup_incremental import (
         _acquire_index_lock,
     )
 
     lock_fs, lock = _acquire_index_lock(spark, index_path, "IVF compaction")
     try:
-        return _ivf_index_compact_locked(spark, index_path, keep_newest)
+        return _compact_assigned_locked(
+            spark, index_path, IVF_APPENDS_SUBDIR, keep_newest
+        )
     finally:
         lock_fs.delete(lock, False)
 
 
-def _ivf_index_compact_locked(spark, index_path: str, keep_newest: bool) -> int:
-    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
+def _compact_assigned_locked(
+    spark, index_path: str, appends_subdir: str, keep_newest: bool
+) -> int:
+    """Shared merge of ``{appends_subdir}/batch-*`` into the base
+    ``assigned/`` table (IVF raw vectors and IVF-PQ codes have the
+    same layout). Caller holds the index lock.
+
+    Crash-safety protocol (the warehouse ``compact_log`` design, for a
+    swap-in-place base): the merged copy is fully written to
+    ``assigned-compact`` WITH a ``_MANIFEST`` sidecar naming the batch
+    subdirectories whose rows it contains, then a two-rename swap
+    (base → ``assigned-old``, staged → base) makes it the base, then
+    cleanup deletes the manifested appends + the old base + the
+    manifest. Every entry first RECOVERS whatever a crash left:
+
+    - base missing, staged copy complete (``_SUCCESS`` + manifest):
+      the swap was interrupted — finish it, then run its cleanup.
+    - base missing, only ``assigned-old`` present: roll the old base
+      back (a staged copy without a manifest never starts a swap).
+    - stale ``assigned-compact`` beside a live base: discarded (its
+      manifested appends were never deleted; the retry re-merges).
+    - manifest sitting INSIDE the base: the swap completed but cleanup
+      was interrupted — delete exactly the manifested appends (their
+      rows are in the base; without the manifest a reader would see
+      them twice) and the leftover ``assigned-old``.
+    """
+    import json
+
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{appends_subdir}")
+    base = jvm(f"{index_path}/assigned")
+    old = jvm(f"{index_path}/assigned-old")
+    staged = jvm(f"{index_path}/assigned-compact")
+
+    def read_manifest(dirpath: str):
+        mp = jvm(f"{dirpath}/_MANIFEST")
+        if not fs.exists(mp):
+            return None
+        stream = fs.open(mp)
+        try:
+            txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(txt)
+
+    def cleanup(names: list[str]) -> None:
+        for name in names:
+            fs.delete(jvm(f"{index_path}/{appends_subdir}/{name}"), True)
+        fs.delete(old, True)
+        fs.delete(jvm(f"{index_path}/assigned/_MANIFEST"), False)
+
+    # -- recovery of a crashed previous compaction (under the lock) --
+    if not fs.exists(base) and fs.exists(
+        jvm(f"{index_path}/assigned-compact/_SUCCESS")
+    ):
+        names = read_manifest(f"{index_path}/assigned-compact")
+        if names is not None:  # interrupted swap: staged copy is the base
+            fs.rename(staged, base)
+            cleanup(names)
+    if not fs.exists(base) and fs.exists(old):
+        fs.rename(old, base)  # no usable staged copy: roll back
+    if fs.exists(staged):
+        fs.delete(staged, True)  # stale staging beside a live base
+    leftover = read_manifest(f"{index_path}/assigned")
+    if leftover is not None:  # completed swap, interrupted cleanup
+        cleanup(leftover)
+
+    # -- the actual merge --
     if not fs.exists(appends_path):
         return 0
-    batch_dirs = sorted(
-        str(s.getPath())
+    statuses = [
+        s
         for s in fs.listStatus(appends_path)
         if s.isDirectory() and s.getPath().getName().startswith("batch-")
-    )
-    if keep_newest and batch_dirs:
-        batch_dirs = batch_dirs[:-1]
-    if not batch_dirs:
+    ]
+    if keep_newest and statuses:
+        newest = max(
+            statuses, key=lambda s: (s.getModificationTime(), str(s.getPath()))
+        )
+        statuses = [s for s in statuses if s is not newest]
+    if not statuses:
         return 0
-    base = spark.read.parquet(f"{index_path}/assigned")
-    merged = base
+    batch_dirs = sorted(str(s.getPath()) for s in statuses)
+    names = [d.rsplit("/", 1)[-1] for d in batch_dirs]
+    merged = spark.read.parquet(f"{index_path}/assigned")
     for d in batch_dirs:
         merged = merged.unionByName(spark.read.parquet(d))
-    staged = f"{index_path}/assigned-compact"
-    merged.write.partitionBy("centroid_id").mode("overwrite").parquet(staged)
-    jvm = spark._jvm.org.apache.hadoop.fs.Path
-    old = jvm(f"{index_path}/assigned-old")
+    merged.write.partitionBy("centroid_id").mode("overwrite").parquet(str(staged))
+    out = fs.create(jvm(f"{index_path}/assigned-compact/_MANIFEST"), True)
+    try:
+        out.write(bytearray(json.dumps(names).encode("utf-8")))
+    finally:
+        out.close()
     fs.delete(old, True)
-    fs.rename(jvm(f"{index_path}/assigned"), old)
-    fs.rename(jvm(staged), jvm(f"{index_path}/assigned"))
-    fs.delete(old, True)
-    for d in batch_dirs:
-        fs.delete(jvm(d), True)
+    fs.rename(base, old)
+    fs.rename(staged, base)
+    cleanup(names)
     if not keep_newest:
         fs.delete(appends_path, True)
     return len(batch_dirs)

@@ -557,3 +557,108 @@ def test_files_per_bucket_bounds_index_layout_and_keeps_parity(spark, emb, tmp_p
     a = ivf_topk_indexed(spark, wide, queries, k=5, nprobe=2)
     b = ivf_topk_indexed(spark, tight, queries, k=5, nprobe=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_compact_crash_recovery(spark, emb, tmp_path):
+    """Every interruption point of the staged-swap compaction must be
+    recovered by the next call: an interrupted swap (no base on disk),
+    an interrupted cleanup (manifest inside the base with the merged
+    append still beside it — duplicates without recovery), and a stale
+    staged copy beside a live base."""
+    import json
+    import os
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_topk_indexed,
+    )
+
+    index = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), index, n_centroids=8)
+    ivf_index_append(
+        spark, index, emb.filter(F.col("vec_id") % 4 == 1), batch_token="a"
+    )
+    ivf_index_append(
+        spark, index, emb.filter(F.col("vec_id") % 4 == 3), batch_token="b"
+    )
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect(),
+            )
+        )
+
+    want = probe()
+
+    # -- interrupted swap: staged copy complete + manifest, base renamed
+    # away, appends still on disk; a reader (and the old code's retry)
+    # would find no assigned/ at all
+    merged = (
+        spark.read.parquet(f"{index}/assigned")
+        .unionByName(spark.read.parquet(f"{index}/appends/batch-a"))
+        .unionByName(spark.read.parquet(f"{index}/appends/batch-b"))
+    )
+    merged.write.partitionBy("centroid_id").parquet(f"{index}/assigned-compact")
+    with open(f"{index}/assigned-compact/_MANIFEST", "w") as f:
+        json.dump(["batch-a", "batch-b"], f)
+    os.rename(f"{index}/assigned", f"{index}/assigned-old")
+    assert ivf_index_compact(spark, index) == 0  # recovery, nothing new
+    assert probe() == want
+    assert os.path.isdir(f"{index}/assigned")
+    assert not os.path.exists(f"{index}/assigned-old")
+    assert not os.path.exists(f"{index}/appends/batch-a")
+    assert not os.path.exists(f"{index}/assigned/_MANIFEST")
+
+    # -- interrupted cleanup: swap done (manifest travelled into the
+    # base) but the merged append was never deleted — its rows exist
+    # twice until recovery removes exactly the manifested directory
+    dup = spark.read.parquet(f"{index}/assigned").filter(F.col("vec_id") % 7 == 0)
+    dup.write.partitionBy("centroid_id").parquet(f"{index}/appends/batch-z")
+    assert probe() != want or dup.count() == 0  # duplicates visible
+    with open(f"{index}/assigned/_MANIFEST", "w") as f:
+        json.dump(["batch-z"], f)
+    assert ivf_index_compact(spark, index) == 0
+    assert probe() == want
+    assert not os.path.exists(f"{index}/appends/batch-z")
+    assert not os.path.exists(f"{index}/assigned/_MANIFEST")
+
+    # -- stale staged copy beside a live base: discarded, not swapped
+    os.makedirs(f"{index}/assigned-compact")
+    with open(f"{index}/assigned-compact/part-junk", "w") as f:
+        f.write("x")
+    assert ivf_index_compact(spark, index) == 0
+    assert not os.path.exists(f"{index}/assigned-compact")
+    assert probe() == want
+
+
+def test_ivf_compact_keep_newest_by_write_time(spark, emb, tmp_path):
+    """keep_newest must protect the most recently WRITTEN append (the
+    replayable one), not the lexically last token — tokens are
+    caller-chosen strings."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+    )
+
+    index = str(tmp_path / "ivf2")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), index, n_centroids=8)
+    ivf_index_append(
+        spark, index, emb.filter(F.col("vec_id") % 4 == 1), batch_token="zzz"
+    )
+    # written later -> replayable newest, though lexically FIRST
+    ivf_index_append(
+        spark, index, emb.filter(F.col("vec_id") % 4 == 3), batch_token="aaa"
+    )
+    assert ivf_index_compact(spark, index, keep_newest=True) == 1
+    assert os.path.isdir(f"{index}/appends/batch-aaa")
+    assert not os.path.exists(f"{index}/appends/batch-zzz")
