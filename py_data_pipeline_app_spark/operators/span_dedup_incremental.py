@@ -170,23 +170,34 @@ def compact_fps(spark: SparkSession, index_path: str, *, keep_newest: bool = Fal
     fold adds one subdirectory the next fold's history read must list;
     a long-lived stream accretes one per micro-batch — compaction
     bounds that driver-side listing cost. ``keep_newest=True`` leaves
-    the lexically newest batch untouched so the one micro-batch
+    the most recently WRITTEN batch untouched so the one micro-batch
     Structured Streaming could replay keeps overwriting its own append
-    (the contract shared with the LSH/IVF compactors). Serialized with
-    folds by the same lock. Returns the number of directories merged."""
+    (the contract shared with the LSH/IVF compactors). Newest is by
+    modification time, NOT name: a prior ``batch-compact-*`` directory
+    sorts lexically after zero-padded numeric tokens, and protecting
+    it instead of the real newest batch would hand a crash-replayed
+    fold its own first-attempt fingerprints as history — every chunk
+    of the replay would look seen and the rebuild would come back
+    empty. Serialized with folds by the same lock. Returns the number
+    of directories merged."""
     fs, lock = _acquire_index_lock(spark, index_path, "fps compaction")
     try:
         jvm = spark._jvm.org.apache.hadoop.fs.Path
         fps_path = jvm(f"{index_path}/{FPS_SUBDIR}")
         if not fs.exists(fps_path):
             return 0
-        dirs = sorted(
-            str(s.getPath())
+        statuses = [
+            s
             for s in fs.listStatus(fps_path)
             if s.isDirectory() and s.getPath().getName().startswith("batch-")
-        )
-        if keep_newest and dirs:
-            dirs = dirs[:-1]
+        ]
+        if keep_newest and statuses:
+            newest = max(
+                statuses,
+                key=lambda s: (s.getModificationTime(), str(s.getPath())),
+            )
+            statuses = [s for s in statuses if s is not newest]
+        dirs = sorted(str(s.getPath()) for s in statuses)
         if len(dirs) < 2:
             return 0
         token = f"compact-{uuid.uuid4().hex[:12]}"

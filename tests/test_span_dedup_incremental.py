@@ -191,3 +191,47 @@ def test_compaction_staging_dirs_are_invisible_to_history(spark, corpus, tmp_pat
         ).collect()
     }
     assert out[10].n_kept == 0 and out[11].n_kept == 1
+
+
+def test_compact_fps_keeps_write_time_newest(spark, corpus, tmp_path):
+    """keep_newest must protect the most recently WRITTEN batch: a
+    prior batch-compact-* directory sorts lexically after numeric
+    tokens, and protecting it instead hands a crash-replayed fold its
+    own first-attempt fingerprints as history (everything scrubbed)."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.span_dedup_incremental import (
+        FPS_SUBDIR,
+        compact_fps,
+    )
+
+    index = str(tmp_path / "idx")
+    b = lambda lo, hi: corpus.filter(  # noqa: E731
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+    incremental_span_fold(spark, index, b(0, 10), batch_token="00000000")
+    incremental_span_fold(spark, index, b(10, 20), batch_token="00000001")
+    assert compact_fps(spark, index, keep_newest=True) == 0  # only 1 mergeable
+    incremental_span_fold(spark, index, b(20, 99), batch_token="00000002")
+    assert compact_fps(spark, index, keep_newest=True) == 2  # 0+1 merge
+    fps_dir = os.path.join(index, FPS_SUBDIR)
+    assert os.path.isdir(os.path.join(fps_dir, "batch-00000002"))
+    # a compact dir now exists and sorts lexically LAST; the next pass
+    # must still keep the genuinely newest batch
+    out = incremental_span_fold(
+        spark, index, spark.createDataFrame(
+            [(30, "entirely new closing words")], "doc_id long, text string"
+        ), batch_token="00000003",
+    )
+    first = sorted(map(tuple, out.collect()))
+    assert compact_fps(spark, index, keep_newest=True) == 2  # 2 + compact
+    assert os.path.isdir(os.path.join(fps_dir, "batch-00000003"))
+    # crash-replay of that batch: history must NOT contain its own
+    # first-attempt fingerprints, so the rebuild is unchanged
+    replay = incremental_span_fold(
+        spark, index, spark.createDataFrame(
+            [(30, "entirely new closing words")], "doc_id long, text string"
+        ), batch_token="00000003",
+    )
+    assert sorted(map(tuple, replay.collect())) == first
+    assert first[0][3] > 0  # and it genuinely kept its novel chunk
