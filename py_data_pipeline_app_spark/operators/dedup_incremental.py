@@ -200,6 +200,30 @@ def compact_index(
     token = f"compact-{uuid.uuid4().hex[:12]}"
     lock_fs, lock_path = _acquire_index_lock(spark, index_path, "compaction")
     try:
+        # A fold writes the SAME batch token to both subdirs, so the
+        # "one batch a crashed producer could still replay" is one NAME
+        # shared by bands and toksets — resolve it ONCE across both
+        # listings ((mtime, name) ordered: 1-second mtime granularity
+        # ties are real on HDFS, and listing order must not decide
+        # which batch keeps its replay protection or let the two
+        # subdirs protect different batches).
+        protected: str | None = None
+        if keep_newest:
+            candidates: list[tuple[int, str]] = []
+            for subdir in (BANDS_SUBDIR, TOKSETS_SUBDIR):
+                jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{index_path}/{subdir}"
+                )
+                fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+                if not fs.exists(jvm_path):
+                    continue
+                candidates.extend(
+                    (s.getModificationTime(), s.getPath().getName())
+                    for s in fs.listStatus(jvm_path)
+                    if s.isDirectory() and s.getPath().getName().startswith("batch-")
+                )
+            if candidates:
+                protected = max(candidates)[1]
         for subdir, keys in ((BANDS_SUBDIR, None), (TOKSETS_SUBDIR, ["doc_id"])):
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
             fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -208,11 +232,10 @@ def compact_index(
             statuses = [
                 s
                 for s in fs.listStatus(jvm_path)
-                if s.isDirectory() and s.getPath().getName().startswith("batch-")
+                if s.isDirectory()
+                and s.getPath().getName().startswith("batch-")
+                and s.getPath().getName() != protected
             ]
-            if keep_newest and statuses:
-                newest = max(statuses, key=lambda s: s.getModificationTime())
-                statuses = [s for s in statuses if s is not newest]
             dirs = [s.getPath() for s in statuses]
             if len(dirs) <= 1:
                 continue

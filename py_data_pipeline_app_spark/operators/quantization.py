@@ -51,6 +51,8 @@ from py_data_pipeline_app_spark.operators.similarity import (
     _hadoop_fs,
     _ivf_centroid_checksum,
     _query_probes,
+    _union_appends,
+    _write_append_batch,
     float_matrix_lit,
     l2_norm,
 )
@@ -563,20 +565,9 @@ def ivfpq_topk(
     encoded = spark.read.parquet(f"{index_path}/assigned").filter(
         F.col("centroid_id").isin(probed)
     )
-    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}")
-    if fs.exists(appends_path):
-        for status in sorted(
-            fs.listStatus(appends_path), key=lambda s: str(s.getPath())
-        ):
-            if not (
-                status.isDirectory()
-                and status.getPath().getName().startswith("batch-")
-            ):
-                continue
-            batch = spark.read.parquet(str(status.getPath())).filter(
-                F.col("centroid_id").isin(probed)
-            )
-            encoded = encoded.unionByName(batch)
+    encoded = _union_appends(
+        spark, encoded, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}", probed
+    )
     codes = F.col("codes")
     num = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -689,8 +680,8 @@ def _ivfpq_index_append_locked(
         vec_col=vec_col,
         extra_cols=("centroid_id",),
     )
-    combined.write.partitionBy("centroid_id").mode("overwrite").parquet(
-        f"{index_path}/{IVFPQ_APPENDS_SUBDIR}/batch-{token}"
+    _write_append_batch(
+        spark, combined, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}/batch-{token}"
     )
     return token
 

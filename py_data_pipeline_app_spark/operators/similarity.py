@@ -641,6 +641,56 @@ def _hadoop_fs(spark, path: str):
     return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
 
 
+def _write_append_batch(spark, rows: DataFrame, dest: str) -> None:
+    """Write an index append batch ``partitionBy(centroid_id)`` under
+    its idempotent ``batch-{token}`` directory — then REMOVE the
+    directory again if the batch was empty. The dynamic-partition
+    writer emits only ``_SUCCESS`` for a zero-row frame (no parquet
+    footers, no partition subdirs), and such a file-less directory
+    breaks schema inference for any later reader; a replayed empty
+    micro-batch (the streaming front doors append every batch id)
+    must not poison the index. Detecting emptiness AFTER the write
+    costs one directory listing instead of an extra Spark job."""
+    rows.write.partitionBy("centroid_id").mode("overwrite").parquet(dest)
+    fs, path = _hadoop_fs(spark, dest)
+    has_data = any(
+        s.isDirectory() and s.getPath().getName().startswith("centroid_id=")
+        for s in fs.listStatus(path)
+    )
+    if not has_data:
+        fs.delete(path, True)
+
+
+def _union_appends(
+    spark, base: DataFrame, appends_dir: str, probed: list
+) -> DataFrame:
+    """Union every ``batch-*`` append directory onto the probed base
+    scan, each scan pruned by the same literal partition filter (the
+    shared tail of :func:`ivf_topk_indexed` and ``ivfpq_topk``).
+    Batch directories are read with the BASE table's schema: inference
+    is redundant work per directory, and a legacy file-less empty
+    append (pre-:func:`_write_append_batch` writers) then reads as an
+    empty frame instead of failing every probe of the index."""
+    out = base
+    fs, appends_path = _hadoop_fs(spark, appends_dir)
+    if fs.exists(appends_path):
+        for status in sorted(
+            fs.listStatus(appends_path), key=lambda s: str(s.getPath())
+        ):
+            if not (
+                status.isDirectory()
+                and status.getPath().getName().startswith("batch-")
+            ):
+                continue
+            batch = (
+                spark.read.schema(base.schema)
+                .parquet(str(status.getPath()))
+                .filter(F.col("centroid_id").isin(probed))
+            )
+            out = out.unionByName(batch)
+    return out
+
+
 def _ivf_centroid_checksum(cents) -> str:
     """Deterministic digest of the centroid table's contents (id-sorted
     values, driver-side over k×dim floats — a few KB). Parquet round
@@ -898,8 +948,8 @@ def _ivf_index_append_locked(
         id_col=id_col,
         vec_col=vec_col,
     )
-    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
-        f"{index_path}/{IVF_APPENDS_SUBDIR}/batch-{token}"
+    _write_append_batch(
+        spark, assigned, f"{index_path}/{IVF_APPENDS_SUBDIR}/batch-{token}"
     )
     return token
 
@@ -1029,7 +1079,9 @@ def _compact_assigned_locked(
     names = [d.rsplit("/", 1)[-1] for d in batch_dirs]
     merged = spark.read.parquet(f"{index_path}/assigned")
     for d in batch_dirs:
-        merged = merged.unionByName(spark.read.parquet(d))
+        # base schema: a legacy file-less empty append must merge as an
+        # empty frame, not fail inference (same guard as _union_appends)
+        merged = merged.unionByName(spark.read.schema(merged.schema).parquet(d))
     merged.write.partitionBy("centroid_id").mode("overwrite").parquet(str(staged))
     out = fs.create(jvm(f"{index_path}/assigned-compact/_MANIFEST"), True)
     try:
@@ -1066,29 +1118,37 @@ def ivf_topk_indexed(
     same filter (one self-describing partitioned directory per batch —
     listing is linear in batch count, another reason to rebuild once a
     retention horizon applies). Scores and ranks are bit-identical to
-    :func:`ivf_topk` over the same total corpus + centroids."""
-    cents = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
+    :func:`ivf_topk` over the same total corpus + centroids.
+
+    Fails loudly if the persisted centroid table no longer matches the
+    checksum recorded at build time — the same drift check every
+    mutator makes: probing drifted centroids visits the wrong buckets
+    and silently drops true neighbors, the exact failure the manifest
+    exists to catch. The verification reuses the ONE centroid collect
+    the probe literals need anyway (zero extra scans)."""
+    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
+    cfg = spark.read.parquet(f"{index_path}/config").first()
+    if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
+        raise ValueError(
+            f"IVF index at {index_path}: persisted centroids do not match the "
+            "checksum recorded at build time - probes against a drifted "
+            "centroid set visit the wrong buckets and silently miss true "
+            "neighbors. Rebuild the index (delete the directory) instead."
+        )
     probes = _query_probes(
-        queries, cents, nprobe=nprobe, query_id_col=query_id_col, vec_col=vec_col
+        queries,
+        F.broadcast(_centroid_rows_df(spark, cent_rows)),
+        nprobe=nprobe,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
     )
     probed = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
     assigned = spark.read.parquet(f"{index_path}/assigned").filter(
         F.col("centroid_id").isin(probed)
     )
-    fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
-    if fs.exists(appends_path):
-        for status in sorted(
-            fs.listStatus(appends_path), key=lambda s: str(s.getPath())
-        ):
-            if not (
-                status.isDirectory()
-                and status.getPath().getName().startswith("batch-")
-            ):
-                continue
-            batch = spark.read.parquet(str(status.getPath())).filter(
-                F.col("centroid_id").isin(probed)
-            )
-            assigned = assigned.unionByName(batch)
+    assigned = _union_appends(
+        spark, assigned, f"{index_path}/{IVF_APPENDS_SUBDIR}", probed
+    )
     return _rank_probed(
         assigned, probes, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )

@@ -368,3 +368,20 @@ def test_ivfpq_compact_preserves_probes(spark, emb, queries, tmp_path):
     )
     assert before == after
     assert not os.path.isdir(os.path.join(path, "appends"))
+
+
+def test_ivfpq_empty_append_does_not_poison_probes(spark, emb, queries, tmp_path):
+    """Zero-row appends (empty replayed micro-batches) must leave the
+    IVF-PQ index probeable — same contract as the raw IVF layout."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_topk,
+    )
+
+    path = str(tmp_path / "idx_empty")
+    build_ivfpq_index(emb, path, n_centroids=8, m=M, ksub=8, dim=DIM)
+    before = ivfpq_topk(spark, path, queries, k=5, nprobe=3).collect()
+    ivfpq_index_append(spark, path, emb.limit(0), batch_token="empty")
+    after = ivfpq_topk(spark, path, queries, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

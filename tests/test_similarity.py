@@ -662,3 +662,66 @@ def test_ivf_compact_keep_newest_by_write_time(spark, emb, tmp_path):
     assert ivf_index_compact(spark, index, keep_newest=True) == 1
     assert os.path.isdir(f"{index}/appends/batch-aaa")
     assert not os.path.exists(f"{index}/appends/batch-zzz")
+
+
+def test_empty_append_does_not_poison_probes(spark, emb, tmp_path):
+    """A zero-row append (an empty replayed micro-batch through the
+    streaming front door) must leave the index probeable: partitionBy
+    writes only _SUCCESS for an empty frame, and a file-less batch
+    directory would fail schema inference on every later probe."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    index = str(tmp_path / "ivf_empty")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), index, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect()
+
+    ivf_index_append(spark, index, emb.limit(0), batch_token="empty")
+    after = ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    # legacy writers left file-less batch dirs behind: probes and
+    # compaction must read them as empty, not fail inference
+    import os
+
+    legacy = f"{index}/appends/batch-legacy"
+    os.makedirs(legacy)
+    open(f"{legacy}/_SUCCESS", "w").close()
+    legacy_probe = ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, legacy_probe))
+
+    from py_data_pipeline_app_spark.operators.similarity import ivf_index_compact
+
+    ivf_index_compact(spark, index, keep_newest=False)
+    compacted = ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, compacted))
+
+
+def test_indexed_probe_refuses_drifted_centroids(spark, emb, tmp_path):
+    """ivf_topk_indexed makes the same centroid-checksum drift check as
+    the mutators: probing against an out-of-band-replaced centroid
+    table would silently visit the wrong buckets."""
+    import pytest
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+
+    index = str(tmp_path / "ivf_drift")
+    build_ivf_index(emb, index, n_centroids=8)
+    train_centroids(emb, n_centroids=8, seed=13).write.mode("overwrite").parquet(
+        f"{index}/centroids"
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="checksum"):
+        ivf_topk_indexed(spark, index, queries, k=5, nprobe=2)
