@@ -34,6 +34,14 @@ per column type at the end — computed on the NATIVE order (string min
 of a numeric column would compare lexically: "10" < "9"), displayed
 through the repo's decimal(18,6) convention so Spark and DuckDB
 render identically.
+
+Float edge semantics: -0.0 and 0.0 count as ONE distinct value (the
+injective string key normalizes the sign to match both engines'
+grouping semantics — tested); NaN counts as one distinct value in
+both engines, but a NaN min/max renders as NULL through the decimal
+display cast (both engines sort NaN above every double, and neither
+casts it to decimal) — exact NaN *display* is out of the profiling
+contract.
 """
 
 from __future__ import annotations
@@ -142,6 +150,14 @@ def _exact_profile(
         # cast, NOT the display cast — decimal(18,6) would collapse
         # doubles closer than 1e-6
         sval = col.cast("string")
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            # -0.0 == 0.0 in every engine's DISTINCT (Spark normalizes
+            # signed zero in grouping keys, DuckDB in equality) but
+            # stringifies distinctly — normalize the sign before the
+            # injective cast so the string key groups like the value
+            sval = (
+                F.when(col == 0, F.lit(0).cast(dtype)).otherwise(col).cast("string")
+            )
         # EXACT order-preserving carriers for min/max — one per value
         # domain, so no value is squeezed through a lossy double:
         # integrals + timestamps ride a long (exact), floats ride a

@@ -401,3 +401,21 @@ def test_profile_awkward_column_names(spark):
         }
         assert rows["order total"].n_present == 2
         assert rows["it's"].n_distinct == 2
+
+
+def test_profile_signed_zero_counts_once(spark):
+    """-0.0 and 0.0 are one DISTINCT value in both engines (Spark
+    normalizes signed zero in grouping keys, DuckDB in equality); the
+    profiler's injective string key must not split them. NaN stays a
+    countable value (both engines count it once)."""
+    from py_data_pipeline_app_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(0.0,), (-0.0,), (float("nan"),), (None,), (1.5,)], "x double"
+    )
+    for exact in (True, False):
+        row = profile_columns(df, ["x"], exact=exact).collect()[0]
+        assert row.n_present == 4
+        assert row.n_null == 1
+        assert row.n_distinct == 3  # {0.0, NaN, 1.5}
+        assert row.min_value == "0.000000"
