@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import tokens
 
 # ---------------------------------------------------------------------------
@@ -449,10 +450,26 @@ def perplexity_buckets(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
     ).filter(F.col("_tok") != "")
     if lm is None:
-        lm = unigram_lm(docs, text_col=text_col, vocab_size=vocab_size)
+        # self-trained: the LM is DERIVED from the corpus (a groupBy +
+        # TakeOrdered over every token) — referencing that frame twice
+        # (scoring join + floor aggregate) would re-run the corpus-wide
+        # aggregation per reference. Collect the V rows ONCE and
+        # re-enter them as a JVM literal (the collect-once rule the
+        # index builders follow, SURVEY §4.3); the table broadcasts
+        # anyway, so driver residency is not new cost.
+        lm_rows = unigram_lm(
+            docs, text_col=text_col, vocab_size=vocab_size
+        ).collect()
+        lm = local_rows_df(
+            docs.sparkSession,
+            "_tok string, logp double, floor_logp double",
+            [(r._tok, float(r.logp), float(r.floor_logp)) for r in lm_rows],
+        )
     lm = F.broadcast(lm.select("_tok", "logp", "floor_logp"))
     # every lm row carries floor_logp, but OOV rows miss the join
     # entirely — recover the constant via a broadcast 1-row cross join
+    # (on an externally-loaded LM this is one extra scan of a tiny
+    # parquet table, not a corpus aggregation)
     floor = lm.select(F.max("floor_logp").alias("_floor"))
     scored = (
         tok.join(lm, "_tok", "left")

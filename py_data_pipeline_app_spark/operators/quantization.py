@@ -149,8 +149,11 @@ def train_pq_codebooks(
             (s, j, [float(x) for x in c])
             for j, c in enumerate(model.clusterCenters())
         )
-    return spark.createDataFrame(
-        out, "sub_id int, code_id int, codeword array<double>"
+    # JVM-literal frame, not createDataFrame: the trained table is the
+    # same m×ksub shape as the sampled codebooks, and the Python-RDD
+    # path costs ~4-5s PER ACTION through whatever plan embeds it
+    return local_rows_df(
+        spark, "sub_id int, code_id int, codeword array<double>", out
     )
 
 
