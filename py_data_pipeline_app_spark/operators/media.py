@@ -472,7 +472,12 @@ def sample_frames(
     same output schema, same no-shuffle shape, frame indices now from
     the actual decoded stream. Audio assets keep the arithmetic
     contract in either mode (their "frames" are fixed-length windows,
-    not codec frames)."""
+    not codec frames). Decode-mode edges: an EMPTY payload yields zero
+    frames (arithmetic mode, working from metadata alone, still emits
+    rows — the one row-count divergence between modes); a kind='video'
+    row whose container holds no video stream raises a ValueError
+    naming the media_id (mislabeled input should fail loudly, not as
+    an opaque task error)."""
     if decode:
         return _sample_frames_decoded(media, every=every, fps_ms=fps_ms)
     timed = media.filter(F.col("kind") != "image").select(
@@ -532,11 +537,26 @@ def _sample_frames_decoded(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if not payload:
+                    # nothing to decode: zero frames for this asset
+                    # (arithmetic mode, which fabricates digests from
+                    # metadata alone, still emits rows here — the one
+                    # documented row-count divergence between modes)
                     continue
                 with av.open(io.BytesIO(bytes(payload))) as container:
-                    stream = next(
-                        s for s in container.streams if s.type == "video"
-                    )
+                    stream = None
+                    for s in container.streams:
+                        if s.type == "video":
+                            stream = s
+                            break
+                    if stream is None:
+                        # a bare next() here would StopIteration inside
+                        # the generator -> opaque PEP-479 RuntimeError;
+                        # a kind='video' row without a video stream is
+                        # mislabeled input worth naming loudly
+                        raise ValueError(
+                            f"media_id={mid}: kind='video' but the container "
+                            "has no video stream (mislabeled or corrupt asset)"
+                        )
                     for i, frame in enumerate(container.decode(stream)):
                         if i % every:
                             continue

@@ -709,7 +709,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-prune, after
     Abbas et al. 2023's public recipe): assign every embedding to its
@@ -731,12 +731,22 @@ def semantic_dedup(
 
     Scale shape: assignment is the zero-shuffle array-fold argmax
     (:func:`_assign_to_centroids`); pair generation is the grouped
-    chunk-capped bucket expansion every LSH path uses, keyed by
-    cluster id — within-cluster quadratic cost is SemDeDup's nature,
-    CONTROLLED by the centroid count (pick k ∝ N/target_cluster_size
-    so clusters stay bounded as the corpus grows; pass trained
-    centroids via ``cents`` for tighter clusters at the same k). The
-    verification join touches candidate pairs only."""
+    bucket expansion keyed by cluster id — within-cluster quadratic
+    cost is SemDeDup's nature, CONTROLLED by the centroid count (pick
+    k ∝ N/target_cluster_size so clusters stay bounded as the corpus
+    grows; pass trained centroids via ``cents`` for tighter clusters
+    at the same k). The verification join touches candidate pairs
+    only.
+
+    ``max_bucket_size`` defaults to ``None`` — every within-cluster
+    pair is compared, so the kept-rule above holds EXACTLY (what the
+    oracle verifies). It stays None deliberately: unlike the LSH
+    paths, where a chunk cap only degrades recall inside viral
+    common-token FALSE-POSITIVE buckets, here the cluster is the only
+    blocking — capping silently skips genuine comparisons and marks
+    real near-duplicates kept. Setting it is an explicit recall trade
+    for corpora whose k was left too small for their size; the honest
+    fix is scaling k."""
     if cents is None:
         cents = (
             corpus.select(
