@@ -50,6 +50,7 @@ from py_data_pipeline_app_spark.operators.similarity import (
     _centroid_rows_df,
     _hadoop_fs,
     _ivf_centroid_checksum,
+    _md5_sample_centroids,
     _query_probes,
     _union_appends,
     _write_append_batch,
@@ -333,12 +334,18 @@ def _adc_rank(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    join_cols: list[str] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance ranking of (id, codes, approx_norm) rows:
     per-query m×ksub dot-product table computed ONCE on the (small)
     query side, per-row score = m lookups folded in subspace order.
-    Shared by :func:`pq_topk` (full-corpus scan) and
-    :func:`ivfpq_topk` (partition-pruned probe)."""
+    Shared by :func:`pq_topk` (full-corpus scan; ``join_cols=None``
+    scores every (query, row) pair through a broadcast cross join)
+    and :func:`ivfpq_topk` (``join_cols=['centroid_id']`` from the
+    probe frame turns it into a broadcast equi-join, restricting each
+    query to its probed buckets). The score expression is value-hash-
+    bearing — both surfaces' oracles replay THIS fold, which is why it
+    lives in one place."""
     qvec = F.col(vec_col)
     dsub = dim // m
     qtab = F.transform(
@@ -357,6 +364,7 @@ def _adc_rank(
     )
     q = queries.select(
         F.col(query_id_col),
+        *[F.col(c) for c in (join_cols or [])],
         qtab.alias("_qtab"),
         l2_norm(qvec).alias("_qnorm"),
     )
@@ -370,7 +378,12 @@ def _adc_rank(
             (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
         ),
     )
-    scored = encoded.crossJoin(F.broadcast(q)).select(
+    joined = (
+        encoded.join(F.broadcast(q), join_cols)
+        if join_cols
+        else encoded.crossJoin(F.broadcast(q))
+    )
+    scored = joined.select(
         query_id_col,
         id_col,
         F.round(num / (F.col("_qnorm") * F.col("approx_norm")), 9).alias("score"),
@@ -380,23 +393,6 @@ def _adc_rank(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
-    )
-
-
-def _md5_sample_centroids(
-    corpus: DataFrame, *, n_centroids: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """(centroid_id, cvec): the deterministic md5-ordered coarse
-    centroid pick shared with operators.similarity.ivf_topk."""
-    return (
-        corpus.select(
-            md5_long(F.col(id_col).cast("string")).alias("_hk"),
-            F.col(vec_col).alias("cvec"),
-        )
-        .orderBy("_hk")
-        .limit(n_centroids)
-        .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
-        .select("centroid_id", "cvec")
     )
 
 
@@ -535,34 +531,12 @@ def ivfpq_topk(
             "meaningless. Rebuild the index."
         )
     cb, m, _, dim = _collect_codebook_literal(cb_rows)
-    dsub = dim // m
     probes = _query_probes(
         queries,
         F.broadcast(_centroid_rows_df(spark, cent_rows)),
         nprobe=nprobe,
         query_id_col=query_id_col,
         vec_col=vec_col,
-    )
-    qvec = F.col("_qvec")
-    qtab = F.transform(
-        cb,
-        lambda sub_cb, s: F.transform(
-            sub_cb,
-            lambda cw: F.aggregate(
-                F.zip_with(
-                    F.slice(qvec, s.cast("int") * dsub + 1, dsub), cw,
-                    lambda p, q: p.cast("double") * q,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        ),
-    )
-    q = probes.select(
-        F.col(query_id_col),
-        F.col("centroid_id"),
-        qtab.alias("_qtab"),
-        l2_norm(qvec).alias("_qnorm"),
     )
     probed = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
     encoded = spark.read.parquet(f"{index_path}/assigned").filter(
@@ -571,26 +545,17 @@ def ivfpq_topk(
     encoded = _union_appends(
         spark, encoded, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}", probed
     )
-    codes = F.col("codes")
-    num = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("_qtab"), (s + 1).cast("int")),
-            (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
-        ),
-    )
-    scored = encoded.join(F.broadcast(q), "centroid_id").select(
-        query_id_col,
-        id_col,
-        F.round(num / (F.col("_qnorm") * F.col("approx_norm")), 9).alias("score"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(query_id_col, id_col, "score", F.col("rn").alias("rank"))
+    return _adc_rank(
+        encoded,
+        probes,
+        cb,
+        m=m,
+        dim=dim,
+        k=k,
+        id_col=id_col,
+        vec_col="_qvec",
+        query_id_col=query_id_col,
+        join_cols=["centroid_id"],
     )
 
 

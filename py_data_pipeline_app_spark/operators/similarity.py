@@ -381,17 +381,8 @@ def ivf_topk(
     broadcast join + argmin; the query pass scans ~nprobe/n_centroids
     of the corpus. For trained (k-means) centroids behind the same
     probing plumbing see :func:`ivf_topk_trained`."""
-    cents = (
-        corpus.select(
-            md5_long(F.col(id_col).cast("string")).alias("_hk"),
-            F.col(vec_col).alias("cvec"),
-        )
-        .orderBy("_hk")
-        .limit(n_centroids)
-        .withColumn(
-            "centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1
-        )
-        .select("centroid_id", "cvec")
+    cents = _md5_sample_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
     return _ivf_probe_topk(
         corpus,
@@ -444,6 +435,28 @@ def ivf_topk_trained(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+    )
+
+
+def _md5_sample_centroids(
+    corpus: DataFrame, *, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(centroid_id, cvec): deterministic md5-ordered coarse centroid
+    pick — the hash-sample whose full pick→assign→probe computation
+    the DuckDB oracles replay (so it is value-hash-bearing: every IVF
+    surface must sample THIS way or the oracle-parity contracts split).
+    TakeOrderedAndProject over md5(id): per-partition top-k, driver
+    merge of k rows, never a global sort; the k-row window after the
+    limit is fine. For trained centroids see :func:`train_centroids`."""
+    return (
+        corpus.select(
+            md5_long(F.col(id_col).cast("string")).alias("_hk"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .orderBy("_hk")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
+        .select("centroid_id", "cvec")
     )
 
 
@@ -748,15 +761,8 @@ def semantic_dedup(
     for corpora whose k was left too small for their size; the honest
     fix is scaling k."""
     if cents is None:
-        cents = (
-            corpus.select(
-                md5_long(F.col(id_col).cast("string")).alias("_hk"),
-                F.col(vec_col).alias("cvec"),
-            )
-            .orderBy("_hk")
-            .limit(n_centroids)
-            .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
-            .select("centroid_id", "cvec")
+        cents = _md5_sample_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
     assigned = _assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
     blocked = assigned.select(F.col(id_col), F.col("centroid_id"))
@@ -848,15 +854,8 @@ def build_ivf_index(
             "base + appends). Delete the index directory for a full rebuild."
         )
     if cents is None:
-        cents = (
-            corpus.select(
-                md5_long(F.col(id_col).cast("string")).alias("_hk"),
-                F.col(vec_col).alias("cvec"),
-            )
-            .orderBy("_hk")
-            .limit(n_centroids)
-            .withColumn("centroid_id", F.row_number().over(Window.orderBy("_hk")) - 1)
-            .select("centroid_id", "cvec")
+        cents = _md5_sample_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
     # collect the k×dim sample ONCE: persisting, checksumming, and the
     # assignment literal each needed the table, and when it is a
