@@ -92,7 +92,19 @@ def money_sum(col: F.Column | str, scale: int = 2) -> F.Column:
 
 def stat_avg(col: F.Column | str, scale: int = 4) -> F.Column:
     """Deterministic average: exact decimal sum → one double division
-    (IEEE-deterministic) → HALF_UP round."""
+    (IEEE-deterministic) → HALF_UP round.
+
+    Boundary caveat (measured, not hypothetical): the division is
+    bit-deterministic, but rounding the double QUOTIENT differs
+    between engines when its shortest decimal representation lands
+    exactly on a .5 boundary one digit past ``scale`` — Java rounds
+    the shortest repr up, DuckDB rounds the binary value (usually
+    just below) down. With the large group counts every current user
+    divides by, quotients have long expansions and the boundary
+    probability is ~0 (green at sf0.001/0.01/0.1); for SMALL-count
+    divisions (a 7-row moving window, a per-tiny-group mean) use the
+    integer-cents formula ``(2s + n) div (2n)`` instead — see
+    daily_value_trend, which hit this exact divergence at sf0.1."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(dec_sum(c).cast("double") / F.count(c), scale)
 
@@ -4627,13 +4639,18 @@ def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              {sql_money_sum('value')} AS day_value,
              CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY CAST(ts AS DATE)
+    ), win AS (
+      SELECT day, day_value, n_events,
+             sum(CAST(CAST(day_value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               OVER w AS s100,
+             count(*) OVER w AS n
+      FROM d
+      WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                         AND CURRENT ROW)
     )
     SELECT day, day_value, n_events,
-           round(CAST(sum(CAST(day_value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-                 / count(*) OVER w, 2) AS ma7
-    FROM d
-    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
-                                       AND CURRENT ROW)
+           CAST((2 * s100 + n) // (2 * n) AS DOUBLE) / 100 AS ma7
+    FROM win
     """,
 )
 def daily_value_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4644,9 +4661,19 @@ def daily_value_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     it (the rows-frame bug). The heavy lift is the per-day agg (one
     keyed shuffle, map-side partials); the window then runs over one
     row per day — ~36,500 rows per century, driver-scale forever, so
-    the unpartitioned sort is not a 100 TB concern. ma7 rounds the
-    DOUBLE average of already-2dp day values — deterministic because
-    each day_value is exact (decimal-summed) before division."""
+    the unpartitioned sort is not a 100 TB concern.
+
+    ma7 is computed in INTEGER CENTS: the day values are exact 2dp, so
+    the window sum ×100 is an exact BIGINT and round-half-up of s/n is
+    ``(2s + n) div (2n)`` — pure integer arithmetic both engines agree
+    on bit-for-bit. The earlier ``round(double_sum / n, 2)`` formula
+    diverged at sf0.1: a quotient landing on a .xx5 boundary rounds up
+    through Java's shortest-decimal HALF_UP and down through DuckDB's
+    binary-value rounding (the measured '164370.9' vs '164370.89' —
+    the same double-rounding class money_sum exists to avoid). Cents
+    sums are nonnegative here; at negative values Spark's ``div``
+    truncates where DuckDB's ``//`` floors, so a signed reuse would
+    need the floor form on both sides."""
     events = load_table(spark, "events", sf_dir)
     d = (
         events.groupBy(F.col("ts").cast("date").alias("day"))
@@ -4659,12 +4686,18 @@ def daily_value_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.unix_date(F.col("day")))
         .rangeBetween(-6, Window.currentRow)
     )
-    ma7 = F.round(
-        F.sum(F.col("day_value").cast("decimal(18,6)")).over(w).cast("double")
-        / F.count(F.lit(1)).over(w),
-        2,
+    cents = (F.col("day_value").cast("decimal(18,2)") * 100).cast("long")
+    win = d.withColumn("_s100", F.sum(cents).over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(w)
     )
-    return d.withColumn("ma7", ma7)
+    return win.select(
+        "day",
+        "day_value",
+        "n_events",
+        F.expr("CAST((2 * _s100 + _n) DIV (2 * _n) AS DOUBLE) / 100").alias(
+            "ma7"
+        ),
+    )
 
 
 @register(
