@@ -1144,9 +1144,10 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≈ 0.96 at the planted 0.975, → 1 at 1.0). Be precise about what
     that buys: a CONSTANT admission fraction is still quadratic in N,
     just with a small constant — the 10× rehearsal measures this
-    config's total-wall ratio in BENCH_sf1.json (~5× at the 20k-vector
-    decade, vs immediate candidate blow-up for the low-threshold study
-    registered as embedding_near_dup_lowt). The scale play at each new
+    config's total-wall ratio in BENCH_sf1.json (×5-9 across refreshes
+    at the 20k-vector decade, vs immediate candidate blow-up for the
+    low-threshold study registered as embedding_near_dup_lowt). The
+    scale play at each new
     decade is to RE-SIZE the banding (lsh_config_for: more bits per
     band as N grows, planes raised to hold recall) so bucket occupancy
     stays constant; the rehearsal's followup_lsh_scaled entry measures
@@ -1255,7 +1256,16 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector with a lower-id near-duplicate at cosine ≥ 0.9. The
     planted perturbed copies (cosine ≈ 0.975 to their sources) are the
     semantic duplicates being pruned; the oracle replays clustering,
-    assignment and the greedy survivor rule exactly."""
+    assignment and the greedy survivor rule exactly.
+
+    Every within-cluster pair is compared (exact kept-rule — the cap
+    is opt-in, operators/similarity.semantic_dedup). With k PINNED at
+    16 for the oracle, cluster sizes grow with N and pair mass
+    quadratically: ×9.5 wall at the 10× rehearsal. That is the pinned-
+    oracle artifact, not the operator's scale story — production picks
+    k ∝ N/target_cluster_size; BENCH_sf1.json's followup_semantic_
+    scaled measures the scaled-k variant at ×4 over the same decade
+    (and its note explains when each regime wins)."""
     from py_data_pipeline_app_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(
