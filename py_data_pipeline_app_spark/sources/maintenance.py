@@ -89,6 +89,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     seed: str = "shard",
     files_per_shard: int = 1,
+    shuffle_order: bool = False,
     verify: bool = True,
 ) -> int:
     """The curated-corpus SINK: write the training set as
@@ -118,6 +119,15 @@ def write_training_shards(
     hash(id) % n_shards == i and part-hash(id) % files_per_shard == j,
     in id order, in one file.
 
+    ``shuffle_order`` replaces the id order inside each file with a
+    deterministic pseudo-random order (sort by a third independent
+    md5 of the id, ties by id): sequential readers then see ~IID
+    batches even when ids correlate with source/crawl order — the
+    trainer-side shuffle buffer stops being the only defense. The
+    (shard, part, offset) addressing contract is unchanged — the
+    order is still a pure function of the ids present, so a rebuild
+    reproduces every offset; it is just no longer the sorted-id order.
+
     ``verify`` re-reads the sink and counts distinct (shard, part)
     directories — a cheap invariant job at test scale, skippable at
     100 TB (the write itself is deterministic; the read-back only
@@ -140,9 +150,19 @@ def write_training_shards(
         ).cast("int")
         out = out.withColumn("part", part)
         part_cols.append("part")
+    sort_keys: list = [F.col(c) for c in part_cols]
+    if shuffle_order:
+        from py_data_pipeline_app_spark.functions.text import md5_long
+
+        sort_keys.append(
+            md5_long(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}:order"))
+            )
+        )
+    sort_keys.append(F.col(id_col))
     out = out.repartition(
         n_shards * files_per_shard, *part_cols
-    ).sortWithinPartitions(*part_cols, id_col)
+    ).sortWithinPartitions(*sort_keys)
     out.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
     expected = n_shards * files_per_shard
     if not verify:

@@ -159,3 +159,41 @@ def test_write_training_shards_multi_file_and_contract(spark, tmp_path):
         )
         == 8
     )
+
+
+def test_write_training_shards_shuffle_order(spark, tmp_path):
+    """shuffle_order replaces id order inside each file with the
+    deterministic md5 order (ties by id): membership is unchanged,
+    the order matches an independent python model exactly, and it is
+    NOT the sorted-id order (the point — ids correlate with crawl
+    order; sequential readers want ~IID batches)."""
+    import glob
+    import hashlib
+
+    from py_data_pipeline_app_spark.sources.maintenance import (
+        write_training_shards,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p_plain = str(tmp_path / "plain")
+    p_shuf = str(tmp_path / "shuffled")
+    write_training_shards(df, p_plain, n_shards=4)
+    write_training_shards(df, p_shuf, n_shards=4, shuffle_order=True)
+
+    a = {(r.doc_id, r.shard) for r in spark.read.parquet(p_plain).collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.parquet(p_shuf).collect()}
+    assert a == b  # order knob never moves membership
+
+    def order_key(doc_id, seed="shard"):
+        h = hashlib.md5(f"{doc_id}:{seed}:order".encode()).hexdigest()
+        return (int(h[:15], 16), doc_id)
+
+    any_shuffled = False
+    for s in range(4):
+        files = glob.glob(f"{p_shuf}/shard={s}/*.parquet")
+        assert len(files) == 1, s
+        ids = [r.doc_id for r in spark.read.parquet(files[0]).collect()]
+        assert ids == sorted(ids, key=order_key), s  # exact model match
+        any_shuffled = any_shuffled or ids != sorted(ids)
+    assert any_shuffled  # with 200 docs the md5 order differs from id order
