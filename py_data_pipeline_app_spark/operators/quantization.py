@@ -44,6 +44,7 @@ import hashlib
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.similarity import (
+    _apply_tombstones,
     _assign_to_centroids,
     _bucket_layout,
     _centroid_rows,
@@ -56,6 +57,12 @@ from py_data_pipeline_app_spark.operators.similarity import (
     _write_append_batch,
     float_matrix_lit,
     l2_norm,
+)
+from py_data_pipeline_app_spark.operators.similarity import (  # noqa: F401
+    # tombstone deletes are layout-shared (the deletes/ subdir and the
+    # compaction consumption live beside assigned/ in both indexes);
+    # re-exported so IVF-PQ callers find the verb where they look
+    ivf_index_delete as ivfpq_index_delete,
 )
 
 
@@ -446,6 +453,17 @@ def build_ivfpq_index(
             "unions base + appends). Delete the index directory for a full "
             "rebuild."
         )
+    from py_data_pipeline_app_spark.operators.similarity import (
+        IVF_DELETES_SUBDIR,
+    )
+
+    _, dels_path = _hadoop_fs(spark, f"{index_path}/{IVF_DELETES_SUBDIR}")
+    if fs.exists(dels_path):
+        raise ValueError(
+            f"IVF-PQ index at {index_path} has pending tombstones; rebuilding "
+            "the base would leave them filtering the NEW corpus's ids. "
+            "Delete the index directory for a full rebuild."
+        )
     if cents is None:
         cents = _md5_sample_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
@@ -545,6 +563,7 @@ def ivfpq_topk(
     encoded = _union_appends(
         spark, encoded, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}", probed
     )
+    encoded = _apply_tombstones(spark, encoded, index_path, id_col=id_col)
     return _adc_rank(
         encoded,
         probes,

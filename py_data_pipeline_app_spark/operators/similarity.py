@@ -704,6 +704,101 @@ def _union_appends(
     return out
 
 
+IVF_DELETES_SUBDIR = "deletes"
+
+
+def ivf_index_delete(
+    spark,
+    index_path: str,
+    ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    batch_token: str | None = None,
+) -> str | None:
+    """Tombstone-delete vectors from a persisted IVF or IVF-PQ index —
+    the takedown/right-to-erasure path every long-lived 100 TB index
+    needs: removing a handful of documents must not cost a full-corpus
+    rebuild, and must not wait for one either.
+
+    ``ids`` (a one-column-relevant frame; ``id_col`` is taken) is
+    written DISTINCT under an idempotent ``deletes/batch-{token}``
+    subdirectory. Probes (:func:`ivf_topk_indexed`,
+    ``quantization.ivfpq_topk``) anti-join the tombstone set (a
+    broadcast — tombstones are takedown-sized by assumption; a
+    mass-delete should be followed by a compaction, which is the
+    actual rewrite) so deleted vectors stop surfacing IMMEDIATELY,
+    while the index files are untouched. A full compaction
+    (``keep_newest=False``) applies tombstones physically and consumes
+    them; a streaming keep-newest compaction applies them to the
+    merged base but leaves the tombstone set in place (the kept-back
+    append batch may still hold the row — consuming the tombstone
+    would resurrect it).
+
+    Deleting an id and APPENDING it again before a full compaction is
+    unsupported: the tombstone outranks the re-append until consumed.
+    Serialized against appends/compactions/other deletes by the shared
+    index lock. Returns the batch token, or None when ``ids`` was
+    empty (an empty tombstone directory would break later readers'
+    schema inference, same guard as :func:`_write_append_batch`)."""
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        _acquire_index_lock,
+    )
+
+    lock_fs, lock = _acquire_index_lock(spark, index_path, "IVF delete")
+    try:
+        token = batch_token or uuid.uuid4().hex[:12]
+        dest = f"{index_path}/{IVF_DELETES_SUBDIR}/batch-{token}"
+        ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(
+            dest
+        )
+        # a plain (non-partitioned) write of an empty frame DOES emit a
+        # schema-bearing footer — readable, but a no-op directory that
+        # accretes listing cost forever; the read-back is one tiny-file
+        # job on a rare operation
+        if spark.read.parquet(dest).isEmpty():
+            fs, path = _hadoop_fs(spark, dest)
+            fs.delete(path, True)
+            return None
+        return token
+    finally:
+        lock_fs.delete(lock, False)
+
+
+def _read_tombstones(spark, index_path: str) -> DataFrame | None:
+    """Union of every ``deletes/batch-*`` tombstone set, distinct —
+    None when the index has no pending deletes (the overwhelmingly
+    common case: one existence check, zero jobs)."""
+    fs, dels_path = _hadoop_fs(spark, f"{index_path}/{IVF_DELETES_SUBDIR}")
+    if not fs.exists(dels_path):
+        return None
+    dirs = sorted(
+        str(s.getPath())
+        for s in fs.listStatus(dels_path)
+        if s.isDirectory() and s.getPath().getName().startswith("batch-")
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).distinct()
+
+
+def _apply_tombstones(
+    spark, df: DataFrame, index_path: str, *, id_col: str | None = None
+) -> DataFrame:
+    """Filter tombstoned ids out of ``df`` via a broadcast anti-join.
+    ``id_col`` renames the tombstone column to the probe's id column
+    (they match by contract — the delete was made with the index's id
+    column — but probes pass theirs explicitly); None joins on the
+    stored name (the compaction path, which has no id_col in scope and
+    fails loudly on a genuine mismatch)."""
+    t = _read_tombstones(spark, index_path)
+    if t is None:
+        return df
+    key = id_col or t.columns[0]
+    if id_col is not None:
+        t = t.withColumnRenamed(t.columns[0], id_col)
+    return df.join(F.broadcast(t), key, "left_anti")
+
+
 def _ivf_centroid_checksum(cents) -> str:
     """Deterministic digest of the centroid table's contents (id-sorted
     values, driver-side over k×dim floats — a few KB). Parquet round
@@ -850,8 +945,15 @@ def build_ivf_index(
     if fs.exists(appends_path):
         raise ValueError(
             f"IVF index at {index_path} has appended batches; rebuilding the "
-            "base would orphan their centroid assignments (the reader unions "
+            "base would orphan their assignments (the reader unions "
             "base + appends). Delete the index directory for a full rebuild."
+        )
+    _, dels_path = _hadoop_fs(spark, f"{index_path}/{IVF_DELETES_SUBDIR}")
+    if fs.exists(dels_path):
+        raise ValueError(
+            f"IVF index at {index_path} has pending tombstones; rebuilding "
+            "the base would leave them filtering the NEW corpus's ids. "
+            "Delete the index directory for a full rebuild."
         )
     if cents is None:
         cents = _md5_sample_centroids(
@@ -986,7 +1088,8 @@ def ivf_index_compact(spark, index_path: str, *, keep_newest: bool = False) -> i
     racing a deletion (same contract as
     dedup_incremental.compact_index). Serialized against appends by
     the shared atomic lock marker. Returns the number of append
-    directories merged (0 = nothing to do)."""
+    directories merged plus tombstone directories consumed
+    (0 = nothing to do)."""
     from py_data_pipeline_app_spark.operators.dedup_incremental import (
         _acquire_index_lock,
     )
@@ -1025,11 +1128,19 @@ def _compact_assigned_locked(
       was interrupted — delete exactly the manifested appends (their
       rows are in the base; without the manifest a reader would see
       them twice) and the leftover ``assigned-old``.
-    """
+
+    Tombstones (:func:`ivf_index_delete`) ride the same protocol: the
+    merge always APPLIES the pending tombstone set to the rewritten
+    base, and a full compaction (``keep_newest=False``) also CONSUMES
+    the tombstone directories — they join the manifest, so a crash
+    between swap and cleanup deletes exactly the consumed sets on
+    retry. A keep-newest compaction leaves tombstones pending (the
+    kept-back append batch may still hold a tombstoned row)."""
     import json
 
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     fs, appends_path = _hadoop_fs(spark, f"{index_path}/{appends_subdir}")
+    _, dels_path = _hadoop_fs(spark, f"{index_path}/{IVF_DELETES_SUBDIR}")
     base = jvm(f"{index_path}/assigned")
     old = jvm(f"{index_path}/assigned-old")
     staged = jvm(f"{index_path}/assigned-compact")
@@ -1045,11 +1156,15 @@ def _compact_assigned_locked(
             )
         finally:
             stream.close()
-        return json.loads(txt)
+        m = json.loads(txt)
+        # pre-tombstone manifests were a plain list of append names
+        return {"appends": m, "deletes": []} if isinstance(m, list) else m
 
-    def cleanup(names: list[str]) -> None:
-        for name in names:
+    def cleanup(manifest: dict) -> None:
+        for name in manifest["appends"]:
             fs.delete(jvm(f"{index_path}/{appends_subdir}/{name}"), True)
+        for name in manifest.get("deletes", []):
+            fs.delete(jvm(f"{index_path}/{IVF_DELETES_SUBDIR}/{name}"), True)
         fs.delete(old, True)
         fs.delete(jvm(f"{index_path}/assigned/_MANIFEST"), False)
 
@@ -1070,40 +1185,58 @@ def _compact_assigned_locked(
         cleanup(leftover)
 
     # -- the actual merge --
-    if not fs.exists(appends_path):
-        return 0
-    statuses = [
-        s
-        for s in fs.listStatus(appends_path)
-        if s.isDirectory() and s.getPath().getName().startswith("batch-")
-    ]
+    statuses = []
+    if fs.exists(appends_path):
+        statuses = [
+            s
+            for s in fs.listStatus(appends_path)
+            if s.isDirectory() and s.getPath().getName().startswith("batch-")
+        ]
     if keep_newest and statuses:
         newest = max(
             statuses, key=lambda s: (s.getModificationTime(), str(s.getPath()))
         )
         statuses = [s for s in statuses if s is not newest]
-    if not statuses:
-        return 0
     batch_dirs = sorted(str(s.getPath()) for s in statuses)
     names = [d.rsplit("/", 1)[-1] for d in batch_dirs]
+    del_names: list[str] = []
+    if not keep_newest and fs.exists(dels_path):
+        del_names = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(dels_path)
+            if s.isDirectory() and s.getPath().getName().startswith("batch-")
+        )
+    if not names and not del_names:
+        return 0
     merged = spark.read.parquet(f"{index_path}/assigned")
     for d in batch_dirs:
         # base schema: a legacy file-less empty append must merge as an
         # empty frame, not fail inference (same guard as _union_appends)
         merged = merged.unionByName(spark.read.schema(merged.schema).parquet(d))
+    # ALL pending tombstones are applied to the rewrite (a keep-newest
+    # pass just doesn't consume them — see docstring)
+    merged = _apply_tombstones(spark, merged, index_path)
     merged.write.partitionBy("centroid_id").mode("overwrite").parquet(str(staged))
     out = fs.create(jvm(f"{index_path}/assigned-compact/_MANIFEST"), True)
     try:
-        out.write(bytearray(json.dumps(names).encode("utf-8")))
+        out.write(
+            bytearray(
+                json.dumps({"appends": names, "deletes": del_names}).encode(
+                    "utf-8"
+                )
+            )
+        )
     finally:
         out.close()
     fs.delete(old, True)
     fs.rename(base, old)
     fs.rename(staged, base)
-    cleanup(names)
+    cleanup({"appends": names, "deletes": del_names})
     if not keep_newest:
         fs.delete(appends_path, True)
-    return len(batch_dirs)
+        if del_names:
+            fs.delete(dels_path, True)
+    return len(batch_dirs) + len(del_names)
 
 
 def ivf_topk_indexed(
@@ -1158,6 +1291,7 @@ def ivf_topk_indexed(
     assigned = _union_appends(
         spark, assigned, f"{index_path}/{IVF_APPENDS_SUBDIR}", probed
     )
+    assigned = _apply_tombstones(spark, assigned, index_path, id_col=id_col)
     return _rank_probed(
         assigned, probes, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )

@@ -385,3 +385,50 @@ def test_ivfpq_empty_append_does_not_poison_probes(spark, emb, queries, tmp_path
     ivfpq_index_append(spark, path, emb.limit(0), batch_token="empty")
     after = ivfpq_topk(spark, path, queries, k=5, nprobe=3).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_ivfpq_delete_parity_and_compaction(spark, emb, queries, tmp_path):
+    """Tombstones on the compressed layout: probing A∪B with B deleted
+    equals probing an index built over A with the same centroids and
+    codebooks (delete shares the IVF implementation — the layouts
+    differ only in what a row holds); full compaction applies and
+    consumes them."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_compact,
+        ivfpq_index_delete,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _md5_sample_centroids,
+    )
+
+    a = emb.filter(F.col("vec_id") % 3 != 0)
+    b = emb.filter(F.col("vec_id") % 3 == 0)
+    both = a.unionByName(b)
+    cents = _md5_sample_centroids(
+        both, n_centroids=16, id_col="vec_id", vec_col="embedding"
+    )
+    cb = pq_codebooks(both, m=M, ksub=KSUB, dim=DIM)
+
+    full = str(tmp_path / "full")
+    ref = str(tmp_path / "ref")
+    build_ivfpq_index(both, full, cents=cents, codebooks=cb, m=M, ksub=KSUB, dim=DIM)
+    build_ivfpq_index(a, ref, cents=cents, codebooks=cb, m=M, ksub=KSUB, dim=DIM)
+    want = sorted(
+        map(tuple, ivfpq_topk(spark, ref, queries, k=5, nprobe=4).collect())
+    )
+    assert ivfpq_index_delete(spark, full, b.select("vec_id")) is not None
+    got = sorted(
+        map(tuple, ivfpq_topk(spark, full, queries, k=5, nprobe=4).collect())
+    )
+    assert got == want  # immediate, before any rewrite
+    assert ivfpq_index_compact(spark, full) == 1  # consumes the tombstones
+    assert not os.path.isdir(os.path.join(full, "deletes"))
+    got2 = sorted(
+        map(tuple, ivfpq_topk(spark, full, queries, k=5, nprobe=4).collect())
+    )
+    assert got2 == want

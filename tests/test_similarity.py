@@ -725,3 +725,113 @@ def test_indexed_probe_refuses_drifted_centroids(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="checksum"):
         ivf_topk_indexed(spark, index, queries, k=5, nprobe=2)
+
+
+def test_ivf_index_delete_tombstones_and_compaction(spark, emb, tmp_path):
+    """Tombstone deletes: probing an index built over A∪B with B
+    tombstoned is bit-identical to probing an index built over A with
+    the SAME centroids (the parity every mutator keeps); a full
+    compaction applies the tombstones physically and consumes them; a
+    rebuild over a tombstoned index fails loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _md5_sample_centroids,
+        build_ivf_index,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_topk_indexed,
+    )
+
+    a = emb.filter(F.col("vec_id") % 3 != 0)
+    b = emb.filter(F.col("vec_id") % 3 == 0)
+    both = a.unionByName(b)
+    cents = _md5_sample_centroids(
+        both, n_centroids=8, id_col="vec_id", vec_col="embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    full = str(tmp_path / "full")
+    ref = str(tmp_path / "ref")
+    build_ivf_index(both, full, cents=cents)
+    build_ivf_index(a, ref, cents=cents)
+    want = sorted(
+        map(tuple, ivf_topk_indexed(spark, ref, queries, k=5, nprobe=3).collect())
+    )
+
+    token = ivf_index_delete(spark, full, b.select("vec_id"))
+    assert token is not None
+    # immediate effect, no rewrite yet
+    got = sorted(
+        map(tuple, ivf_topk_indexed(spark, full, queries, k=5, nprobe=3).collect())
+    )
+    assert got == want
+    # a rebuild over pending tombstones would mis-filter the new corpus
+    with _pytest.raises(ValueError, match="pending tombstones"):
+        build_ivf_index(both, full, cents=cents)
+    # full compaction applies + consumes the tombstones
+    assert ivf_index_compact(spark, full) == 1
+    assert not os.path.exists(f"{full}/deletes")
+    base_ids = {
+        r.vec_id for r in spark.read.parquet(f"{full}/assigned").collect()
+    }
+    assert base_ids == {r.vec_id for r in a.select("vec_id").collect()}
+    got2 = sorted(
+        map(tuple, ivf_topk_indexed(spark, full, queries, k=5, nprobe=3).collect())
+    )
+    assert got2 == want
+    assert ivf_index_compact(spark, full) == 0  # converged no-op
+
+
+def test_ivf_delete_keep_newest_compaction_keeps_tombstones(spark, emb, tmp_path):
+    """A keep-newest (streaming) compaction applies tombstones to the
+    merged base but must NOT consume them: the kept-back newest append
+    may still hold a tombstoned row, and consuming the tombstone would
+    resurrect it at probe time. An empty delete set is a no-op."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_topk_indexed,
+    )
+
+    index = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") >= 20), index, n_centroids=8)
+    ivf_index_append(
+        spark, index, emb.filter(F.col("vec_id") < 10), batch_token="b0"
+    )
+    ivf_index_append(
+        spark,
+        index,
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)),
+        batch_token="b1",
+    )
+    # tombstone one id from each append batch
+    assert ivf_index_delete(
+        spark, index, emb.filter(F.col("vec_id").isin(5, 15)).select("vec_id")
+    ) is not None
+    # empty delete: no directory, None token
+    assert ivf_index_delete(spark, index, emb.limit(0).select("vec_id")) is None
+    queries = emb.filter(F.col("vec_id").isin(5, 15)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    def probe_ids():
+        out = ivf_topk_indexed(spark, index, queries, k=3, nprobe=8)
+        return {r.vec_id for r in out.collect()}
+
+    assert probe_ids().isdisjoint({5, 15})
+    # keep-newest pass merges b0 (older), keeps b1, RETAINS tombstones
+    assert ivf_index_compact(spark, index, keep_newest=True) == 1
+    assert os.path.exists(f"{index}/deletes")
+    assert probe_ids().isdisjoint({5, 15})  # 15 (in kept b1) still dead
+    # full pass consumes everything
+    assert ivf_index_compact(spark, index) == 2  # b1 + the tombstone batch
+    assert not os.path.exists(f"{index}/deletes")
+    assert probe_ids().isdisjoint({5, 15})
