@@ -164,6 +164,89 @@ def _append_batch(df: DataFrame, index_path: str, subdir: str, token: str) -> No
     df.write.mode("overwrite").parquet(f"{index_path}/{subdir}/batch-{token}")
 
 
+DELETES_SUBDIR = "deletes"
+
+
+def index_delete(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    batch_token: str | None = None,
+) -> str | None:
+    """Tombstone-delete documents from the persisted LSH index — the
+    takedown path: a removed document must stop matching FUTURE folds
+    immediately, without rewriting the index (the IVF
+    ``ivf_index_delete`` contract on the near-dup layout).
+
+    ``ids`` is written DISTINCT under an idempotent
+    ``deletes/batch-{token}`` subdirectory. Folds anti-join the
+    (broadcast, takedown-sized) tombstone set out of their history
+    reads, so tombstoned documents neither produce cross-batch pairs
+    nor shadow verification; :func:`compact_index` applies tombstones
+    to the consolidated rewrite, and a FULL compaction
+    (``keep_newest=False``) also consumes them — a keep-newest pass
+    retains them, because the protected newest batch may still hold a
+    tombstoned document's rows. Pairs already emitted by earlier folds
+    are history's output, not index state — they are not retracted.
+    Re-folding a tombstoned doc_id before the tombstone is consumed is
+    unsupported (the tombstone outranks the re-fold). Returns the
+    batch token, or None for an empty ``ids`` (a no-op tombstone
+    directory would accrete listing cost forever)."""
+    lock_fs, lock = _acquire_index_lock(spark, index_path, "delete")
+    try:
+        token = batch_token or uuid.uuid4().hex[:12]
+        dest = f"{index_path}/{DELETES_SUBDIR}/batch-{token}"
+        ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(
+            dest
+        )
+        # empty-input detection needs BOTH probes: a zero-task write
+        # (empty literal frame) emits only _SUCCESS — no footers, so a
+        # read would fail inference — while a zero-row write from a
+        # scan-backed frame emits a schema-bearing empty file
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(dest)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_files = any(
+            s.getPath().getName().endswith(".parquet")
+            for s in fs.listStatus(jvm_path)
+        )
+        if not has_files or spark.read.parquet(dest).isEmpty():
+            fs.delete(jvm_path, True)
+            return None
+        return token
+    finally:
+        lock_fs.delete(lock, False)
+
+
+def _read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Union of every pending tombstone batch, distinct — None when
+    the index has none (one existence check, zero jobs)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/{DELETES_SUBDIR}"
+    )
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return None
+    dirs = sorted(
+        str(s.getPath())
+        for s in fs.listStatus(jvm_path)
+        if s.isDirectory() and s.getPath().getName().startswith("batch-")
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).distinct()
+
+
+def _without_tombstoned(df: DataFrame, tombs: DataFrame | None) -> DataFrame:
+    """``df`` minus rows whose id is tombstoned (broadcast anti-join on
+    the tombstone set's stored column name — the id column the index's
+    folds use, by contract). No-op when there are no tombstones."""
+    if tombs is None:
+        return df
+    return df.join(F.broadcast(tombs), tombs.columns[0], "left_anti")
+
+
 def compact_index(
     spark: SparkSession, index_path: str, *, keep_newest: bool = True
 ) -> int:
@@ -224,6 +307,18 @@ def compact_index(
                 )
             if candidates:
                 protected = max(candidates)[1]
+        # Tombstones (index_delete) are applied to every consolidated
+        # rewrite; a FULL pass forces the rewrite even for a single
+        # batch directory (so the filter reaches every row) and then
+        # consumes the tombstone directories — consumption is safe
+        # precisely because no unfiltered subdirectory remains. A
+        # keep-newest pass retains them: the protected batch keeps its
+        # rows, so the fold-time anti-join must stay active. Same
+        # convergence-not-atomicity crash model as the merge itself
+        # (a crash before consumption leaves tombstones whose re-apply
+        # is a no-op anti-join).
+        tombs = _read_tombstones(spark, index_path)
+        min_dirs = 1 if (tombs is not None and not keep_newest) else 2
         for subdir, keys in ((BANDS_SUBDIR, None), (TOKSETS_SUBDIR, ["doc_id"])):
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
             fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -237,14 +332,23 @@ def compact_index(
                 and s.getPath().getName() != protected
             ]
             dirs = [s.getPath() for s in statuses]
-            if len(dirs) <= 1:
+            if len(dirs) < min_dirs:
                 continue
             merged = spark.read.parquet(*sorted(str(p) for p in dirs))
             merged = merged.dropDuplicates(keys) if keys else merged.distinct()
+            merged = _without_tombstoned(merged, tombs)
             _append_batch(merged, index_path, subdir, token)
             for p in dirs:
                 fs.delete(p, True)
                 removed += 1
+        if tombs is not None and not keep_newest:
+            dels_path = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/{DELETES_SUBDIR}"
+            )
+            dels_path.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+                dels_path, True
+            )
+            removed += 1
     finally:
         lock_fs.delete(lock_path, False)
     return removed
@@ -344,8 +448,12 @@ def _incremental_lsh_fold_locked(
         ).localCheckpoint(eager=True)
 
     token = batch_token or uuid.uuid4().hex[:12]
-    hist_buckets = _pinned_history(
-        spark, index_path, BANDS_SUBDIR, new_buckets, exclude_token=token
+    tombs = _read_tombstones(spark, index_path)
+    hist_buckets = _without_tombstoned(
+        _pinned_history(
+            spark, index_path, BANDS_SUBDIR, new_buckets, exclude_token=token
+        ),
+        tombs,
     )
 
     # exact mode mirrors batch token_set_dedup_pairs, which never caps:
@@ -385,8 +493,11 @@ def _incremental_lsh_fold_locked(
         F.col(id_col),
         F.array_sort(F.array_distinct(tokens(text_col))).alias("tokset"),
     ).localCheckpoint(eager=True)
-    hist_toksets = _pinned_history(
-        spark, index_path, TOKSETS_SUBDIR, new_toksets, exclude_token=token
+    hist_toksets = _without_tombstoned(
+        _pinned_history(
+            spark, index_path, TOKSETS_SUBDIR, new_toksets, exclude_token=token
+        ),
+        tombs,
     )
     # Latest-wins per doc_id: a doc present in both the batch and the
     # index (re-ingest) or duplicated within history (pre-compaction

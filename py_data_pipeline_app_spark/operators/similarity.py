@@ -751,12 +751,18 @@ def ivf_index_delete(
         ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(
             dest
         )
-        # a plain (non-partitioned) write of an empty frame DOES emit a
-        # schema-bearing footer — readable, but a no-op directory that
-        # accretes listing cost forever; the read-back is one tiny-file
-        # job on a rare operation
-        if spark.read.parquet(dest).isEmpty():
-            fs, path = _hadoop_fs(spark, dest)
+        # empty-input detection needs BOTH probes: a zero-task write
+        # (empty literal frame) emits only _SUCCESS — no footers, so a
+        # read would fail inference — while a zero-row write from a
+        # scan-backed frame emits a schema-bearing empty file whose
+        # no-op directory would accrete listing cost forever; the
+        # read-back is one tiny-file job on a rare operation
+        fs, path = _hadoop_fs(spark, dest)
+        has_files = any(
+            s.getPath().getName().endswith(".parquet")
+            for s in fs.listStatus(path)
+        )
+        if not has_files or spark.read.parquet(dest).isEmpty():
             fs.delete(path, True)
             return None
         return token

@@ -324,3 +324,62 @@ def test_exact_mode_within_batch_emission_is_sum_of_group_pairs(spark, tmp_path)
     # and every emitted pair really is an identical-content pair
     text_of = dict(rows)
     assert all(text_of[a] == text_of[b] for a, b in pairs)
+
+
+@pytest.mark.parametrize("threshold", [1.0, 0.5])
+def test_index_delete_stops_future_matches(spark, tmp_path, threshold):
+    """Tombstoned documents stop matching FUTURE folds immediately; a
+    full compaction scrubs their rows physically and consumes the
+    tombstones; matches between live documents are unaffected. Runs in
+    both the banded and the exact (fingerprint) regime."""
+    import os
+
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        compact_index,
+        index_delete,
+    )
+
+    index = str(tmp_path / f"idx{threshold}")
+    t = "the quick brown fox jumps over the lazy dog"
+    u = "pack my box with five dozen liquor jugs"
+    b1 = local_rows_df(spark, "doc_id long, text string", [(1, t), (2, u)])
+    incremental_lsh_fold(
+        spark, index, b1, threshold=threshold, batch_token="b1"
+    ).collect()
+
+    assert index_delete(spark, index, b1.filter(F.col("doc_id") == 1)) is not None
+    # empty tombstone set: no directory, None token
+    assert index_delete(spark, index, b1.limit(0)) is None
+
+    b2 = local_rows_df(spark, "doc_id long, text string", [(3, t), (4, u)])
+    got = _pairs(
+        incremental_lsh_fold(
+            spark, index, b2, threshold=threshold, batch_token="b2"
+        )
+    )
+    # doc 3 (dup of tombstoned 1) finds nothing; doc 4 still matches 2
+    assert [(a, b) for a, b, _ in got] == [(2, 4)]
+
+    # keep-newest (streaming) compaction retains the tombstones
+    compact_index(spark, index, keep_newest=True)
+    assert os.path.isdir(f"{index}/deletes")
+
+    # full compaction scrubs doc 1 physically and consumes them
+    assert compact_index(spark, index, keep_newest=False) > 0
+    assert not os.path.isdir(f"{index}/deletes")
+    import glob
+
+    # read the batch subdirs explicitly (the readers' own access shape
+    # — a bare dir read does not traverse non-partition subdirectories)
+    subs = glob.glob(f"{index}/bands/batch-*")
+    band_ids = {r.doc_id for r in spark.read.parquet(*subs).collect()}
+    assert 1 not in band_ids and {2, 3, 4} <= band_ids
+
+    # post-consumption folds still never pair against the scrubbed doc
+    b3 = local_rows_df(spark, "doc_id long, text string", [(5, t)])
+    got3 = _pairs(
+        incremental_lsh_fold(
+            spark, index, b3, threshold=threshold, batch_token="b3"
+        )
+    )
+    assert [(a, b) for a, b, _ in got3] == [(3, 5)]
