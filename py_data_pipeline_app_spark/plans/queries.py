@@ -1305,6 +1305,7 @@ def _ivf_oracle(
     nprobe: int = 4,
     k: int = 5,
     cents_src: str = "embeddings",
+    deleted: str | None = None,
 ) -> str:
     """DuckDB mirror of the FULL ivf_topk computation — md5-ordered
     centroid sample, argmax bucket assignment, nprobe probing, rounded
@@ -1315,10 +1316,14 @@ def _ivf_oracle(
     ``cents_src`` is the relation the centroid sample is drawn from —
     the full corpus for build-everything queries, the initial batch for
     the incremental-append parity query (appends never move
-    centroids)."""
+    centroids). ``deleted`` is a predicate over ``a`` (the assigned
+    corpus rows) naming tombstoned ids: deletion filters index rows
+    and nothing else — centroids and the assignment of the survivors
+    are untouched, exactly the ivf_index_delete contract."""
     cos_ec = _sql_cos("e.embedding", "c.cvec")
     cos_qc = _sql_cos("q.embedding", "c.cvec")
     cos_aq = _sql_cos("a.embedding", "p.qvec")
+    del_where = f"WHERE NOT ({deleted})" if deleted else ""
     return f"""
     WITH hk AS (
       SELECT vec_id, embedding,
@@ -1352,6 +1357,7 @@ def _ivf_oracle(
              row_number() OVER (PARTITION BY p.query_id
                                 ORDER BY round({cos_aq}, 9) DESC, a.vec_id) AS rank
       FROM assigned a JOIN probes p USING (centroid_id)
+      {del_where}
     ) WHERE rank <= {k}
     """
 
@@ -1397,27 +1403,35 @@ def similarity_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "similarity_topk_ivf_appended",
-    _ivf_oracle(cents_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    _ivf_oracle(
+        cents_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+        deleted="a.vec_id % 7 = 3",
+    ),
 )
 def similarity_topk_ivf_appended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL IVF index append (operators.similarity
-    ivf_index_append): the index is built from the even-id half of the
-    corpus (centroids drawn from that initial batch — appends never
-    move centroids), the odd-id half arrives later and is assigned
-    against the persisted centroids only (work ∝ batch, no corpus
-    rebuild), landing as an idempotent ``appends/batch-{token}``
-    partition-pruned directory. Probing the combined index must equal
-    one full build over the whole corpus with the same centroids — the
-    oracle computes exactly that (centroid sample restricted to even
-    ids, assignment over everything), so a green row IS the
-    append-vs-rebuild parity check, value-hashed cross-engine.
+    """INCREMENTAL IVF index lifecycle (operators.similarity): build →
+    append → delete → probe, value-hashed end-to-end. The index is
+    built from the even-id half of the corpus (centroids drawn from
+    that initial batch — appends never move centroids), the odd-id
+    half arrives later and is assigned against the persisted centroids
+    only (work ∝ batch, no corpus rebuild), landing as an idempotent
+    ``appends/batch-{token}`` partition-pruned directory; then the
+    ids ≡ 3 (mod 7) — spanning base AND append — are tombstoned via
+    ivf_index_delete, which probes must exclude immediately with no
+    index rewrite. Probing must equal one full build over the whole
+    corpus with the same centroids minus the deleted ids — the oracle
+    computes exactly that (centroid sample restricted to even ids,
+    assignment over everything, deleted rows filtered at rank time),
+    so a green row IS the append-vs-rebuild parity check AND the
+    delete-visibility check, cross-engine.
 
-    Note the index build + append are EAGER writes at plan-construction
-    time; the returned probe frame is lazy (same timing asymmetry as
-    dedup_incremental_lsh)."""
+    Note the index build + append + delete are EAGER writes at
+    plan-construction time; the returned probe frame is lazy (same
+    timing asymmetry as dedup_incremental_lsh)."""
     from py_data_pipeline_app_spark.operators.similarity import (
         build_ivf_index,
         ivf_index_append,
+        ivf_index_delete,
         ivf_topk_indexed,
     )
 
@@ -1427,6 +1441,9 @@ def similarity_topk_ivf_appended_q(spark: SparkSession, sf_dir: str) -> DataFram
     odd = emb.filter(F.col("vec_id") % 2 == 1)
     build_ivf_index(even, index, n_centroids=16)
     ivf_index_append(spark, index, odd, batch_token="odd")
+    ivf_index_delete(
+        spark, index, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1541,6 +1558,7 @@ def _ivfpq_oracle(
     dim: int = 64,
     k: int = 5,
     sample_src: str = "embeddings",
+    deleted: str | None = None,
 ) -> str:
     """DuckDB mirror of the FULL ivfpq_topk computation: the md5-ordered
     centroid pick + argmax bucket assignment + nprobe probing of
@@ -1550,7 +1568,10 @@ def _ivfpq_oracle(
     in tests. ``sample_src`` is the relation BOTH deterministic samples
     (centroids and codebooks) are drawn from — the full corpus for
     build-everything queries, the initial batch for the incremental
-    append-parity query (appends never move either table)."""
+    append-parity query (appends never move either table). ``deleted``
+    is a predicate over ``n`` (the encoded index rows) naming
+    tombstoned ids — deletion filters index rows only, the
+    ivfpq_index_delete contract."""
     dsub = dim // m
     cos_ec = _sql_cos("e.embedding", "c.cvec")
     cos_qc = _sql_cos("q.embedding", "c.cvec")
@@ -1565,6 +1586,7 @@ def _ivfpq_oracle(
         "(x, y) -> x + y)"
     )
     qnorm = "sqrt(" + _SQL_DOT.format(a="q.embedding", b="q.embedding") + ")"
+    del_where = f"WHERE NOT ({deleted})" if deleted else ""
     return f"""
     WITH hk AS (
       SELECT vec_id, embedding,
@@ -1624,6 +1646,7 @@ def _ivfpq_oracle(
       JOIN acent a USING (centroid_id)
       JOIN enc n ON n.vec_id = a.vec_id
       JOIN embeddings q ON q.vec_id = p.query_id
+      {del_where}
     ),
     scored AS (
       SELECT query_id, vec_id,
@@ -1670,25 +1693,32 @@ def similarity_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_ivfpq_appended",
-    _ivfpq_oracle(sample_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    _ivfpq_oracle(
+        sample_src="(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+        deleted="n.vec_id % 7 = 3",
+    ),
 )
 def similarity_topk_ivfpq_appended_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL IVF-PQ append (operators/quantization
-    ivfpq_index_append): the compressed index is built from the even-id
-    half (centroids AND codebooks drawn from that initial batch — both
-    frozen at build time), the odd-id half arrives later and is
-    assigned + encoded against the persisted tables only (one
-    batch-sized projection, work ∝ batch), landing as an idempotent
-    ``appends/batch-{token}`` partition-pruned directory of codes.
-    Probing the combined index must equal one full build over the
-    whole corpus with the same tables — the oracle computes exactly
-    that, so a green row IS the append-vs-rebuild parity check,
-    value-hashed cross-engine. Build + append are EAGER writes at
-    plan-construction time (same timing asymmetry note as the other
-    indexed queries)."""
+    """INCREMENTAL IVF-PQ lifecycle (operators/quantization): build →
+    append → delete → probe on the compressed layout. The index is
+    built from the even-id half (centroids AND codebooks drawn from
+    that initial batch — both frozen at build time), the odd-id half
+    arrives later and is assigned + encoded against the persisted
+    tables only (one batch-sized projection, work ∝ batch), landing as
+    an idempotent ``appends/batch-{token}`` partition-pruned directory
+    of codes; then ids ≡ 3 (mod 7) — spanning base AND append — are
+    tombstoned (ivfpq_index_delete, the implementation shared with the
+    raw-vector layout). Probing must equal one full build over the
+    whole corpus with the same tables minus the deleted ids — the
+    oracle computes exactly that, so a green row IS the
+    append-vs-rebuild parity check AND the delete-visibility check,
+    value-hashed cross-engine. Build + append + delete are EAGER
+    writes at plan-construction time (same timing asymmetry note as
+    the other indexed queries)."""
     from py_data_pipeline_app_spark.operators.quantization import (
         build_ivfpq_index,
         ivfpq_index_append,
+        ivfpq_index_delete,
         ivfpq_topk,
     )
 
@@ -1698,6 +1728,9 @@ def similarity_topk_ivfpq_appended_q(spark: SparkSession, sf_dir: str) -> DataFr
     odd = emb.filter(F.col("vec_id") % 2 == 1)
     build_ivfpq_index(even, index, n_centroids=16, m=8, ksub=16, dim=64)
     ivfpq_index_append(spark, index, odd, batch_token="odd")
+    ivfpq_index_delete(
+        spark, index, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
