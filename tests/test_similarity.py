@@ -835,3 +835,52 @@ def test_ivf_delete_keep_newest_compaction_keeps_tombstones(spark, emb, tmp_path
     assert ivf_index_compact(spark, index) == 2  # b1 + the tombstone batch
     assert not os.path.exists(f"{index}/deletes")
     assert probe_ids().isdisjoint({5, 15})
+
+
+def test_ivf_compact_recovery_consumes_manifested_deletes(spark, emb, tmp_path):
+    """The recovery paths honor the dict-format manifest's deletes
+    list: a crash between swap and cleanup (manifest inside the base,
+    tombstone directory still on disk, its effect already applied to
+    the base) must delete exactly the manifested tombstone batch —
+    leaving it would re-filter ids that were already scrubbed, and a
+    RE-delete of the same ids would then silently no-op forever."""
+    import json
+    import os
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_topk_indexed,
+    )
+
+    index = str(tmp_path / "ivf")
+    build_ivf_index(emb, index, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # apply a real delete + full compaction to get the post-apply base
+    ivf_index_delete(
+        spark, index, emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    )
+    assert ivf_index_compact(spark, index) == 1
+    want = sorted(
+        map(tuple, ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect())
+    )
+
+    # simulate the crash: the tombstone dir reappears on disk with the
+    # manifest (inside the base) recording it as consumed
+    os.makedirs(f"{index}/deletes/batch-ghost")
+    emb.filter(F.col("vec_id") % 5 == 0).select("vec_id").write.mode(
+        "overwrite"
+    ).parquet(f"{index}/deletes/batch-ghost")
+    with open(f"{index}/assigned/_MANIFEST", "w") as f:
+        json.dump({"appends": [], "deletes": ["batch-ghost"]}, f)
+
+    assert ivf_index_compact(spark, index) == 0  # pure recovery
+    assert not os.path.exists(f"{index}/deletes/batch-ghost")
+    assert not os.path.exists(f"{index}/assigned/_MANIFEST")
+    assert sorted(
+        map(tuple, ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect())
+    ) == want
