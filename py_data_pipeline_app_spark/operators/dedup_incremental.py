@@ -191,9 +191,14 @@ def index_delete(
     tombstoned document's rows. Pairs already emitted by earlier folds
     are history's output, not index state — they are not retracted.
     Re-folding a tombstoned doc_id before the tombstone is consumed is
-    unsupported (the tombstone outranks the re-fold). Returns the
-    batch token, or None for an empty ``ids`` (a no-op tombstone
-    directory would accrete listing cost forever)."""
+    unsupported (the tombstone outranks the re-fold). Against a LIVE
+    stream, a delete racing a micro-batch fold fails loudly on the
+    shared lock in whichever order they collide — for the stream that
+    surfaces as one failed-and-retried micro-batch (the delete holds
+    the lock only for its small write), for the delete as an exception
+    to retry. Returns the batch token, or None for an empty ``ids``
+    (a no-op tombstone directory would accrete listing cost
+    forever)."""
     lock_fs, lock = _acquire_index_lock(spark, index_path, "delete")
     try:
         token = batch_token or uuid.uuid4().hex[:12]
