@@ -203,9 +203,11 @@ def index_delete(
     try:
         token = batch_token or uuid.uuid4().hex[:12]
         dest = f"{index_path}/{DELETES_SUBDIR}/batch-{token}"
-        ids.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(
-            dest
-        )
+        # coalesce(1): the set is takedown-sized and re-read by EVERY
+        # fold — one file beats shuffle-partition-many tiny ones
+        ids.select(F.col(id_col)).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dest)
         # empty-input detection needs BOTH probes: a zero-task write
         # (empty literal frame) emits only _SUCCESS — no footers, so a
         # read would fail inference — while a zero-row write from a
