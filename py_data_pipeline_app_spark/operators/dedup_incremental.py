@@ -180,6 +180,14 @@ def index_delete(
     immediately, without rewriting the index (the IVF
     ``ivf_index_delete`` contract on the near-dup layout).
 
+    Semantics are FORGET, not BLOCK: after deletion, future near-
+    copies of the removed content are admitted as new documents (the
+    right-to-erasure reading — no trace of the original remains, not
+    even as a match key). A DMCA-style blocklist is the OPPOSITE
+    operation and needs no new machinery: keep the row in the index
+    (its matches identify re-uploads) and act on pairs naming it
+    downstream.
+
     ``ids`` is written DISTINCT under an idempotent
     ``deletes/batch-{token}`` subdirectory. Folds anti-join the
     (broadcast, takedown-sized) tombstone set out of their history
