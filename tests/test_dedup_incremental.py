@@ -383,3 +383,35 @@ def test_index_delete_stops_future_matches(spark, tmp_path, threshold):
         )
     )
     assert [(a, b) for a, b, _ in got3] == [(3, 5)]
+
+
+def test_index_delete_full_compact_single_batch_dir(spark, tmp_path):
+    """A FULL compaction with pending tombstones forces the rewrite
+    even when a subdirectory holds just ONE batch (normally a no-op):
+    consumption is only safe because no unfiltered row can remain."""
+    import glob
+    import os
+
+    from py_data_pipeline_app_spark.operators.dedup_incremental import (
+        compact_index,
+        index_delete,
+    )
+
+    index = str(tmp_path / "idx")
+    b1 = local_rows_df(
+        spark,
+        "doc_id long, text string",
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+    )
+    incremental_lsh_fold(spark, index, b1, threshold=0.5, batch_token="b1").collect()
+    assert index_delete(spark, index, b1.filter(F.col("doc_id") == 1)) is not None
+
+    # one batch dir per subdir + tombstones -> full pass must rewrite
+    assert compact_index(spark, index, keep_newest=False) > 0
+    assert not os.path.isdir(f"{index}/deletes")
+    subs = glob.glob(f"{index}/bands/batch-*")
+    ids = {r.doc_id for r in spark.read.parquet(*subs).collect()}
+    assert ids == {2}
+
+    # and converges: nothing left to do
+    assert compact_index(spark, index, keep_newest=False) == 0
