@@ -1247,7 +1247,7 @@ def _semantic_dedup_oracle(n_centroids: int = 16, threshold: float = 0.9) -> str
     """
 
 
-@register("semantic_dedup", _semantic_dedup_oracle())
+@register("semantic_dedup", _semantic_dedup_oracle(n_centroids=128))
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity
     semantic_dedup, after the public Abbas et al. 2023 recipe): cluster
@@ -1259,19 +1259,20 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and the greedy survivor rule exactly.
 
     Every within-cluster pair is compared (exact kept-rule — the cap
-    is opt-in, operators/similarity.semantic_dedup). With k PINNED at
-    16 for the oracle, cluster sizes grow with N and pair mass
-    quadratically: ×9.5 wall at the 10× rehearsal. That is the pinned-
-    oracle artifact, not the operator's scale story — production picks
-    k ∝ N/target_cluster_size; BENCH_sf1.json's followup_semantic_
-    scaled measures the scaled-k variant at ×4 over the same decade
-    (and its note explains when each regime wins)."""
+    is opt-in, operators/similarity.semantic_dedup). k is PINNED at
+    128 for the oracle (any pinned k is quadratic in N eventually —
+    production picks k ∝ N/target_cluster_size), chosen over the
+    earlier k=16 because pair mass shrinks ~k-fold while the per-row
+    assignment fold grows only linearly in k: measured FASTER at sf0.1
+    (1.97 s vs 3.29 s) and ~8× less pair mass at the 10× decade.
+    BENCH_sf1.json's followup_semantic_scaled measures the fully
+    scaled-k variant, and its note explains when each regime wins."""
     from py_data_pipeline_app_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(
         _with_planted_near_dups(load_table(spark, "embeddings", sf_dir)),
         threshold=0.9,
-        n_centroids=16,
+        n_centroids=128,
     )
 
 
