@@ -1262,9 +1262,13 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is opt-in, operators/similarity.semantic_dedup). k is PINNED at
     128 for the oracle (any pinned k is quadratic in N eventually —
     production picks k ∝ N/target_cluster_size), chosen over the
-    earlier k=16 because pair mass shrinks ~k-fold while the per-row
-    assignment fold grows only linearly in k: measured FASTER at sf0.1
-    (1.97 s vs 3.29 s) and ~8× less pair mass at the 10× decade.
+    earlier k=16 as the scale-first trade, stated honestly: at sf0.1
+    the 8×-wider assignment fold costs MORE than the pair-mass
+    reduction saves (~3.5 s → ~8.5 s in cold bench context; warm
+    cached runs flip the sign, which is why one micro-benchmark is
+    not a decision), but by the 10× decade pair mass dominates and
+    k=128 wins absolutely (15.3 s vs 18.5 s) with ratio ×2.4 instead
+    of ×7.2 — and the gap widens every decade after.
     BENCH_sf1.json's followup_semantic_scaled measures the fully
     scaled-k variant, and its note explains when each regime wins."""
     from py_data_pipeline_app_spark.operators.similarity import semantic_dedup
