@@ -1,0 +1,127 @@
+"""Thin wrappers over the Hadoop FileSystem API (the JVM-side
+``org.apache.hadoop.fs.FileSystem`` Spark already carries) so state
+layers (warehouse snapshots/logs, persisted indexes) manage their
+files on ANY supported scheme — ``file:/`` locally, HDFS/S3A/GCS on a
+cluster — instead of the driver's local ``os``/``shutil`` module,
+which silently binds a component to a single machine's disk.
+
+Semantics notes:
+- paths without a scheme resolve against ``fs.defaultFS`` (local
+  Spark: ``file:///``), exactly like every DataFrame read/write —
+  so the warehouse and the frames it stores always agree on where
+  the bytes live.
+- ``rename`` is atomic on HDFS and local filesystems (the property
+  the compaction protocols rely on); on S3A it is a copy+delete —
+  object-store deployments should point state roots at a consistent
+  store (HDFS/GCS) or an S3 layout whose readers tolerate the
+  rename window, same as every Hadoop-rename-based committer.
+- sidecar files (``_MANIFEST``) are written via create(overwrite)
+  then read back whole; they are tiny (a JSON list of dir names).
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` — the same helper shape the
+    index modules use (operators/similarity.py:_hadoop_fs)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def join(base: str, *parts: str) -> str:
+    """Scheme-safe path join: plain '/' concatenation (os.path.join
+    would mangle nothing on posix but reads as local-only; URIs like
+    ``file:///root`` must never hit ``os.path``)."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def exists(spark, path: str) -> bool:
+    fs, p = hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def mkdirs(spark, path: str) -> None:
+    fs, p = hadoop_fs(spark, path)
+    fs.mkdirs(p)
+
+
+def delete(spark, path: str) -> None:
+    """Recursive delete; missing paths are a no-op (shutil.rmtree
+    ignore_errors analog)."""
+    fs, p = hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    fs, s = hadoop_fs(spark, src)
+    _, d = hadoop_fs(spark, dst)
+    return bool(fs.rename(s, d))
+
+
+def child_entries(spark, path: str) -> list[tuple[str, bool]]:
+    """(name, is_dir) for each direct child of ``path``; [] when the
+    directory does not exist (os.listdir raises; callers here always
+    want the empty answer)."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        (s.getPath().getName(), bool(s.isDirectory()))
+        for s in fs.listStatus(p)
+    )
+
+
+def child_names(spark, path: str) -> list[str]:
+    return [n for n, _ in child_entries(spark, path)]
+
+
+def mtime_ms(spark, path: str) -> int:
+    fs, p = hadoop_fs(spark, path)
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
+def any_file_with_suffix(spark, path: str, suffix: str) -> bool:
+    """True if any file under ``path`` (recursive) ends with
+    ``suffix`` — the os.walk probe for 'does this log hold data'."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            return True
+    return False
+
+
+def write_text(spark, path: str, text: str) -> None:
+    fs, p = hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark, path: str) -> str:
+    fs, p = hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def write_json(spark, path: str, obj) -> None:
+    write_text(spark, path, json.dumps(obj))
+
+
+def read_json(spark, path: str):
+    return json.loads(read_text(spark, path))

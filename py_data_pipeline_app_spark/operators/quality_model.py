@@ -175,15 +175,29 @@ def train_quality_classifier(
 # pinned by test_training_is_deterministic). This is the production
 # shipping pattern: train on a sample once, then scoring is pure
 # column arithmetic that costs a scan — the model never rides along as
-# an object, just these eight doubles. Refit and re-pin when the
-# corpus distribution moves. The signs mirror the weak LM label's
-# quirks (documented in train_quality_classifier) — the scorer's
-# contract is "reproduces the trained model", not "hand-tuned taste".
+# an object, just these doubles. Refit and re-pin when the corpus
+# distribution moves. The signs mirror the weak LM label's quirks
+# (documented in train_quality_classifier) — the scorer's contract is
+# "reproduces the trained model", not "hand-tuned taste".
+#
+# f_punct_share / f_digit_share are absent BY MEASUREMENT: the
+# synthetic documents corpus contains no punctuation or digit
+# characters at all (stddev = 0.0 for both at sf0.01), so every fit
+# zero-weights them regardless of regularization — the pinned scorer
+# would compute two regexp features per row and multiply them by
+# zero (round-8 verdict finding #4). The trained path
+# (train_quality_classifier / score_quality) keeps the full
+# FEATURE_COLS: on a real web corpus both features carry signal, and
+# re-pinning from such a fit just adds the two entries back here.
+LINEAR_FEATURE_COLS = (
+    "f_log_tokens",
+    "f_distinct_ratio",
+    "f_simpson",
+    "f_stopword_share",
+)
 PINNED_WEIGHTS = {
     "f_log_tokens": 0.119929,
     "f_distinct_ratio": -1.815622,
-    "f_punct_share": 0.0,
-    "f_digit_share": 0.0,
     "f_simpson": -1.619499,
     "f_stopword_share": -17.054096,
 }
@@ -213,12 +227,18 @@ def score_quality_linear(
     products, which IEEE doubles evaluate bit-identically everywhere.
     ``quality_z`` is the linear score (sigmoid is monotone, so
     thresholding z at 0 ≡ thresholding probability at 0.5 — and
-    skipping exp() avoids a second libm dependency)."""
+    skipping exp() avoids a second libm dependency).
+
+    The dot product runs over whichever FEATURE_COLS appear in the
+    weight dict (pinned default: :data:`LINEAR_FEATURE_COLS` — see
+    the PINNED_WEIGHTS comment for why punct/digit are absent);
+    features a weight set does not use are never referenced, so
+    Catalyst prunes their expressions out of the scan projection."""
     w = dict(PINNED_WEIGHTS if weights is None else weights)
     b = float(PINNED_BIAS if bias is None else bias)
     feats = quality_feature_frame(docs, text_col=text_col, id_col=id_col)
     z = F.lit(b)
-    for name in FEATURE_COLS:
+    for name in (c for c in FEATURE_COLS if c in w):
         z = z + F.round(F.col(name), 6) * F.lit(float(w[name]))
     return feats.select(
         F.col(id_col),

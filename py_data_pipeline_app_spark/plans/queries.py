@@ -48,6 +48,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries retired from the driver-facing registry (round-9 headroom:
+# the rotation invariant caps the registry at 2×gate_cap entries, and
+# adding new operators requires retiring studies/near-twin variants
+# whose operator surface stays covered by a sibling row). Retired
+# queries keep their full DuckDB oracle and are gated by
+# tests/test_retired.py on every pytest run instead of the driver's
+# per-round prefix.
+RETIRED_QUERIES: dict[str, QueryFn] = {}
+RETIRED_ORACLES: dict[str, str] = {}
+
 _SCRATCH_DIRS: dict[str, str] = {}
 
 
@@ -120,11 +130,13 @@ def sql_stat_avg(expr: str, scale: int = 4) -> str:
     )
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, retired: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        queries = RETIRED_QUERIES if retired else QUERIES
+        oracles = RETIRED_ORACLES if retired else ORACLES
+        queries[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            oracles[name] = oracle
         return fn
 
     return deco
@@ -549,6 +561,7 @@ def recent_events_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 4) AS avg_value
     FROM events GROUP BY event_type
     """,
+    retired=True,
 )
 def event_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiling aggregation (payment_type-breakdown analog): count /
@@ -969,7 +982,7 @@ def dedup_cluster_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cluster_assignment_star", _CLUSTER_ORACLE)
+@register("dedup_cluster_assignment_star", _CLUSTER_ORACLE, retired=True)
 def dedup_cluster_assignment_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering contract as ``dedup_cluster_assignment`` but via
     the O(log n)-round large-star/small-star algorithm
@@ -1166,7 +1179,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dup_lowt", _hyperplane_oracle())
+@register("embedding_near_dup_lowt", _hyperplane_oracle(), retired=True)
 def embedding_near_dup_lowt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOW-threshold (≥ 0.4) hyperplane-LSH recall study — 32 planes /
     8×4-bit bands, the config whose measured recall at this data's
@@ -1195,6 +1208,7 @@ def embedding_near_dup_lowt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sample a JOIN sample b ON a.vec_id < b.vec_id
     WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.25
     """,
+    retired=True,
 )
 def embedding_near_dup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.25), exact all-pairs over a
@@ -1367,7 +1381,7 @@ def _ivf_oracle(
     """
 
 
-@register("similarity_topk_ivf", _ivf_oracle())
+@register("similarity_topk_ivf", _ivf_oracle(), retired=True)
 def similarity_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed approximate top-5 (16 coarse buckets, nprobe 4):
     scans ~nprobe/n_centroids of the corpus per query. Approximate by
@@ -2489,6 +2503,7 @@ _CURATION_SPLIT = {"train": 0.8, "val": 0.1, "test": 0.1}
            {sql_stat_avg('quality_score', 6)} AS avg_quality
     FROM split GROUP BY split, lang
     """,
+    retired=True,
 )
 def training_set_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-set build — the flagship curation
@@ -2805,6 +2820,7 @@ def media_metadata_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(resized) AS payload_md5
     FROM rs
     """,
+    retired=True,
 )
 def media_resize_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize through the mapInPandas plumbing
@@ -3207,6 +3223,7 @@ def event_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type, bucket
     """,
+    retired=True,
 )
 def event_value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned value histogram per event type (25 equal-width buckets
@@ -4310,36 +4327,23 @@ _SQL_ALL_STOP = "(" + ",".join(
                AS stop_hits
       FROM tc GROUP BY doc_id
     ),
-    chars AS (
-      SELECT doc_id,
-             greatest(length(text), 1) AS n_chars,
-             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
-             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
-      FROM documents
-    ),
     feat AS (
       SELECT s.doc_id,
              round(ln(s.n + 1.0), 6) AS f1,
              round(s.n_types::DOUBLE / s.n, 6) AS f2,
-             round(c.punct::DOUBLE / c.n_chars, 6) AS f3,
-             round(c.digits::DOUBLE / c.n_chars, 6) AS f4,
              round(1.0 - s.c2::DOUBLE / (s.n * s.n)::DOUBLE, 6) AS f5,
              round(s.stop_hits::DOUBLE / s.n, 6) AS f6
-      FROM sim s JOIN chars c USING (doc_id)
+      FROM sim s
     )
     SELECT doc_id,
            round({_QB!r}
                  + f1 * ({_QW["f_log_tokens"]!r})
                  + f2 * ({_QW["f_distinct_ratio"]!r})
-                 + f3 * ({_QW["f_punct_share"]!r})
-                 + f4 * ({_QW["f_digit_share"]!r})
                  + f5 * ({_QW["f_simpson"]!r})
                  + f6 * ({_QW["f_stopword_share"]!r}), 6) AS quality_z,
            round({_QB!r}
                  + f1 * ({_QW["f_log_tokens"]!r})
                  + f2 * ({_QW["f_distinct_ratio"]!r})
-                 + f3 * ({_QW["f_punct_share"]!r})
-                 + f4 * ({_QW["f_digit_share"]!r})
                  + f5 * ({_QW["f_simpson"]!r})
                  + f6 * ({_QW["f_stopword_share"]!r}), 6) > 0.0
              AS predicted_good

@@ -11,17 +11,25 @@ shape a Delta/Iceberg table gives, expressed with plain Parquet so the
 engine has zero non-OSS dependencies. Appends each write their own
 subdirectory of ``{table}/log`` (optionally named by an idempotency
 token — see :meth:`Warehouse.append`); log tables never rewrite.
+
+All file management goes through the Hadoop FileSystem API
+(:mod:`py_data_pipeline_app_spark.fsio`), never the driver's local
+``os``/``shutil`` — so ``root`` may live on ``file:/`` locally or
+HDFS/S3A/GCS on a cluster, the same property the persisted index
+modules already have (operators/similarity.py:_hadoop_fs). At 100 TB
+the dimension/state tables live in the object store; retention,
+time travel, and the max+1-id path all have to work there too.
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from py_data_pipeline_app_spark import fsio
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 
 
@@ -37,21 +45,19 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fsio.mkdirs(spark, root)
 
     # -- paths ------------------------------------------------------------
 
     def _table_dir(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return fsio.join(self.root, name)
 
     def _versions(self, name: str) -> list[int]:
         d = self._table_dir(name)
-        if not os.path.isdir(d):
-            return []
         out = []
-        for entry in os.listdir(d):
-            if entry.startswith("v") and entry[1:].isdigit():
-                if os.path.exists(os.path.join(d, entry, "_SUCCESS")):
+        for entry, is_dir in fsio.child_entries(self.spark, d):
+            if is_dir and entry.startswith("v") and entry[1:].isdigit():
+                if fsio.exists(self.spark, fsio.join(d, entry, "_SUCCESS")):
                     out.append(int(entry[1:]))
         return sorted(out)
 
@@ -61,7 +67,7 @@ class Warehouse:
         vs = self._versions(name)
         nxt = (vs[-1] + 1) if vs else 1
         df.write.mode("overwrite").parquet(
-            os.path.join(self._table_dir(name), f"v{nxt}")
+            fsio.join(self._table_dir(name), f"v{nxt}")
         )
 
     def read(
@@ -88,16 +94,14 @@ class Warehouse:
                     f"available: {vs} (older versions may have been vacuumed)"
                 )
             return self.spark.read.parquet(
-                os.path.join(self._table_dir(name), f"v{version}")
+                fsio.join(self._table_dir(name), f"v{version}")
             )
         if vs:
             return self.spark.read.parquet(
-                os.path.join(self._table_dir(name), f"v{vs[-1]}")
+                fsio.join(self._table_dir(name), f"v{vs[-1]}")
             )
-        append_dir = os.path.join(self._table_dir(name), "log")
-        if os.path.isdir(append_dir) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(append_dir) for f in fs
-        ):
+        append_dir = fsio.join(self._table_dir(name), "log")
+        if fsio.any_file_with_suffix(self.spark, append_dir, ".parquet"):
             # appends live in per-write subdirectories (see append())
             return self.spark.read.option("recursiveFileLookup", "true").parquet(
                 append_dir
@@ -119,14 +123,14 @@ class Warehouse:
         rather than duplicating log rows."""
         sub = token if token is not None else uuid.uuid4().hex
         df.write.mode("overwrite").parquet(
-            os.path.join(self._append_log_dir(name), sub)
+            fsio.join(self._append_log_dir(name), sub)
         )
 
     def read_token(self, name: str, token: str) -> DataFrame | None:
         """The rows a previous ``append(..., token=...)`` wrote, or None
         if that append never completed (no ``_SUCCESS``)."""
-        d = os.path.join(self._append_log_dir(name), token)
-        if os.path.exists(os.path.join(d, "_SUCCESS")):
+        d = fsio.join(self._append_log_dir(name), token)
+        if fsio.exists(self.spark, fsio.join(d, "_SUCCESS")):
             return self.spark.read.parquet(d)
         return None
 
@@ -163,44 +167,40 @@ class Warehouse:
         single Flask worker) — two concurrent compactions of the same
         table are undefined. Returns the number of subdirectories
         merged."""
-        import json
-        import shutil
-
+        spark = self.spark
         log_dir = self._append_log_dir(name)
-        if not os.path.isdir(log_dir):
+        entries = fsio.child_entries(spark, log_dir)
+        if not entries:
             return 0
 
         def complete_subdirs() -> list[str]:
             return sorted(
                 e
-                for e in os.listdir(log_dir)
-                if os.path.isdir(os.path.join(log_dir, e))
-                and os.path.exists(os.path.join(log_dir, e, "_SUCCESS"))
+                for e, is_dir in fsio.child_entries(spark, log_dir)
+                if is_dir
+                and fsio.exists(spark, fsio.join(log_dir, e, "_SUCCESS"))
             )
 
         # resume any crashed compaction: a visible compact dir's manifest
         # names sources that must die (their rows already live in the
         # manifested directory); stage dirs that never got renamed are
         # invisible orphans — remove them
-        for e in os.listdir(log_dir):
-            p = os.path.join(log_dir, e)
+        for e, _ in entries:
+            p = fsio.join(log_dir, e)
             if e.startswith(".compact-stage-"):
-                shutil.rmtree(p, ignore_errors=True)
+                fsio.delete(spark, p)
                 continue
-            mpath = os.path.join(p, "_MANIFEST")
-            if e.startswith("compact-") and os.path.exists(mpath):
-                with open(mpath) as f:
-                    for src in json.load(f):
-                        shutil.rmtree(
-                            os.path.join(log_dir, src), ignore_errors=True
-                        )
+            mpath = fsio.join(p, "_MANIFEST")
+            if e.startswith("compact-") and fsio.exists(spark, mpath):
+                for src in fsio.read_json(spark, mpath):
+                    fsio.delete(spark, fsio.join(log_dir, src))
 
         subs = complete_subdirs()
         if keep_newest and subs:
             newest = max(
                 subs,
                 key=lambda e: (
-                    os.path.getmtime(os.path.join(log_dir, e, "_SUCCESS")),
+                    fsio.mtime_ms(spark, fsio.join(log_dir, e, "_SUCCESS")),
                     e,
                 ),
             )
@@ -208,7 +208,7 @@ class Warehouse:
         if len(subs) < 2:
             return 0
         merged = self.spark.read.parquet(
-            *[os.path.join(log_dir, s) for s in subs]
+            *[fsio.join(log_dir, s) for s in subs]
         )
         # stage under a dot-prefixed name (parquet listing ignores it, so
         # readers never see a half-written or manifest-less copy), attach
@@ -216,13 +216,12 @@ class Warehouse:
         # together — there is no instant where the rows exist twice
         # without the manifest that arbitrates the duplicate
         token = uuid.uuid4().hex[:12]
-        stage = os.path.join(log_dir, f".compact-stage-{token}")
+        stage = fsio.join(log_dir, f".compact-stage-{token}")
         merged.write.mode("overwrite").parquet(stage)
-        with open(os.path.join(stage, "_MANIFEST"), "w") as f:
-            json.dump(subs, f)
-        os.rename(stage, os.path.join(log_dir, f"compact-{token}"))
+        fsio.write_json(spark, fsio.join(stage, "_MANIFEST"), subs)
+        fsio.rename(spark, stage, fsio.join(log_dir, f"compact-{token}"))
         for s in subs:
-            shutil.rmtree(os.path.join(log_dir, s), ignore_errors=True)
+            fsio.delete(spark, fsio.join(log_dir, s))
         return len(subs)
 
     def vacuum(self, name: str, *, keep_last: int = 2) -> list[int]:
@@ -238,8 +237,6 @@ class Warehouse:
         NEWER than it is left alone, since it may be a concurrent
         writer mid-flight. ``keep_last`` must be ≥ 1 (the current
         state is never deleted). Returns the version numbers removed."""
-        import shutil
-
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 - never delete the current state")
         complete = self._versions(name)
@@ -247,15 +244,13 @@ class Warehouse:
         cutoff = min(keep) if keep else 0
         d = self._table_dir(name)
         removed: list[int] = []
-        if not os.path.isdir(d):
-            return removed
-        for entry in os.listdir(d):
+        for entry, _ in fsio.child_entries(self.spark, d):
             if not (entry.startswith("v") and entry[1:].isdigit()):
                 continue
             v = int(entry[1:])
             if v in keep or v > cutoff:
                 continue
-            shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+            fsio.delete(self.spark, fsio.join(d, entry))
             removed.append(v)
         return sorted(removed)
 
@@ -277,4 +272,4 @@ class Warehouse:
         return int(row.m or 0) + 1
 
     def _append_log_dir(self, name: str) -> str:
-        return os.path.join(self._table_dir(name), "log")
+        return fsio.join(self._table_dir(name), "log")

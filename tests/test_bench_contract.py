@@ -1,0 +1,70 @@
+"""Bench output contract: the driver captures only the last ~2000
+characters of bench.py stdout and parses the FINAL line. Round 8 lost
+37 query timings because the single full-name JSON line outgrew that
+window (BENCH_r08.json: parsed=null). These tests pin the fix: the
+aliased metric line printed last must stay under the capture window
+for the whole registry, and the alias table must stay a bijection
+covering exactly the registered queries.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+from py_data_pipeline_app_spark.plans.queries import QUERIES
+
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location(
+        "_bench_under_test", os.path.join(_REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_aliases_cover_registry_exactly():
+    bench = _bench()
+    assert set(bench.ALIASES) == set(QUERIES), (
+        "every registered query needs a bench alias (and no stale ones): "
+        f"missing={sorted(set(QUERIES) - set(bench.ALIASES))} "
+        f"stale={sorted(set(bench.ALIASES) - set(QUERIES))}"
+    )
+
+
+def test_aliases_unique_and_short():
+    bench = _bench()
+    shorts = list(bench.ALIASES.values())
+    assert len(shorts) == len(set(shorts)), "alias collisions"
+    assert all(len(s) <= 12 for s in shorts)
+
+
+def test_metric_line_fits_capture_window():
+    bench = _bench()
+    # worst case: every query at a 5-char timing (e.g. 123.4 / 0.123)
+    compact = {a: 123.4 for a in bench.ALIASES.values()}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 12345.678,
+            "unit": "sec",
+            "sf": 0.1,
+            "aliases": "see bench.py ALIASES",
+            "queries": compact,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1800, f"metric line {len(line)} chars risks truncation"
+
+
+def test_sig3():
+    bench = _bench()
+    assert bench.sig3(0.8391) == 0.839
+    assert bench.sig3(3.132) == 3.13
+    assert bench.sig3(10.012) == 10.0
+    assert bench.sig3(123.456) == 123.0
+    assert bench.sig3(0.0) == 0.0

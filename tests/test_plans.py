@@ -18,7 +18,14 @@ import io
 
 import pytest
 
-from py_data_pipeline_app_spark.plans.queries import QUERIES
+from py_data_pipeline_app_spark.plans.queries import (
+    QUERIES as _ACTIVE,
+    RETIRED_QUERIES as _RETIRED,
+)
+
+# plan-shape contracts apply to retired queries too (they stay
+# oracle-gated in test_retired.py)
+QUERIES = {**_ACTIVE, **_RETIRED}
 
 
 def plan_of(df, mode: str = "formatted") -> str:

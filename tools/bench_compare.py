@@ -13,15 +13,57 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _decode_aliases(queries: dict[str, float]) -> dict[str, float]:
+    """BENCH_r09+ metric lines key queries by their short alias
+    (bench.py ALIASES) so the line fits the driver's ~2000-char tail
+    capture; decode back to full registry names when so."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_bench_aliases",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    inverse = {short: full for full, short in mod.ALIASES.items()}
+    if sum(k in inverse for k in queries) > len(queries) / 2:
+        return {inverse.get(k, k): v for k, v in queries.items()}
+    return queries
 
 
 def load_queries(path: str) -> dict[str, float]:
     with open(path) as f:
-        d = json.load(f)
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except ValueError:
+        # bench.py now prints two JSON lines (full-name first, aliased
+        # metric line last): prefer the full-name line
+        d = None
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                cand = json.loads(line)
+            except ValueError:
+                continue
+            if "queries" in cand:
+                d = cand
+                if cand.get("metric") == "headline_queries_total_fullnames":
+                    break
+        if d is None:
+            raise SystemExit(f"{path}: no parseable 'queries' line found")
     if "queries" in d:
-        return d["queries"]
-    if "parsed" in d and "queries" in d["parsed"]:  # driver wrapper
-        return d["parsed"]["queries"]
+        return _decode_aliases(d["queries"])
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return _decode_aliases(d["parsed"]["queries"])  # driver wrapper
     raise SystemExit(f"{path}: no 'queries' map found")
 
 

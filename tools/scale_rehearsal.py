@@ -247,7 +247,11 @@ def main() -> None:
     spark = get_spark("scale-rehearsal")
     names = sys.argv[1:] or FAMILY
     build_x10(spark)
-    qs = entry_mod.queries()
+    from py_data_pipeline_app_spark.plans.queries import RETIRED_QUERIES
+
+    # retired queries stay rehearsable: the 10x ratios are still the
+    # scale evidence for the operator variants they exercise
+    qs = {**RETIRED_QUERIES, **entry_mod.queries()}
     spark.read.parquet(f"{SF_BASE}/region.parquet").count()  # warmup
 
     results: dict[str, dict] = {}
