@@ -80,6 +80,7 @@ ALIASES = {
     # retired to tests/test_retired.py (quadratic studies by design)
     "embedding_near_dup": "emb_nd",
     "semantic_dedup": "sem_dd",
+    "semantic_dedup_incremental": "sem_dd_inc",
     "similarity_topk": "topk",
     "semantic_doc_retrieval": "rag",
     "similarity_topk_ivf_indexed": "topk_ivfx",

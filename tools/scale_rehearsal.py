@@ -62,6 +62,7 @@ FAMILY = [
     "dedup_cluster_assignment_star",
     "embedding_near_dup",
     "semantic_dedup",
+    "semantic_dedup_incremental",
     "similarity_topk",
     "semantic_doc_retrieval",
     "similarity_topk_ivf",
