@@ -109,6 +109,7 @@ ALIASES = {
     "source_temperature_mix": "src_temp",
     "source_epoch_mix": "src_epoch",
     "corpus_bigram_merges": "bigrams",
+    "bpe_merge_table": "bpe",
     "text_token_diversity": "txt_div",
     "text_perplexity_buckets": "ppl_bkt",
     "text_html_strip": "html",

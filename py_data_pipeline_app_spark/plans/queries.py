@@ -3688,6 +3688,65 @@ def corpus_bigram_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_merge_candidates(load_table(spark, "documents", sf_dir), k=50)
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB mirror of the FULL iterative bpe_train loop, unrolled:
+    each round is three CTEs (pair count over the current symbol
+    strings, deterministic top-1 pick, greedy merge application).
+    The merge applies as a literal ``replace`` over marker-delimited
+    symbol strings — DuckDB's replace and the JVM's are both
+    left-to-right non-overlapping, so greedy BPE application is
+    engine-identical by construction (verified on the ‹a›‹a›‹a›
+    overlap case)."""
+    parts = [
+        f"""s0 AS (
+      SELECT '‹' || array_to_string(list_filter({_SQL_WS}, x -> x <> ''), '›‹') || '›' AS _s
+      FROM documents
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT pr[1] AS l, pr[2] AS rr, count(*) AS n
+      FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                                     j -> [syms[j], syms[j+1]])) AS pr
+        FROM (SELECT string_split(substring(_s, 2, length(_s) - 2), '›‹') AS syms
+              FROM s{i - 1})
+      ) GROUP BY 1, 2
+    ),
+    m{i} AS (SELECT l, rr, n FROM p{i} ORDER BY n DESC, l, rr LIMIT 1),
+    s{i} AS (
+      SELECT replace(_s, '‹' || m.l || '›‹' || m.rr || '›',
+                     '‹' || m.l || ' ' || m.rr || '›') AS _s
+      FROM s{i - 1} CROSS JOIN m{i} m
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, rr AS right_sym, "
+        f"CAST(n AS BIGINT) AS n_occurrences FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@register("bpe_merge_table", _bpe_oracle(n_merges=8))
+def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer induction (operators/curation
+    bpe_train): 8 rounds of {one keyed pair-count with map-side
+    combine + TakeOrdered(1), one pure-projection greedy merge
+    rewrite}, the loop driver corpus_bigram_merges is one round of.
+    State is a marker-delimited symbol string per document, so merge
+    application is a literal JVM replace (left-to-right
+    non-overlapping ≡ greedy BPE) instead of an O(n²) array-fold;
+    the driver holds only the 8 winning pairs (one 1-row collect per
+    round, k-means loop discipline, localCheckpoint bounds plan
+    depth). The oracle unrolls the identical loop in SQL — a green
+    row value-checks every round's pick AND every greedy rewrite."""
+    from py_data_pipeline_app_spark.operators.curation import bpe_merge_table
+
+    return bpe_merge_table(load_table(spark, "documents", sf_dir), n_merges=8)
+
+
 @register(
     "source_epoch_mix",
     f"""
