@@ -87,6 +87,7 @@ ALIASES = {
     "similarity_topk_ivf_appended": "topk_ivfa",
     "similarity_topk_pq": "topk_pq",
     "similarity_topk_ivfpq": "topk_ivfpq",
+    "similarity_topk_ivfpq_rerank": "topk_rr",
     "similarity_topk_ivfpq_appended": "topk_pqapp",
     "hard_negative_topk": "hardneg",
     "text_quality": "txt_qual",

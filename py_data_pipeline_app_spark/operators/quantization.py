@@ -55,6 +55,7 @@ from py_data_pipeline_app_spark.operators.similarity import (
     _query_probes,
     _union_appends,
     _write_append_batch,
+    cosine,
     float_matrix_lit,
     l2_norm,
 )
@@ -579,6 +580,66 @@ def ivfpq_topk(
 
 
 IVFPQ_APPENDS_SUBDIR = "appends"
+
+
+def ivfpq_topk_rerank(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    k_factor: int = 4,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`ivfpq_topk` with exact re-ranking — the standard recall
+    recovery for PQ's lossy scores (Jégou et al. 2011 §IV-A call it
+    the re-ranking stage): ADC ranks a SHORTLIST of ``k·k_factor``
+    candidates per query from the compressed index, then only those
+    rows' raw vectors are fetched and re-scored with exact cosine,
+    and the top ``k`` of the exact scores win. ADC ordering errors
+    inside the shortlist are corrected at a scan cost that stays
+    ≈ ADC: the exact pass touches |queries|·k·k_factor vectors, not
+    the corpus.
+
+    The shortlist (a tiny (query_id, vec_id) set) BROADCASTS into a
+    hash join against ``corpus`` — the raw-vector table the index was
+    built from — so the fetch is one corpus scan with zero shuffle
+    and shortlist-sized output (plan-asserted in tests: the corpus
+    side of the join carries no Exchange). ``corpus`` must be the
+    same relation the index was built over; ids absent from it
+    silently drop from the re-rank (the index's tombstone filter
+    already ran inside the ADC stage)."""
+    shortlist = ivfpq_topk(
+        spark,
+        index_path,
+        queries,
+        k=k * k_factor,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    fetched = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(shortlist), id_col
+    )
+    scored = fetched.join(F.broadcast(q), query_id_col).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
 
 
 def ivfpq_index_append(

@@ -1627,6 +1627,7 @@ def _ivfpq_oracle(
     k: int = 5,
     sample_src: str = "embeddings",
     deleted: str | None = None,
+    rerank_from: int | None = None,
 ) -> str:
     """DuckDB mirror of the FULL ivfpq_topk computation: the md5-ordered
     centroid pick + argmax bucket assignment + nprobe probing of
@@ -1639,7 +1640,10 @@ def _ivfpq_oracle(
     append-parity query (appends never move either table). ``deleted``
     is a predicate over ``n`` (the encoded index rows) naming
     tombstoned ids — deletion filters index rows only, the
-    ivfpq_index_delete contract."""
+    ivfpq_index_delete contract. ``rerank_from`` mirrors
+    ivfpq_topk_rerank: the ADC ranking keeps that many candidates per
+    query as a shortlist, exact cosine re-scores only those rows, and
+    the final top-``k`` ranks on the exact scores."""
     dsub = dim // m
     cos_ec = _sql_cos("e.embedding", "c.cvec")
     cos_qc = _sql_cos("q.embedding", "c.cvec")
@@ -1655,6 +1659,39 @@ def _ivfpq_oracle(
     )
     qnorm = "sqrt(" + _SQL_DOT.format(a="q.embedding", b="q.embedding") + ")"
     del_where = f"WHERE NOT ({deleted})" if deleted else ""
+    if rerank_from is not None:
+        cos_qv = _sql_cos("q.embedding", "v.embedding")
+        tail = f"""
+    , shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+      ) WHERE rank <= {rerank_from}
+    ),
+    exact AS (
+      SELECT s.query_id, s.vec_id, round({cos_qv}, 9) AS score
+      FROM shortlist s
+      JOIN embeddings v ON v.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM exact
+    ) WHERE rank <= {k}
+    """
+    else:
+        tail = f"""
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
     return f"""
     WITH hk AS (
       SELECT vec_id, embedding,
@@ -1722,14 +1759,7 @@ def _ivfpq_oracle(
                    / (any_value(_qnorm) * any_value(nm.approx_norm)), 9) AS score
       FROM qd JOIN norms nm USING (vec_id)
       GROUP BY query_id, vec_id
-    )
-    SELECT query_id, vec_id, score, rank FROM (
-      SELECT query_id, vec_id, score,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, vec_id) AS rank
-      FROM scored
-    ) WHERE rank <= {k}
-    """
+    ){tail}"""
 
 
 @register("similarity_topk_ivfpq", _ivfpq_oracle())
@@ -1757,6 +1787,33 @@ def similarity_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_topk(spark, index, queries, k=5, nprobe=4)
+
+
+@register("similarity_topk_ivfpq_rerank", _ivfpq_oracle(rerank_from=20))
+def similarity_topk_ivfpq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking (operators/quantization
+    ivfpq_topk_rerank) — the standard recall recovery for PQ's lossy
+    scores: ADC keeps a 4k-candidate shortlist per query from the
+    compressed index, the shortlist ids broadcast into one hash join
+    that fetches ONLY those raw vectors (corpus never shuffles,
+    plan-asserted), and exact cosine decides the final top-5. The
+    oracle replays probe + encode + ADC shortlist + exact re-rank
+    end-to-end; the recall improvement over raw ADC at equal k is
+    measured in tests/test_quantization.py."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_topk_rerank,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    index = _scratch_dir("ivfpq_rerank")
+    build_ivfpq_index(emb, index, n_centroids=16, m=8, ksub=16, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_rerank(
+        spark, index, emb, queries, k=5, k_factor=4, nprobe=4
+    )
 
 
 @register(

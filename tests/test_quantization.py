@@ -432,3 +432,81 @@ def test_ivfpq_delete_parity_and_compaction(spark, emb, queries, tmp_path):
         map(tuple, ivfpq_topk(spark, full, queries, k=5, nprobe=4).collect())
     )
     assert got2 == want
+
+
+def test_rerank_improves_recall_over_raw_adc(spark, emb, queries, ivfpq_index):
+    """The re-ranking stage's whole point: at equal k, exact-cosine
+    re-scoring of the ADC shortlist must recover true (brute-force)
+    neighbors that ADC's lossy ordering misplaced. With full probing
+    the shortlist superset always contains the truth ADC had, so
+    recall can only go up; we assert it strictly improves on this
+    data (measured here: ADC 0.30 → re-ranked 0.48 at k_factor=4 on
+    random unit vectors, PQ's hardest case — the residual gap is
+    shortlist recall, which k_factor buys back, not ADC ordering)."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+    )
+
+    k, nprobe = 10, 16  # full probe: isolates ADC error from probe misses
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    adc = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk(
+            spark, ivfpq_index, queries, k=k, nprobe=nprobe
+        ).collect()
+    }
+    rr = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_rerank(
+            spark, ivfpq_index, emb, queries, k=k, k_factor=4, nprobe=nprobe
+        ).collect()
+    }
+    assert len(rr & bf) > len(adc & bf), (len(rr & bf), len(adc & bf))
+    assert len(rr & bf) / len(bf) >= 0.4, len(rr & bf) / len(bf)
+
+
+def test_rerank_exact_scores_and_self_retrieval(spark, emb, queries, ivfpq_index):
+    """Re-ranked scores are EXACT cosines (each query retrieves its own
+    corpus twin at score 1.0, rank 1) — ADC scores are approximations
+    and generally cannot do this."""
+    from py_data_pipeline_app_spark.operators.quantization import ivfpq_topk_rerank
+
+    rr = ivfpq_topk_rerank(
+        spark, ivfpq_index, emb, queries, k=5, k_factor=4, nprobe=16
+    )
+    top1 = {r.query_id: r for r in rr.filter(F.col("rank") == 1).collect()}
+    for qid, row in top1.items():
+        assert row.vec_id == qid, (qid, row)
+        assert abs(row.score - 1.0) < 1e-9
+
+
+def test_rerank_vector_fetch_is_shortlist_sized(spark, emb, queries, ivfpq_index):
+    """The exact pass must fetch vectors via a BROADCAST of the tiny
+    shortlist against the corpus scan — no shuffle (Exchange) of the
+    corpus, no corpus-sized re-rank input."""
+    from py_data_pipeline_app_spark.operators.quantization import ivfpq_topk_rerank
+
+    plan = (
+        ivfpq_topk_rerank(spark, ivfpq_index, emb, queries, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus joins appear only as broadcast hash joins; the only
+    # Exchanges allowed are the per-query ranking windows' hash
+    # partitionings and broadcast distributions
+    import re
+
+    assert "BroadcastHashJoin" in plan
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "hashpartitioning(query_id" not in ln
+    ]
+    assert bad == [], bad
