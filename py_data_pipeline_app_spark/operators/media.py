@@ -213,6 +213,17 @@ def _image_rgb(payload: bytes, dim: int) -> list[float]:
         return [0.0] * dim
     with Image.open(io.BytesIO(payload)) as im:
         arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return _rgb_histogram(arr, dim)
+
+
+def _rgb_histogram(arr, dim: int) -> list[float]:
+    """Per-channel intensity histogram of an (H, W, 3) uint8 array —
+    the feature arithmetic of :func:`_image_rgb`, split from the PIL
+    decode so it is executable (and pinned by an expected-vector test
+    on a hand-written stdlib-decoded PNG) in environments without
+    Pillow."""
+    import numpy as np
+
     n_px = arr.shape[0] * arr.shape[1]
     buckets = max(1, dim // 3)
     out = np.zeros(dim, dtype=np.float32)
