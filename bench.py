@@ -111,6 +111,7 @@ ALIASES = {
     "source_epoch_mix": "src_epoch",
     "corpus_bigram_merges": "bigrams",
     "bpe_merge_table": "bpe",
+    "bpe_encoded_corpus": "bpe_enc",
     "text_token_diversity": "txt_div",
     "text_perplexity_buckets": "ppl_bkt",
     "text_html_strip": "html",

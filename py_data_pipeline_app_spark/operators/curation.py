@@ -723,6 +723,47 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a trained merge table (the consumer half
+    of :func:`bpe_train` — a tokenizer applies merges in rank order to
+    new text): chain one literal ``replace`` per merge over the
+    marker-delimited symbol string, IN RANK ORDER (later merges can
+    consume earlier merges' output — the chain order is part of BPE's
+    contract), then split back to symbols. The whole encode is ONE
+    nested pure projection fused into the scan — zero shuffle, zero
+    Python per row, cost ∝ corpus bytes × n_merges.
+
+    Returns (id, symbols, n_symbols, n_tokens): the encoded symbol
+    sequence plus the raw-token count, so compression ratio
+    (n_tokens/n_symbols) is a projection away."""
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    enc = F.concat(F.lit("‹"), F.array_join(toks, "›‹"), F.lit("›"))
+    for _, left, right, _ in sorted(merges):
+        enc = F.replace(
+            enc,
+            F.lit(f"‹{left}›‹{right}›"),
+            F.lit(f"‹{left} {right}›"),
+        )
+    staged = docs.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"), enc.alias("_enc")
+    )
+    syms = F.split(
+        F.expr("substring(_enc, 2, length(_enc) - 2)"), "›‹"
+    )
+    return staged.select(
+        id_col,
+        syms.alias("symbols"),
+        F.size(syms).alias("n_symbols"),
+        "n_tokens",
+    )
+
+
 def bpe_merge_table(
     docs: DataFrame, *, n_merges: int = 8, text_col: str = "text"
 ) -> DataFrame:

@@ -3745,7 +3745,7 @@ def corpus_bigram_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_merge_candidates(load_table(spark, "documents", sf_dir), k=50)
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, encode: bool = False) -> str:
     """DuckDB mirror of the FULL iterative bpe_train loop, unrolled:
     each round is three CTEs (pair count over the current symbol
     strings, deterministic top-1 pick, greedy merge application).
@@ -3753,10 +3753,15 @@ def _bpe_oracle(n_merges: int) -> str:
     symbol strings — DuckDB's replace and the JVM's are both
     left-to-right non-overlapping, so greedy BPE application is
     engine-identical by construction (verified on the ‹a›‹a›‹a›
-    overlap case)."""
+    overlap case). ``encode=True`` returns the final ENCODED corpus
+    (bpe_apply's contract: per-doc symbol string after all merges)
+    instead of the merge table — the loop's fixpoint state doubles as
+    the apply oracle, so training and encoding share one derivation."""
     parts = [
         f"""s0 AS (
-      SELECT '‹' || array_to_string(list_filter({_SQL_WS}, x -> x <> ''), '›‹') || '›' AS _s
+      SELECT doc_id,
+             CAST(len(list_filter({_SQL_WS}, x -> x <> '')) AS BIGINT) AS n_tokens,
+             '‹' || array_to_string(list_filter({_SQL_WS}, x -> x <> ''), '›‹') || '›' AS _s
       FROM documents
     )"""
     ]
@@ -3773,17 +3778,28 @@ def _bpe_oracle(n_merges: int) -> str:
     ),
     m{i} AS (SELECT l, rr, n FROM p{i} ORDER BY n DESC, l, rr LIMIT 1),
     s{i} AS (
-      SELECT replace(_s, '‹' || m.l || '›‹' || m.rr || '›',
+      SELECT doc_id, n_tokens,
+             replace(_s, '‹' || m.l || '›‹' || m.rr || '›',
                      '‹' || m.l || ' ' || m.rr || '›') AS _s
       FROM s{i - 1} CROSS JOIN m{i} m
     )"""
         )
-    selects = "\n    UNION ALL ".join(
-        f"SELECT {i} AS merge_rank, l AS left_sym, rr AS right_sym, "
-        f"CAST(n AS BIGINT) AS n_occurrences FROM m{i}"
-        for i in range(1, n_merges + 1)
-    )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+    if encode:
+        final = f"""
+    SELECT doc_id,
+           array_to_string(string_split(substring(_s, 2, length(_s) - 2), '›‹'), '‹')
+             AS encoded,
+           CAST(len(string_split(substring(_s, 2, length(_s) - 2), '›‹')) AS INT)
+             AS n_symbols,
+           n_tokens
+    FROM s{n_merges}"""
+    else:
+        final = "\n    UNION ALL ".join(
+            f"SELECT {i} AS merge_rank, l AS left_sym, rr AS right_sym, "
+            f"CAST(n AS BIGINT) AS n_occurrences FROM m{i}"
+            for i in range(1, n_merges + 1)
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
 
 
 @register("bpe_merge_table", _bpe_oracle(n_merges=8))
@@ -3802,6 +3818,33 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from py_data_pipeline_app_spark.operators.curation import bpe_merge_table
 
     return bpe_merge_table(load_table(spark, "documents", sf_dir), n_merges=8)
+
+
+@register("bpe_encoded_corpus", _bpe_oracle(n_merges=4, encode=True))
+def bpe_encoded_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 4-merge BPE table on the corpus, then ENCODE the corpus
+    with it (operators/curation bpe_apply — the consumer half a
+    tokenizer runs on new text): the merge chain applies as 4 nested
+    literal replaces in ONE projection fused into the scan, zero
+    shuffle, zero per-row Python; per-doc output is the encoded symbol
+    string plus symbol/token counts (compression ratio is a projection
+    away). The oracle reuses the unrolled training chain's fixpoint
+    state as the expected encoding, so training AND application
+    value-hash in one derivation."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(docs, n_merges=4)
+    encoded = bpe_apply(docs, merges)
+    return encoded.select(
+        "doc_id",
+        F.array_join("symbols", "‹").alias("encoded"),
+        "n_symbols",
+        "n_tokens",
+    )
 
 
 @register(

@@ -114,3 +114,60 @@ def test_merge_table_frame(spark):
     ]
     rows = [tuple(r) for r in df.collect()]
     assert rows[0] == (1, "u", "v", 3)
+
+
+def test_apply_reproduces_training_fixpoint(spark):
+    """Encoding the TRAINING corpus with the trained merge table must
+    land exactly on the trainer's final state (the defining property
+    of BPE application), including merged-symbol re-merges."""
+    from py_data_pipeline_app_spark.operators.curation import bpe_apply
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the cat",
+        "a cat a cat a cat a",
+        "the the the the",
+    ]
+
+    def py_apply(texts, merges):
+        out = []
+        for t in texts:
+            d = t.split()
+            for _, a, b, _ in merges:
+                nd, i = [], 0
+                while i < len(d):
+                    if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                        nd.append(a + " " + b)
+                        i += 2
+                    else:
+                        nd.append(d[i])
+                        i += 1
+                d = nd
+            out.append(d)
+        return out
+
+    df = _df(spark, texts)
+    merges = bpe_train(df, n_merges=4)
+    got = {
+        r.doc_id: (list(r.symbols), r.n_symbols, r.n_tokens)
+        for r in bpe_apply(df, merges).collect()
+    }
+    want = py_apply(texts, merges)
+    for i, t in enumerate(texts):
+        syms, n_syms, n_toks = got[i]
+        assert syms == want[i], (i, syms, want[i])
+        assert n_syms == len(want[i])
+        assert n_toks == len(t.split())
+
+
+def test_apply_to_unseen_text(spark):
+    """The tokenizer use case: merges trained on one corpus encode NEW
+    text; unseen symbols pass through unmerged."""
+    from py_data_pipeline_app_spark.operators.curation import bpe_apply
+
+    train = _df(spark, ["x y z"] * 3)
+    merges = bpe_train(train, n_merges=2)  # (x,y) then (x y,z)
+    new = _df(spark, ["x y z w x y", "w w"])
+    got = {r.doc_id: list(r.symbols) for r in bpe_apply(new, merges).collect()}
+    assert got[0] == ["x y z", "w", "x y"]
+    assert got[1] == ["w", "w"]

@@ -71,6 +71,7 @@ FAMILY = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_appended",
+    "similarity_topk_ivfpq_rerank",
     "embedding_dim_stats",
     "embedding_outliers",
     "text_lang_id",
@@ -89,6 +90,8 @@ FAMILY = [
     "source_temperature_mix",
     "source_epoch_mix",
     "corpus_bigram_merges",
+    "bpe_merge_table",
+    "bpe_encoded_corpus",
     "benchmark_decontamination",
     "benchmark_span_scrub",
     "cross_corpus_decontamination",
