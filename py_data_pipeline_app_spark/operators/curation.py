@@ -708,19 +708,17 @@ def bpe_train(
             break  # no document has two symbols left — trained out
         l, r, n = top[0].l, top[0].r, int(top[0].n)
         merges.append((rank, l, r, n))
+        # F.replace with literal Columns, not a SQL-literal expr: a
+        # symbol containing a quote or backslash must never re-enter
+        # the parser (bpe_apply makes the same choice)
         state = state.select(
-            F.expr(
-                "replace(_s, '‹' || {l} || '›‹' || {r} || '›',"
-                " '‹' || {l} || ' ' || {r} || '›')".format(
-                    l=f"'{_sql_quote(l)}'", r=f"'{_sql_quote(r)}'"
-                )
+            F.replace(
+                F.col("_s"),
+                F.lit(f"‹{l}›‹{r}›"),
+                F.lit(f"‹{l} {r}›"),
             ).alias("_s")
         ).localCheckpoint()
     return merges
-
-
-def _sql_quote(s: str) -> str:
-    return s.replace("'", "''")
 
 
 def bpe_apply(
