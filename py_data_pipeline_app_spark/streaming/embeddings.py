@@ -48,8 +48,14 @@ def start_embedding_ingest_stream(
     results independent of arrival order, parity-tested against one
     full rebuild). ``index_kind`` picks the layout: ``"ivf"`` appends
     raw vectors, ``"ivfpq"`` appends PQ codes (the compressed feed —
-    same plumbing, 1/32 the bytes landing per batch). Both layouts
-    auto-compact keep-newest every ``compact_every`` batches.
+    same plumbing, 1/32 the bytes landing per batch), ``"semantic"``
+    folds the batch into the persisted SemDeDup index
+    (``build_semantic_index`` — kept verdicts computed against
+    within-cluster history only; the feed must deliver per-cluster
+    monotonically increasing ids, which a replayed micro-batch
+    satisfies because the append excludes its own token's directory
+    from history). All layouts auto-compact keep-newest every
+    ``compact_every`` batches.
     ``availableNow`` drains the landing directory and terminates, so
     repeated calls with one checkpoint fold newly landed files
     incrementally."""
@@ -60,14 +66,23 @@ def start_embedding_ingest_stream(
     from py_data_pipeline_app_spark.operators.similarity import (
         ivf_index_append,
         ivf_index_compact,
+        semantic_index_append,
+        semantic_index_compact,
     )
 
-    if index_kind not in ("ivf", "ivfpq"):
-        raise ValueError(f"index_kind must be 'ivf' or 'ivfpq', got {index_kind!r}")
+    kinds = {
+        "ivf": (ivf_index_append, ivf_index_compact),
+        "ivfpq": (ivfpq_index_append, ivfpq_index_compact),
+        "semantic": (semantic_index_append, semantic_index_compact),
+    }
+    if index_kind not in kinds:
+        raise ValueError(
+            f"index_kind must be one of {sorted(kinds)}, got {index_kind!r}"
+        )
+    append, compact = kinds[index_kind]
     stream = spark.readStream.schema(schema).parquet(landing)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        append = ivf_index_append if index_kind == "ivf" else ivfpq_index_append
         append(
             spark,
             index_path,
@@ -77,9 +92,6 @@ def start_embedding_ingest_stream(
             batch_token=f"{batch_id:08d}",
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact = (
-                ivf_index_compact if index_kind == "ivf" else ivfpq_index_compact
-            )
             compact(spark, index_path, keep_newest=True)
 
     return (

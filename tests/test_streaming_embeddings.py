@@ -138,3 +138,58 @@ def test_streamed_ivfpq_appends_probe_like_full_rebuild(spark, emb, tmp_path):
         map(tuple, ivfpq_topk(spark, ref, queries, k=5, nprobe=4).collect())
     )
     assert got == want
+
+
+def test_streamed_semantic_appends_match_full_rebuild(spark, emb, tmp_path):
+    """index_kind='semantic': streamed id-range batches folded into the
+    persisted SemDeDup index must produce exactly the kept/dropped
+    verdicts of one full semantic_dedup rebuild over everything with
+    the initial corpus's centroids. (Range batches, not modulo — the
+    semantic append enforces per-cluster id monotonicity.)"""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _md5_sample_centroids,
+        build_semantic_index,
+        semantic_dedup,
+        semantic_index_state,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index = str(tmp_path / "index")
+    n = emb.count()
+    initial = emb.filter(F.col("vec_id") < n // 2)
+    build_semantic_index(initial, index, threshold=0.8, n_centroids=8)
+    for i, (lo, hi) in enumerate([(n // 2, 3 * n // 4), (3 * n // 4, n)]):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(f"{landing}/b{i}")
+        q = start_embedding_ingest_stream(
+            spark,
+            landing + "/*",
+            ckpt,
+            SCHEMA,
+            index,
+            index_kind="semantic",
+            compact_every=1,
+        )
+        q.awaitTermination(120)
+    got = sorted(
+        map(tuple, semantic_index_state(spark, index).collect())
+    )
+    emb_d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    init_d = emb_d.filter(F.col("vec_id") < n // 2)
+    cents_d = _md5_sample_centroids(
+        init_d, n_centroids=8, id_col="vec_id", vec_col="embedding"
+    )
+    want = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb_d, threshold=0.8, n_centroids=8, cents=cents_d
+            ).collect(),
+        )
+    )
+    assert got == want
