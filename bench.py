@@ -75,6 +75,7 @@ ALIASES = {
     "churned_high_balance_customers": "churned",
     "quality_linear_scores": "qual_lin",
     "dedup_cluster_assignment": "dd_cc",
+    "dedup_canonical_by_quality": "dd_canon",
     # embedding_near_dup is the scale-safe high-threshold config; the
     # low-threshold recall study and the sampled exact baseline are
     # retired to tests/test_retired.py (quadratic studies by design)

@@ -910,3 +910,58 @@ def winnowing_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def cluster_canonicals(
+    docs: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality_z",
+) -> DataFrame:
+    """Pick one CANONICAL document per near-dup cluster by QUALITY —
+    the selection policy production dedup actually wants: lowest-id
+    survivors (the `kept` flags of the pairwise operators) keep an
+    arbitrary member, while a crawl family should keep its
+    best-scoring version (the un-truncated, un-boilerplated copy) and
+    drop the rest.
+
+    Composition: ``pairs`` → :func:`connected_components` →
+    component per doc (docs in no pair are their own singleton
+    component), joined with ``scores`` (e.g.
+    quality_model.score_quality_linear), canonical = the
+    highest-scoring member, ties to the LOWEST id — deterministic
+    cross-engine because the score is 6dp-rounded before comparison.
+
+    Scale shape: the canonical pick is ONE ``max_by`` aggregation
+    keyed by component (map-side partial agg — no per-component
+    window over a mostly-singleton corpus), then a broadcast-friendly
+    re-join keyed by component. Returns (id, component_id,
+    canonical_id, score, is_canonical)."""
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("comp").alias("component_id")
+    )
+    member = (
+        docs.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component_id"), F.col(id_col)).alias(
+                "component_id"
+            ),
+        )
+        .join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    )
+    canon = member.groupBy("component_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)))
+        ).alias("canonical_id")
+    )
+    return member.join(canon, "component_id").select(
+        F.col(id_col),
+        "component_id",
+        "canonical_id",
+        F.col(score_col),
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )

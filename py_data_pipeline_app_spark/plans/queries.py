@@ -4519,10 +4519,11 @@ _SQL_ALL_STOP = "(" + ",".join(
 ) + ")"
 
 
-@register(
-    "quality_linear_scores",
-    f"""
-    WITH tok AS (
+# Shared quality-score CTE chain (ends in qscore(doc_id, quality_z)):
+# the pinned linear scorer recomputed in DuckDB — used by the
+# quality_linear_scores oracle and composed into the cluster-canonical
+# oracle (both engines share one derivation of the score).
+_QUALITY_SCORE_CTES = f"""tok AS (
       SELECT doc_id, unnest({_SQL_WS}) AS tok FROM documents
     ),
     tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
@@ -4542,20 +4543,24 @@ _SQL_ALL_STOP = "(" + ",".join(
              round(1.0 - s.c2::DOUBLE / (s.n * s.n)::DOUBLE, 6) AS f5,
              round(s.stop_hits::DOUBLE / s.n, 6) AS f6
       FROM sim s
-    )
-    SELECT doc_id,
-           round({_QB!r}
-                 + f1 * ({_QW["f_log_tokens"]!r})
-                 + f2 * ({_QW["f_distinct_ratio"]!r})
-                 + f5 * ({_QW["f_simpson"]!r})
-                 + f6 * ({_QW["f_stopword_share"]!r}), 6) AS quality_z,
-           round({_QB!r}
-                 + f1 * ({_QW["f_log_tokens"]!r})
-                 + f2 * ({_QW["f_distinct_ratio"]!r})
-                 + f5 * ({_QW["f_simpson"]!r})
-                 + f6 * ({_QW["f_stopword_share"]!r}), 6) > 0.0
-             AS predicted_good
-    FROM feat
+    ),
+    qscore AS (
+      SELECT doc_id,
+             round({_QB!r}
+                   + f1 * ({_QW["f_log_tokens"]!r})
+                   + f2 * ({_QW["f_distinct_ratio"]!r})
+                   + f5 * ({_QW["f_simpson"]!r})
+                   + f6 * ({_QW["f_stopword_share"]!r}), 6) AS quality_z
+      FROM feat
+    )"""
+
+
+@register(
+    "quality_linear_scores",
+    f"""
+    WITH {_QUALITY_SCORE_CTES}
+    SELECT doc_id, quality_z, quality_z > 0.0 AS predicted_good
+    FROM qscore
     """,
 )
 def quality_linear_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4579,6 +4584,73 @@ def quality_linear_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return score_quality_linear(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_canonical_by_quality",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM njpairs
+      UNION
+      SELECT id_b, id_a FROM njpairs
+    ),
+    reach(node, m) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    comp AS (
+      SELECT node AS doc_id, least(node, min(m)) AS component_id
+      FROM reach GROUP BY node
+    ),
+    {_QUALITY_SCORE_CTES},
+    member AS (
+      SELECT d.doc_id,
+             coalesce(c.component_id, d.doc_id) AS component_id,
+             q.quality_z
+      FROM documents d
+      LEFT JOIN comp c USING (doc_id)
+      JOIN qscore q ON q.doc_id = d.doc_id
+    ),
+    canon AS (
+      SELECT component_id, doc_id AS canonical_id FROM (
+        SELECT component_id, doc_id,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY quality_z DESC, doc_id) AS rn
+        FROM member
+      ) WHERE rn = 1
+    )
+    SELECT m.doc_id, m.component_id, c.canonical_id, m.quality_z,
+           m.doc_id = c.canonical_id AS is_canonical
+    FROM member m JOIN canon c USING (component_id)
+    """,
+)
+def dedup_canonical_by_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection for near-dup clusters
+    (operators/dedup cluster_canonicals): trigram-Jaccard pairs →
+    connected components → every document assigned its cluster
+    (singletons are their own), then ONE max_by aggregation per
+    component picks the highest-quality member (pinned linear scorer,
+    6dp-rounded so the argmax is engine-deterministic; ties to lowest
+    id) as the copy to KEEP — the policy production dedup wants
+    instead of lowest-id-survives, which keeps an arbitrary (often
+    truncated or boilerplated) family member. The oracle recomputes
+    transitive closure (recursive CTE), the quality score (shared
+    CTE chain with quality_linear_scores), and the per-cluster argmax
+    end-to-end."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        cluster_canonicals,
+        ngram_jaccard_pairs,
+    )
+    from py_data_pipeline_app_spark.operators.quality_model import (
+        score_quality_linear,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100)
+    scores = score_quality_linear(docs)
+    return cluster_canonicals(docs, pairs, scores)
 
 
 @register(

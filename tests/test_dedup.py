@@ -288,3 +288,39 @@ def test_cross_corpus_ngram_jaccard_matches_python_model(spark):
     # the exact duplicate pair scores 1.0; the superset pair is partial
     assert got[(2, 102)] == 1.0
     assert 0.3 <= got[(1, 101)] < 1.0
+
+
+def test_cluster_canonicals_picks_best_quality_not_lowest_id(spark):
+    """The canonical must be the highest-SCORING cluster member even
+    when it is not the lowest id (the policy difference vs the kept
+    flags), ties broken to the lowest id; docs in no pair are their
+    own singleton canonical."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.dedup import cluster_canonicals
+
+    docs = local_rows_df(
+        spark, "doc_id long", [(1,), (2,), (3,), (7,), (8,), (9,)]
+    )
+    # chain cluster {1,2,3} (1-2, 2-3), pair cluster {7,8}, singleton 9
+    pairs = local_rows_df(
+        spark,
+        "id_a long, id_b long",
+        [(1, 2), (2, 3), (7, 8)],
+    )
+    scores = local_rows_df(
+        spark,
+        "doc_id long, quality_z double",
+        [(1, 0.1), (2, 0.9), (3, 0.5), (7, 0.4), (8, 0.4), (9, -1.0)],
+    )
+    out = {
+        r.doc_id: r for r in cluster_canonicals(docs, pairs, scores).collect()
+    }
+    assert out[1].canonical_id == 2 and not out[1].is_canonical
+    assert out[2].canonical_id == 2 and out[2].is_canonical
+    assert out[3].canonical_id == 2
+    assert {out[1].component_id, out[2].component_id, out[3].component_id} == {1}
+    # tie at 0.4 -> lowest id wins
+    assert out[7].canonical_id == 7 and out[7].is_canonical
+    assert out[8].canonical_id == 7 and not out[8].is_canonical
+    # singleton is its own canonical
+    assert out[9].component_id == 9 and out[9].is_canonical
