@@ -300,28 +300,46 @@ def _video_frames(payload: bytes, dim: int) -> list[float]:
 
     if not payload:
         return [0.0] * dim
+
+    def frames():
+        with av.open(io.BytesIO(payload)) as container:
+            stream = next(s for s in container.streams if s.type == "video")
+            for i, frame in enumerate(container.decode(stream)):
+                if i >= 8:
+                    break
+                yield frame.to_ndarray(format="rgb24")
+
+    return _frames_histogram(frames(), dim)
+
+
+def _frames_histogram(frames, dim: int) -> list[float]:
+    """Mean per-channel intensity histogram over an iterable of
+    (H, W, 3) uint8 frame arrays — the feature arithmetic of
+    :func:`_video_frames`, split from the PyAV decode (the
+    :func:`_rgb_histogram` pattern) so it is executable and pinned by
+    an expected-vector test in environments without the codec stack.
+    Accumulates in float64, averages, then casts to float32 — the
+    order the decoder always used, kept verbatim so pinned vectors
+    stay valid when PyAV appears."""
+    import numpy as np
+
     buckets = max(1, dim // 3)
     acc = np.zeros(dim, dtype=np.float64)
     n_used = 0
-    with av.open(io.BytesIO(payload)) as container:
-        stream = next(s for s in container.streams if s.type == "video")
-        for i, frame in enumerate(container.decode(stream)):
-            if i >= 8:
+    for arr in frames:
+        n_px = arr.shape[0] * arr.shape[1]
+        for c in range(3):
+            idx = np.minimum(
+                arr[..., c].reshape(-1).astype(np.int32) * buckets // 256,
+                buckets - 1,
+            )
+            counts = np.bincount(idx, minlength=buckets)[:buckets]
+            lo = c * buckets
+            if lo >= dim:
                 break
-            arr = frame.to_ndarray(format="rgb24")
-            n_px = arr.shape[0] * arr.shape[1]
-            for c in range(3):
-                idx = np.minimum(
-                    arr[..., c].reshape(-1).astype(np.int32) * buckets // 256,
-                    buckets - 1,
-                )
-                counts = np.bincount(idx, minlength=buckets)[:buckets]
-                lo = c * buckets
-                if lo >= dim:
-                    break
-                span = min(buckets, dim - lo)
-                acc[lo : lo + span] += counts[:span] / n_px
-            n_used += 1
+            span = min(buckets, dim - lo)
+            acc[lo : lo + span] += counts[:span] / n_px
+        n_used += 1
     if not n_used:
         return [0.0] * dim
     return [float(x) for x in (acc / n_used).astype(np.float32)]

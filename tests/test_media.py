@@ -458,3 +458,24 @@ def test_image_rgb_matches_pinned_vector_when_pillow_present():
     from py_data_pipeline_app_spark.operators.media import _image_rgb
 
     assert _image_rgb(_write_png(_PNG_PIXELS), 9) == _EXPECTED_DIM9
+
+
+def test_video_frames_histogram_pinned_without_codec():
+    """In-container executable video-path assertion (the _rgb_histogram
+    pattern): the production per-frame averaging arithmetic runs on
+    synthetic frames and matches a hand-computed pinned vector. Frame
+    1 is all-red, frame 2 all-white: per channel the two frames'
+    histograms average to half-mass in the buckets each saturates."""
+    import numpy as np
+
+    from py_data_pipeline_app_spark.operators.media import _frames_histogram
+
+    red = np.zeros((2, 2, 3), dtype=np.uint8)
+    red[..., 0] = 255
+    white = np.full((2, 2, 3), 255, dtype=np.uint8)
+    got = _frames_histogram(iter([red, white]), 9)
+    # R: frame1 bucket2=1.0, frame2 bucket2=1.0 -> [0, 0, 1]
+    # G/B: frame1 bucket0=1.0, frame2 bucket2=1.0 -> [0.5, 0, 0.5]
+    assert got == [0.0, 0.0, 1.0, 0.5, 0.0, 0.5, 0.5, 0.0, 0.5]
+    # no frames decoded -> zero vector, not NaN
+    assert _frames_histogram(iter([]), 9) == [0.0] * 9
