@@ -48,6 +48,7 @@ BLOCKED_NEAR_DUP = [
     "embedding_near_dup",
     "dedup_cluster_assignment_star",
     "dedup_incremental_lsh",
+    "dedup_canonical_by_quality",
 ]
 
 
