@@ -106,6 +106,7 @@ ALIASES = {
     "sequence_packing": "seqpack",
     "training_set_curation_leakage_safe": "curation_ls",
     "training_set_curation_v2": "curation2",
+    "training_set_curation_semantic": "curation_sem",
     "split_leakage_audit": "leak_audit",
     "source_cap_sample": "src_cap",
     "source_temperature_mix": "src_temp",

@@ -4654,6 +4654,119 @@ def dedup_canonical_by_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_set_curation_semantic",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS embedding
+      FROM embeddings
+    ),
+    hk AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+               AS _hk
+      FROM corpus
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY _hk) - 1 AS centroid_id, embedding AS cvec
+      FROM hk ORDER BY _hk LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC,
+                                           c.centroid_id) AS rn
+        FROM corpus e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    sem_dropped AS (
+      SELECT DISTINCT b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 9) >= 0.9
+    ),
+    verdict AS (
+      SELECT s.vec_id AS doc_id, d.id_b IS NULL AS kept
+      FROM assigned s LEFT JOIN sem_dropped d ON s.vec_id = d.id_b
+    ),
+    {_QUALITY_SCORE_CTES},
+    labeled AS (
+      SELECT d.doc_id, d.source,
+             {sql_hash_split_case('d.doc_id', _SPLIT_WEIGHTS)} AS split,
+             coalesce(v.kept, TRUE) AS kept,
+             q.quality_z > 0.0 AS good,
+             s.n AS n_tokens
+      FROM documents d
+      LEFT JOIN verdict v USING (doc_id)
+      JOIN qscore q ON q.doc_id = d.doc_id
+      JOIN sim s ON s.doc_id = d.doc_id
+    )
+    SELECT split, source,
+           CAST(sum(CASE WHEN kept AND good THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_semantic,
+           CAST(sum(CASE WHEN kept AND NOT good THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_quality,
+           CAST(sum(CASE WHEN kept AND good THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS retained_tokens
+    FROM labeled GROUP BY split, source
+    """,
+)
+def training_set_curation_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-side curation composition (the v2 pipeline's text
+    passes have a semantic sibling now that round 9 gave SemDeDup its
+    full lifecycle): semantic near-dup verdicts over the embedding
+    table (zero-shuffle assignment, within-cluster pairs only) join
+    the document table on the shared id space — documents without an
+    embedding pass through kept (coalesce TRUE, the honest default
+    for a partially-embedded corpus: 2000 of 5000 docs carry vectors
+    at sf0.1) — then the pinned linear quality scorer gates survivors
+    and a deterministic hash split buckets what remains. Output: per
+    (split, source) retention accounting — retained docs/tokens plus
+    the two drop reasons separately, the numbers a data-mixture
+    planner actually consumes. One corpus scan for quality, one for
+    tokens (shared), the verdict and reputation frames broadcast."""
+    from py_data_pipeline_app_spark.functions.text import tokens as _tokens
+    from py_data_pipeline_app_spark.operators.quality_model import (
+        score_quality_linear,
+    )
+    from py_data_pipeline_app_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    verdict = semantic_dedup(emb, threshold=0.9, n_centroids=16).select(
+        F.col("vec_id").alias("doc_id"), "kept"
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", "source", F.size(_tokens("text")).alias("n_tokens")
+    )
+    scored = score_quality_linear(docs).select("doc_id", "quality_z")
+    labeled = (
+        base.join(F.broadcast(verdict), "doc_id", "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(True)))
+        .join(scored, "doc_id")
+        .withColumn("good", F.col("quality_z") > 0.0)
+    )
+    labeled = hash_split(labeled, "doc_id", _SPLIT_WEIGHTS)
+    kept_good = F.col("kept") & F.col("good")
+    return labeled.groupBy("split", "source").agg(
+        F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped_semantic"),
+        F.sum(F.when(F.col("kept") & ~F.col("good"), 1).otherwise(0)).alias(
+            "n_dropped_quality"
+        ),
+        F.sum(F.when(kept_good, F.col("n_tokens")).otherwise(0)).alias(
+            "retained_tokens"
+        ),
+    )
+
+
+@register(
     "interval_window_attribution",
     f"""
     WITH w AS (

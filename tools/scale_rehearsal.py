@@ -99,6 +99,7 @@ FAMILY = [
     "training_set_curation",
     "training_set_curation_leakage_safe",
     "training_set_curation_v2",
+    "training_set_curation_semantic",
     "split_leakage_audit",
     "dataset_split_profile",
     "stratified_lang_rebalance",
