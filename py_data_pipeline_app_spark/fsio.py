@@ -59,10 +59,20 @@ def delete(spark, path: str) -> None:
         fs.delete(p, True)
 
 
-def rename(spark, src: str, dst: str) -> bool:
+def rename(spark, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst``, raising on failure.
+
+    ``FileSystem.rename`` reports most failures (dst exists, parent
+    missing, S3A copy+delete partial failure) by returning ``false``
+    rather than raising — unlike the ``os.rename`` it replaces here.
+    Every caller in this repo treats the rename as the commit point of
+    a staged-write protocol, where a silently-skipped rename followed
+    by source cleanup is unrecoverable data loss, so a ``False`` result
+    is always an error."""
     fs, s = hadoop_fs(spark, src)
     _, d = hadoop_fs(spark, dst)
-    return bool(fs.rename(s, d))
+    if not bool(fs.rename(s, d)):
+        raise IOError(f"rename failed: {src} -> {dst}")
 
 
 def child_entries(spark, path: str) -> list[tuple[str, bool]]:

@@ -933,12 +933,14 @@ def cluster_canonicals(
     quality_model.score_quality_linear), canonical = the
     highest-scoring member, ties to the LOWEST id — deterministic
     cross-engine because the score is 6dp-rounded before comparison.
+    ``score_col`` must be numeric; ``id_col`` may be any orderable
+    type (string doc keys included).
 
-    Scale shape: the canonical pick is ONE ``max_by`` aggregation
-    keyed by component (map-side partial agg — no per-component
-    window over a mostly-singleton corpus), then a broadcast-friendly
-    re-join keyed by component. Returns (id, component_id,
-    canonical_id, score, is_canonical)."""
+    Scale shape: the canonical pick is ONE ``min(struct(-score, id))``
+    aggregation keyed by component (map-side partial agg — no
+    per-component window over a mostly-singleton corpus), then a
+    broadcast-friendly re-join keyed by component. Returns (id,
+    component_id, canonical_id, score, is_canonical)."""
     comp = connected_components(pairs).select(
         F.col("node").alias(id_col), F.col("comp").alias("component_id")
     )
@@ -953,10 +955,18 @@ def cluster_canonicals(
         )
         .join(scores.select(F.col(id_col), F.col(score_col)), id_col)
     )
+    # argmax with (score desc, id asc) as ONE map-side-combinable agg:
+    # min over struct(-score, id) — the SCORE is negated (always
+    # numeric: it is a quality score), never the id, so string doc
+    # keys order naturally (max_by(id, struct(score, -id)) would fail
+    # analysis on a non-numeric id_col)
     canon = member.groupBy("component_id").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), (-F.col(id_col)))
-        ).alias("canonical_id")
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("_neg_score"),
+                F.col(id_col).alias("_id"),
+            )
+        )["_id"].alias("canonical_id")
     )
     return member.join(canon, "component_id").select(
         F.col(id_col),

@@ -654,6 +654,16 @@ def _hadoop_fs(spark, path: str):
     return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """FileSystem.rename reports most failures (dst exists, parent
+    missing, S3A partial copy) by returning ``false``; every rename in
+    the index lifecycle is the commit point of a staged write whose
+    sources get deleted right after, so a silent ``false`` here would
+    be unrecoverable loss — fail loudly instead (see fsio.rename)."""
+    if not bool(fs.rename(src, dst)):
+        raise IOError(f"index rename failed: {src} -> {dst}")
+
+
 def _write_append_batch(spark, rows: DataFrame, dest: str) -> None:
     """Write an index append batch ``partitionBy(centroid_id)`` under
     its idempotent ``batch-{token}`` directory — then REMOVE the
@@ -1468,10 +1478,10 @@ def _compact_assigned_locked(
     ):
         names = read_manifest(f"{index_path}/assigned-compact")
         if names is not None:  # interrupted swap: staged copy is the base
-            fs.rename(staged, base)
+            _rename_or_raise(fs, staged, base)
             cleanup(names)
     if not fs.exists(base) and fs.exists(old):
-        fs.rename(old, base)  # no usable staged copy: roll back
+        _rename_or_raise(fs, old, base)  # no usable staged copy: roll back
     if fs.exists(staged):
         fs.delete(staged, True)  # stale staging beside a live base
     leftover = read_manifest(f"{index_path}/assigned")
@@ -1523,8 +1533,8 @@ def _compact_assigned_locked(
     finally:
         out.close()
     fs.delete(old, True)
-    fs.rename(base, old)
-    fs.rename(staged, base)
+    _rename_or_raise(fs, base, old)
+    _rename_or_raise(fs, staged, base)
     cleanup({"appends": names, "deletes": del_names})
     if not keep_newest:
         fs.delete(appends_path, True)

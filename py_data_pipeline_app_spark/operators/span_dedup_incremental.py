@@ -209,7 +209,13 @@ def compact_fps(spark: SparkSession, index_path: str, *, keep_newest: bool = Fal
         # history distinct makes even that window semantically harmless
         staging = f"{index_path}/{FPS_SUBDIR}/_staging-{token}"
         merged.write.mode("overwrite").parquet(staging)
-        fs.rename(jvm(staging), jvm(f"{index_path}/{FPS_SUBDIR}/batch-{token}"))
+        if not bool(
+            fs.rename(jvm(staging), jvm(f"{index_path}/{FPS_SUBDIR}/batch-{token}"))
+        ):
+            # a silently-skipped rename followed by the source deletes
+            # below would lose the merged rows (FileSystem.rename reports
+            # most failures by returning false, not raising)
+            raise IOError(f"compaction rename failed: {staging}")
         for d in dirs:
             fs.delete(jvm(d), True)
         return len(dirs)

@@ -324,3 +324,30 @@ def test_cluster_canonicals_picks_best_quality_not_lowest_id(spark):
     assert out[8].canonical_id == 7 and not out[8].is_canonical
     # singleton is its own canonical
     assert out[9].component_id == 9 and out[9].is_canonical
+
+
+def test_cluster_canonicals_string_ids(spark):
+    """id_col is generic: string doc keys (the common shape for crawl
+    corpora) must work through the argmax and the tie-break — the
+    min(struct(-score, id)) form never negates the id."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.dedup import cluster_canonicals
+
+    docs = local_rows_df(
+        spark, "doc_id string", [("a",), ("b",), ("c",), ("z",)]
+    )
+    pairs = local_rows_df(
+        spark, "id_a string, id_b string", [("a", "b"), ("b", "c")]
+    )
+    scores = local_rows_df(
+        spark,
+        "doc_id string, quality_z double",
+        [("a", 0.2), ("b", 0.7), ("c", 0.7), ("z", 0.0)],
+    )
+    out = {
+        r.doc_id: r for r in cluster_canonicals(docs, pairs, scores).collect()
+    }
+    # tie at 0.7 between b and c -> lexicographically lowest id wins
+    assert out["a"].canonical_id == "b" and not out["a"].is_canonical
+    assert out["b"].is_canonical and out["c"].canonical_id == "b"
+    assert out["z"].is_canonical and out["z"].component_id == "z"

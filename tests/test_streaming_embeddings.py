@@ -176,19 +176,18 @@ def test_streamed_semantic_appends_match_full_rebuild(spark, emb, tmp_path):
     got = sorted(
         map(tuple, semantic_index_state(spark, index).collect())
     )
-    emb_d = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    init_d = emb_d.filter(F.col("vec_id") < n // 2)
-    cents_d = _md5_sample_centroids(
-        init_d, n_centroids=8, id_col="vec_id", vec_col="embedding"
+    # expected rebuild runs over the SAME raw float frame the stream
+    # ingested — a double-cast detour here would compute threshold
+    # cosines in different arithmetic than the index did, which can
+    # flip verdicts for vectors near the 0.8 boundary (latent flake)
+    cents_raw = _md5_sample_centroids(
+        initial, n_centroids=8, id_col="vec_id", vec_col="embedding"
     )
     want = sorted(
         map(
             tuple,
             semantic_dedup(
-                emb_d, threshold=0.8, n_centroids=8, cents=cents_d
+                emb, threshold=0.8, n_centroids=8, cents=cents_raw
             ).collect(),
         )
     )
