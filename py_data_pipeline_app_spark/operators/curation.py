@@ -646,21 +646,96 @@ def bigram_merge_candidates(
     )
 
 
+_BPE_EOW = "·"  # end-of-word marker for level="char" (Sennrich's </w>)
+
+
+def _bpe_guard_chars(level: str) -> str:
+    """Characters reserved by the BPE state machine at this level —
+    the symbol markers always, plus the end-of-word marker for char
+    level (a corpus containing them would fabricate fake symbol
+    boundaries, so both trainer and encoder refuse them loudly)."""
+    return "[‹›·]" if level == "char" else "[‹›]"
+
+
+def _bpe_state_expr(text_col: str, level: str):
+    """The marker-delimited symbol-string rendering of one document,
+    GUARDED: any row whose text contains a reserved marker character
+    raises inside the projection itself (``raise_error`` under a
+    ``when``), so the guard costs zero extra jobs — it rides whatever
+    action first materializes the state (bpe_train's first-round
+    localCheckpoint, or the consumer's action through bpe_apply)
+    instead of a dedicated full-corpus pre-scan.
+
+    - ``word``: symbols are whitespace tokens — ``‹the›‹cat›``.
+    - ``char``: symbols are characters WITHIN words, the last char of
+      each word suffixed with the end-of-word marker (Sennrich et al.
+      2016's actual setup) — ``cat`` → ``‹c›‹a›‹t·›`` — and words
+      abut with no separator, so word boundaries are exactly the
+      positions after a ``·``-final symbol."""
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    if level == "word":
+        body = F.concat(F.lit("‹"), F.array_join(toks, "›‹"), F.lit("›"))
+    else:
+        body = F.array_join(
+            F.transform(
+                toks,
+                lambda w: F.concat(
+                    F.lit("‹"),
+                    F.array_join(F.split(w, ""), "›‹"),
+                    F.lit(_BPE_EOW + "›"),
+                ),
+            ),
+            "",
+        )
+    return F.when(
+        F.col(text_col).rlike(_bpe_guard_chars(level)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bpe: corpus text contains a reserved marker "
+                    f"character {_bpe_guard_chars(level)} - pre-scrub "
+                    "or re-tokenize: "
+                ),
+                F.substring(F.col(text_col), 1, 40),
+            )
+        ),
+    ).otherwise(body)
+
+
+def _bpe_merged_symbol(left: str, right: str, level: str) -> str:
+    """How a chosen pair renders as ONE symbol: word level space-joins
+    (symbols are token groups), char level concatenates directly
+    (symbols are subword strings — ``c``+``a`` → ``ca``)."""
+    return f"{left} {right}" if level == "word" else f"{left}{right}"
+
+
 def bpe_train(
     docs: DataFrame,
     *,
     n_merges: int = 8,
     text_col: str = "text",
+    level: str = "word",
 ) -> list[tuple[int, str, str, int]]:
     """Iterative BPE vocabulary induction over word symbols — the loop
     driver :func:`bigram_merge_candidates` is one round of (round-8
     verdict missing #4): repeat ``n_merges`` times {count adjacent
     symbol pairs, take the most frequent (ties: lexicographic pair),
     merge it greedily left-to-right in every document}. Returns the
-    merge table [(rank, left, right, n_occurrences)] — symbols are
-    space-joined token groups, so round r's pair can contain round
-    r-1's merge, exactly the classic algorithm (Sennrich et al. 2016)
-    lifted from characters-in-words to words-in-documents.
+    merge table [(rank, left, right, n_occurrences)].
+
+    ``level`` picks the symbol alphabet:
+    - ``"word"``: symbols start as whitespace tokens and merges
+      space-join them — the classic algorithm (Sennrich et al. 2016)
+      lifted from characters-in-words to words-in-documents (phrase
+      induction).
+    - ``"char"``: Sennrich's ACTUAL algorithm — symbols start as
+      characters within whitespace-tokenized words, the final char of
+      each word carrying an end-of-word marker (``·``, the paper's
+      ``</w>``), merges concatenate directly and NEVER cross a word
+      boundary (pairs whose left symbol is word-final are excluded
+      from counting, and since every boundary-adjacent symbol is
+      ``·``-final, the chosen pair's literal replace cannot span one
+      either). This mode induces a real subword vocabulary.
 
     Distribution shape — each round is:
     - ONE keyed count with map-side combine over per-row generated
@@ -675,19 +750,21 @@ def bpe_train(
     The driver holds only the n_merges winning pairs (one 1-row
     collect per round — the k-means-style sanctioned loop collect)
     and the state localCheckpoints every round so plan depth stays
-    constant. The marker characters must not appear in the corpus;
-    violated input fails loudly rather than corrupting symbols."""
-    toks = F.filter(tokens(text_col), lambda x: x != "")
-    if docs.filter(F.col(text_col).rlike("[‹›]")).limit(1).count() > 0:
-        raise ValueError(
-            "bpe_train: corpus text contains the symbol marker "
-            "characters '‹'/'›' - pre-scrub them or re-tokenize"
-        )
-    state = docs.select(
-        F.concat(
-            F.lit("‹"), F.array_join(toks, "›‹"), F.lit("›")
-        ).alias("_s")
-    ).localCheckpoint()
+    constant. The reserved marker characters must not appear in the
+    corpus; violated input fails loudly INSIDE the first round's
+    state materialization (``raise_error`` folded into the rendering
+    projection — no dedicated full-corpus guard scan) rather than
+    corrupting symbols."""
+    if level not in ("word", "char"):
+        raise ValueError(f"bpe_train: unknown level {level!r}")
+    try:
+        state = docs.select(
+            _bpe_state_expr(text_col, level).alias("_s")
+        ).localCheckpoint()
+    except Exception as e:  # surface the projection guard as ValueError
+        if "reserved marker" in str(e):
+            raise ValueError(str(e)) from e
+        raise
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         syms = F.split(F.expr("substring(_s, 2, length(_s) - 2)"), "›‹")
@@ -696,9 +773,13 @@ def bpe_train(
             F.slice(syms, 2, F.size(syms) - 1),
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         )
+        cand = state.select(F.explode(pairs).alias("p"))
+        if level == "char":
+            # a ·-final left symbol is the end of a word: that pair
+            # straddles a boundary and is never a merge candidate
+            cand = cand.filter(~F.col("p.l").endswith(_BPE_EOW))
         top = (
-            state.select(F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            cand.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "l", "r")
             .limit(1)
@@ -715,7 +796,7 @@ def bpe_train(
             F.replace(
                 F.col("_s"),
                 F.lit(f"‹{l}›‹{r}›"),
-                F.lit(f"‹{l} {r}›"),
+                F.lit(f"‹{_bpe_merged_symbol(l, r, level)}›"),
             ).alias("_s")
         ).localCheckpoint()
     return merges
@@ -727,6 +808,7 @@ def bpe_apply(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    level: str = "word",
 ) -> DataFrame:
     """Encode documents with a trained merge table (the consumer half
     of :func:`bpe_train` — a tokenizer applies merges in rank order to
@@ -739,14 +821,21 @@ def bpe_apply(
 
     Returns (id, symbols, n_symbols, n_tokens): the encoded symbol
     sequence plus the raw-token count, so compression ratio
-    (n_tokens/n_symbols) is a projection away."""
+    (n_tokens/n_symbols) is a projection away. ``level`` must match
+    the trainer's. Unseen text containing a reserved marker character
+    would silently fabricate fake symbol boundaries, so the same
+    projection guard as :func:`bpe_train` rides the encode — it fires
+    (as a Spark USER_RAISED_EXCEPTION) on whatever action the
+    consumer runs, still zero extra jobs."""
+    if level not in ("word", "char"):
+        raise ValueError(f"bpe_apply: unknown level {level!r}")
     toks = F.filter(tokens(text_col), lambda x: x != "")
-    enc = F.concat(F.lit("‹"), F.array_join(toks, "›‹"), F.lit("›"))
+    enc = _bpe_state_expr(text_col, level)
     for _, left, right, _ in sorted(merges):
         enc = F.replace(
             enc,
             F.lit(f"‹{left}›‹{right}›"),
-            F.lit(f"‹{left} {right}›"),
+            F.lit(f"‹{_bpe_merged_symbol(left, right, level)}›"),
         )
     staged = docs.select(
         F.col(id_col), F.size(toks).alias("n_tokens"), enc.alias("_enc")
@@ -763,7 +852,11 @@ def bpe_apply(
 
 
 def bpe_merge_table(
-    docs: DataFrame, *, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+    level: str = "word",
 ) -> DataFrame:
     """:func:`bpe_train` as a relation: (merge_rank, left, right,
     n_occurrences) — the registered-query wrapper (the merge table is
@@ -771,7 +864,7 @@ def bpe_merge_table(
     literal frame)."""
     from py_data_pipeline_app_spark.functions.frames import local_rows_df
 
-    rows = bpe_train(docs, n_merges=n_merges, text_col=text_col)
+    rows = bpe_train(docs, n_merges=n_merges, text_col=text_col, level=level)
     return local_rows_df(
         docs.sparkSession,
         "merge_rank int, left_sym string, right_sym string, n_occurrences bigint",

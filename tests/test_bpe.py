@@ -171,3 +171,138 @@ def test_apply_to_unseen_text(spark):
     got = {r.doc_id: list(r.symbols) for r in bpe_apply(new, merges).collect()}
     assert got[0] == ["x y z", "w", "x y"]
     assert got[1] == ["w", "w"]
+
+
+def py_char_bpe(texts, n_merges):
+    """Reference char-level BPE (Sennrich et al. 2016): symbols are
+    characters within whitespace words, last char carries the
+    end-of-word marker, merges concatenate and never cross words."""
+    docs = []
+    for t in texts:
+        for w in t.split():
+            syms = list(w)
+            syms[-1] += "·"
+            docs.append(syms)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        new_docs = []
+        for d in docs:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            new_docs.append(out)
+        docs = new_docs
+    return merges
+
+
+def test_char_level_matches_reference(spark):
+    texts = [
+        "low lower lowest",
+        "new newer newest",
+        "low new low new",
+        "wider wide widest",
+    ]
+    assert bpe_train(_df(spark, texts), n_merges=8, level="char") == py_char_bpe(
+        texts, 8
+    )
+
+
+def test_char_level_multibyte(spark):
+    # multi-byte (incl. astral-plane) chars split by code point, never
+    # by UTF-16 unit — a broken surrogate half would corrupt symbols
+    texts = ["héllo héllo", "日本 日本 日本語", "a🦀 b🦀 c🦀"]
+    got = bpe_train(_df(spark, texts), n_merges=5, level="char")
+    assert got == py_char_bpe(texts, 5)
+
+
+def test_char_level_never_crosses_word_boundary(spark):
+    # 'ab' is frequent INSIDE words; the cross-boundary bigram b|a
+    # (".b a.") is even more frequent as adjacent chars but must never
+    # be proposed because the left symbol is word-final
+    texts = ["xb ab xb ab xb ab", "ab xb ab xb"]
+    merges = bpe_train(_df(spark, texts), n_merges=3, level="char")
+    for _, left, _r, _n in merges:
+        assert not left.endswith("·"), merges
+    assert merges == py_char_bpe(texts, 3)
+
+
+def test_char_level_apply_reproduces_training_fixpoint(spark):
+    from py_data_pipeline_app_spark.operators.curation import bpe_apply
+
+    texts = ["low lower newest", "new newer lowest", "low low low"]
+    df = _df(spark, texts)
+    merges = bpe_train(df, n_merges=6, level="char")
+    enc = {
+        r.doc_id: (list(r.symbols), r.n_symbols, r.n_tokens)
+        for r in bpe_apply(df, merges, level="char").collect()
+    }
+    # replay the trained merges over the python reference state
+    docs = {}
+    for i, t in enumerate(texts):
+        syms = []
+        for w in t.split():
+            cs = list(w)
+            cs[-1] += "·"
+            syms.extend(cs)
+        docs[i] = syms
+    for _, a, b, _n in merges:
+        for i, d in docs.items():
+            out, j = [], 0
+            while j < len(d):
+                if j + 1 < len(d) and d[j] == a and d[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(d[j])
+                    j += 1
+            docs[i] = out
+    for i, t in enumerate(texts):
+        assert enc[i] == (docs[i], len(docs[i]), len(t.split()))
+
+
+def test_char_level_eow_marker_refused(spark):
+    with pytest.raises(ValueError, match="marker"):
+        bpe_train(_df(spark, ["mid·dot here"]), n_merges=1, level="char")
+    # word level does not reserve the middle dot
+    assert bpe_train(_df(spark, ["mid·dot here"]), n_merges=1) == [
+        (1, "mid·dot", "here", 1)
+    ]
+
+
+def test_apply_refuses_marker_in_unseen_text(spark):
+    """bpe_apply's guard rides the consumer's action: encoding unseen
+    text containing a reserved marker char must raise, not fabricate
+    symbol boundaries."""
+    from py_data_pipeline_app_spark.operators.curation import bpe_apply
+
+    merges = bpe_train(_df(spark, ["a b a b"]), n_merges=1)
+    bad = _df(spark, ["fresh ‹text›"])
+    with pytest.raises(Exception, match="reserved marker"):
+        bpe_apply(bad, merges).collect()
+
+
+def test_train_guard_costs_no_extra_job(spark):
+    """The marker guard is folded into the first-round state
+    projection (raise_error under when), not a dedicated pre-loop
+    count action: a 1-merge train is {checkpoint, pair-count,
+    rewrite-checkpoint} = 3 jobs (+ possible AQE probes), where the
+    old pre-scan made it 4+."""
+    df = _df(spark, ["a b a b", "a b c"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    bpe_train(df, n_merges=1)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 3
