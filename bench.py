@@ -114,6 +114,7 @@ ALIASES = {
     "corpus_bigram_merges": "bigrams",
     "bpe_merge_table": "bpe",
     "bpe_encoded_corpus": "bpe_enc",
+    "bpe_char_merge_table": "bpe_ch",
     "text_token_diversity": "txt_div",
     "text_perplexity_buckets": "ppl_bkt",
     "text_html_strip": "html",

@@ -1631,13 +1631,18 @@ def _ivfpq_oracle(
 ) -> str:
     """DuckDB mirror of the FULL ivfpq_topk computation: the md5-ordered
     centroid pick + argmax bucket assignment + nprobe probing of
-    _ivf_oracle composed with the codebook pick + per-subspace encode +
-    ordered ADC fold of _pq_oracle — scoring restricted to each query's
-    probed buckets. Every step deterministic; recall vs exact asserted
-    in tests. ``sample_src`` is the relation BOTH deterministic samples
-    (centroids and codebooks) are drawn from — the full corpus for
-    build-everything queries, the initial batch for the incremental
-    append-parity query (appends never move either table). ``deleted``
+    _ivf_oracle composed with the RESIDUAL codebook pick + per-subspace
+    residual encode + ordered ADC fold — scoring restricted to each
+    query's probed buckets. Codes quantize ``r = x − q1(x)`` (IVFADC,
+    Jégou et al. 2011 §V): the codebook sample is the residuals of the
+    same md5-ordered rows, ``approx_norm`` is ‖q1(x) + q2(r)‖, and the
+    score numerator decomposes as ``q·q1(x) + Σ_s qtab[s][code_s]``
+    with the first term exact per (query, centroid). Every step
+    deterministic; recall vs exact asserted in tests. ``sample_src``
+    is the relation BOTH deterministic samples (centroids and residual
+    codebooks) are drawn from — the full corpus for build-everything
+    queries, the initial batch for the incremental append-parity query
+    (appends never move either table). ``deleted``
     is a predicate over ``n`` (the encoded index rows) naming
     tombstoned ids — deletion filters index rows only, the
     ivfpq_index_delete contract. ``rerank_from`` mirrors
@@ -1649,8 +1654,8 @@ def _ivfpq_oracle(
     cos_qc = _sql_cos("q.embedding", "c.cvec")
     l2sq = (
         f"list_reduce(list_transform(range(1, {dsub + 1}), "
-        f"i -> (e.embedding[c.sub_id*{dsub}+i]::DOUBLE - c.codeword[i]) * "
-        f"(e.embedding[c.sub_id*{dsub}+i]::DOUBLE - c.codeword[i])), (x, y) -> x + y)"
+        f"i -> (e.rvec[c.sub_id*{dsub}+i] - c.codeword[i]) * "
+        f"(e.rvec[c.sub_id*{dsub}+i] - c.codeword[i])), (x, y) -> x + y)"
     )
     qdot = (
         f"list_reduce(list_transform(range(1, {dsub + 1}), "
@@ -1658,6 +1663,11 @@ def _ivfpq_oracle(
         "(x, y) -> x + y)"
     )
     qnorm = "sqrt(" + _SQL_DOT.format(a="q.embedding", b="q.embedding") + ")"
+    qcent = _SQL_DOT.format(a="q.embedding", b="c.cvec")
+    rvec = (
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+    )
     del_where = f"WHERE NOT ({deleted})" if deleted else ""
     if rerank_from is not None:
         cos_qv = _sql_cos("q.embedding", "v.embedding")
@@ -1719,14 +1729,22 @@ def _ivfpq_oracle(
         FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cents c
       ) WHERE rn <= {nprobe}
     ),
+    racent AS (
+      SELECT e.vec_id, a.centroid_id, {rvec} AS rvec
+      FROM embeddings e
+      JOIN acent a USING (vec_id)
+      JOIN cents c USING (centroid_id)
+    ),
     cbrows AS (
-      SELECT row_number() OVER (ORDER BY _hk) - 1 AS code_id, embedding AS cvec
-      FROM hk ORDER BY _hk LIMIT {ksub}
+      SELECT row_number() OVER (ORDER BY h._hk) - 1 AS code_id, r.rvec
+      FROM (SELECT vec_id, _hk FROM hk ORDER BY _hk LIMIT {ksub}) h
+      JOIN racent r USING (vec_id)
+      ORDER BY h._hk
     ),
     cb AS (
       SELECT s.s AS sub_id, code_id,
              list_transform(range(s.s*{dsub}+1, s.s*{dsub}+{dsub}+1),
-                            i -> cvec[i]::DOUBLE) AS codeword
+                            i -> rvec[i]) AS codeword
       FROM cbrows, (SELECT unnest(range(0, {m})) AS s) s
     ),
     enc AS (
@@ -1734,28 +1752,37 @@ def _ivfpq_oracle(
         SELECT e.vec_id, c.sub_id, c.code_id, c.codeword,
                row_number() OVER (PARTITION BY e.vec_id, c.sub_id
                                   ORDER BY {l2sq}, c.code_id) AS rn
-        FROM embeddings e CROSS JOIN cb c
+        FROM racent e CROSS JOIN cb c
       ) WHERE rn = 1
     ),
     norms AS (
-      SELECT vec_id,
+      SELECT n.vec_id,
              sqrt(list_reduce(
-               list_transform(flatten(list(codeword ORDER BY sub_id)),
-                              x -> x * x),
+               list_transform(range(1, {dim + 1}),
+                 i -> (cv.cvec[i]::DOUBLE + recon[i]) *
+                      (cv.cvec[i]::DOUBLE + recon[i])),
                (x, y) -> x + y)) AS approx_norm
-      FROM enc GROUP BY vec_id
+      FROM (
+        SELECT vec_id, flatten(list(codeword ORDER BY sub_id)) AS recon
+        FROM enc GROUP BY vec_id
+      ) n
+      JOIN acent a ON a.vec_id = n.vec_id
+      JOIN cents cv USING (centroid_id)
     ),
     qd AS (
-      SELECT p.query_id, n.vec_id, n.sub_id, {qnorm} AS _qnorm, {qdot} AS qd
+      SELECT p.query_id, n.vec_id, n.sub_id, {qnorm} AS _qnorm, {qdot} AS qd,
+             {qcent} AS qc
       FROM probes p
       JOIN acent a USING (centroid_id)
+      JOIN cents c USING (centroid_id)
       JOIN enc n ON n.vec_id = a.vec_id
       JOIN embeddings q ON q.vec_id = p.query_id
       {del_where}
     ),
     scored AS (
       SELECT query_id, vec_id,
-             round(list_reduce(list(qd ORDER BY sub_id), (x, y) -> x + y)
+             round((any_value(qc)
+                    + list_reduce(list(qd ORDER BY sub_id), (x, y) -> x + y))
                    / (any_value(_qnorm) * any_value(nm.approx_norm)), 9) AS score
       FROM qd JOIN norms nm USING (vec_id)
       GROUP BY query_id, vec_id
@@ -3745,7 +3772,7 @@ def corpus_bigram_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_merge_candidates(load_table(spark, "documents", sf_dir), k=50)
 
 
-def _bpe_oracle(n_merges: int, encode: bool = False) -> str:
+def _bpe_oracle(n_merges: int, encode: bool = False, level: str = "word") -> str:
     """DuckDB mirror of the FULL iterative bpe_train loop, unrolled:
     each round is three CTEs (pair count over the current symbol
     strings, deterministic top-1 pick, greedy merge application).
@@ -3756,12 +3783,33 @@ def _bpe_oracle(n_merges: int, encode: bool = False) -> str:
     overlap case). ``encode=True`` returns the final ENCODED corpus
     (bpe_apply's contract: per-doc symbol string after all merges)
     instead of the merge table — the loop's fixpoint state doubles as
-    the apply oracle, so training and encoding share one derivation."""
+    the apply oracle, so training and encoding share one derivation.
+    ``level="char"`` mirrors the subword mode: per-word character
+    symbols with the ``·`` end-of-word marker (DuckDB's
+    ``string_split(w, '')`` splits by code point exactly like the
+    JVM's zero-width regex split), word-final left symbols excluded
+    from pair counting, merges concatenating directly."""
+    if level == "word":
+        state0 = (
+            f"'‹' || array_to_string(list_filter({_SQL_WS}, x -> x <> ''), "
+            "'›‹') || '›'"
+        )
+        merged = "'‹' || m.l || ' ' || m.rr || '›'"
+        boundary = ""
+    else:
+        state0 = (
+            f"""array_to_string(list_transform(
+               list_filter({_SQL_WS}, x -> x <> ''),
+               w -> '‹' || array_to_string(string_split(w, ''), '›‹') || '·›'
+             ), '')"""
+        )
+        merged = "'‹' || m.l || m.rr || '›'"
+        boundary = "WHERE pr[1] NOT LIKE '%·'"
     parts = [
         f"""s0 AS (
       SELECT doc_id,
              CAST(len(list_filter({_SQL_WS}, x -> x <> '')) AS BIGINT) AS n_tokens,
-             '‹' || array_to_string(list_filter({_SQL_WS}, x -> x <> ''), '›‹') || '›' AS _s
+             {state0} AS _s
       FROM documents
     )"""
     ]
@@ -3774,13 +3822,13 @@ def _bpe_oracle(n_merges: int, encode: bool = False) -> str:
                                      j -> [syms[j], syms[j+1]])) AS pr
         FROM (SELECT string_split(substring(_s, 2, length(_s) - 2), '›‹') AS syms
               FROM s{i - 1})
-      ) GROUP BY 1, 2
+      ) {boundary} GROUP BY 1, 2
     ),
     m{i} AS (SELECT l, rr, n FROM p{i} ORDER BY n DESC, l, rr LIMIT 1),
     s{i} AS (
       SELECT doc_id, n_tokens,
              replace(_s, '‹' || m.l || '›‹' || m.rr || '›',
-                     '‹' || m.l || ' ' || m.rr || '›') AS _s
+                     {merged}) AS _s
       FROM s{i - 1} CROSS JOIN m{i} m
     )"""
         )
@@ -3844,6 +3892,28 @@ def bpe_encoded_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("symbols", "‹").alias("encoded"),
         "n_symbols",
         "n_tokens",
+    )
+
+
+@register("bpe_char_merge_table", _bpe_oracle(n_merges=8, level="char"))
+def bpe_char_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level BPE tokenizer induction — Sennrich et al.
+    2016's actual algorithm (operators/curation bpe_train
+    level="char"): symbols start as characters within whitespace
+    words, the final char of each word carrying the ``·`` end-of-word
+    marker, merges concatenate directly and never cross a word
+    boundary (word-final left symbols are excluded from pair
+    counting). Produces a real SUBWORD vocabulary — the word-level
+    twin (bpe_merge_table) induces phrases instead. Same distribution
+    shape: per round one keyed pair-count with map-side combine +
+    TakeOrdered(1) + one literal-replace projection, localCheckpoint
+    bounding plan depth. The oracle unrolls the identical char-state
+    loop in SQL, so a green row value-checks every round's pick AND
+    every greedy rewrite including the boundary exclusion."""
+    from py_data_pipeline_app_spark.operators.curation import bpe_merge_table
+
+    return bpe_merge_table(
+        load_table(spark, "documents", sf_dir), n_merges=8, level="char"
     )
 
 

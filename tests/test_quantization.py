@@ -180,14 +180,151 @@ def ivfpq_index(emb, tmp_path_factory):
     return path
 
 
-def test_ivfpq_full_probe_equals_pq(spark, emb, cb, queries, ivfpq_index):
-    """nprobe = n_centroids probes everything, so IVF-PQ must equal the
-    full-corpus PQ scan bit-for-bit."""
+@pytest.fixture(scope="module")
+def ivfpq_trained_index(spark, emb, tmp_path_factory):
+    """The PRODUCTION configuration: k-means coarse centroids and
+    k-means codebooks trained on the RESIDUALS — the combination where
+    IVFADC's residual encoding pays off (on random unit vectors the
+    md5-sample centroids only absorb ~0.2 cosine, so residuals come
+    out LARGER than the vectors and sampled-residual codes measure
+    recall 0.14 vs raw 0.30; with trained quantizers the residual
+    design measures 0.44 — strictly above every raw variant)."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        _with_residual,
+        build_ivfpq_index,
+    )
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _assign_to_centroids,
+        _centroid_rows,
+        train_centroids,
+    )
+
+    cent_rows = _centroid_rows(train_centroids(emb, n_centroids=16))
+    resid = _with_residual(
+        _assign_to_centroids(emb, cent_rows, id_col="vec_id", vec_col="embedding"),
+        cent_rows,
+        vec_col="embedding",
+    )
+    tcb = train_pq_codebooks(resid, m=M, ksub=KSUB, dim=DIM, vec_col="_rvec")
+    path = str(tmp_path_factory.mktemp("ivfpq_trained"))
+    build_ivfpq_index(
+        emb, path, n_centroids=16, m=M, ksub=KSUB, dim=DIM,
+        cents=cent_rows, codebooks=tcb,
+    )
+    return path
+
+
+def test_ivfpq_full_probe_matches_python_model(spark, emb, queries, ivfpq_index):
+    """The ENTIRE residual (IVFADC) pipeline recomputed in plain
+    Python — cosine-argmax coarse assignment, residual, md5-sampled
+    residual codebooks, per-subspace argmin encode, reconstruction
+    norm ‖q1(x)+q2(r)‖, and the decomposed score
+    (q·q1(x) + Σ qtab) / (‖q‖·approx_norm) — must reproduce the
+    full-probe index scores to 9dp (the in-container twin of the
+    DuckDB oracle)."""
+    import hashlib
+
     from py_data_pipeline_app_spark.operators.quantization import ivfpq_topk
 
-    got = ivfpq_topk(spark, ivfpq_index, queries, k=5, nprobe=16)
-    want = pq_topk(emb, queries, m=M, ksub=KSUB, dim=DIM, k=5, codebooks=cb)
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    hk = sorted(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16), v) for v in X
+    )
+
+    def dot(a, b):
+        s = 0.0
+        for p, q in zip(a, b):
+            s += p * q
+        return s
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    cents = [X[v] for _, v in hk[:16]]
+    assign = {
+        v: max(
+            range(16), key=lambda c: (dot(x, cents[c]) / (norm(x) * norm(cents[c])), -c)
+        )
+        for v, x in X.items()
+    }
+    resid = {v: [p - q for p, q in zip(x, cents[assign[v]])] for v, x in X.items()}
+    cb = [resid[v] for _, v in hk[:KSUB]]
+    dsub = DIM // M
+
+    def encode(r):
+        codes = []
+        for s in range(M):
+            sl = r[s * dsub : (s + 1) * dsub]
+            codes.append(
+                min(
+                    range(KSUB),
+                    key=lambda j: (
+                        sum(
+                            (p - q) * (p - q)
+                            for p, q in zip(sl, cb[j][s * dsub : (s + 1) * dsub])
+                        ),
+                        j,
+                    ),
+                )
+            )
+        return codes
+
+    want = {}
+    for r in queries.collect():
+        q, qn = list(map(float, r.embedding)), norm(list(map(float, r.embedding)))
+        scores = []
+        for v, x in X.items():
+            codes = encode(resid[v])
+            recon = [
+                c + w
+                for c, w in zip(
+                    cents[assign[v]],
+                    [w for s in range(M) for w in cb[codes[s]][s * dsub : (s + 1) * dsub]],
+                )
+            ]
+            num = dot(q, cents[assign[v]]) + sum(
+                dot(q[s * dsub : (s + 1) * dsub], cb[codes[s]][s * dsub : (s + 1) * dsub])
+                for s in range(M)
+            )
+            scores.append((round(num / (qn * norm(recon)), 9), v))
+        top = sorted(scores, key=lambda t: (-t[0], t[1]))[:5]
+        want[r.query_id] = [(v, s) for s, v in top]
+
+    got = ivfpq_topk(spark, ivfpq_index, queries, k=5, nprobe=16).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid, pairs in by_q.items():
+        for (gv, gs), (wv, ws) in zip(pairs, want[qid]):
+            assert gv == wv and abs(gs - ws) < 1e-8, (qid, pairs, want[qid])
+
+
+def test_residual_encoding_beats_raw_adc(spark, emb, cb, queries, ivfpq_trained_index):
+    """The point of IVFADC's residual codes (Jégou et al. 2011 §V):
+    with trained quantizers, full-probe residual ADC must strictly
+    beat the raw-vector PQ scan's recall (measured 0.44 vs 0.30 on
+    this data — random unit vectors, PQ's hardest case)."""
+    from py_data_pipeline_app_spark.operators.quantization import ivfpq_topk
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    raw = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk(
+            emb, queries, m=M, ksub=KSUB, dim=DIM, k=10, codebooks=cb
+        ).collect()
+    }
+    res = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk(
+            spark, ivfpq_trained_index, queries, k=10, nprobe=16
+        ).collect()
+    }
+    assert len(res & bf) > len(raw & bf), (len(res & bf), len(raw & bf))
+    assert len(res & bf) / len(bf) >= 0.4, len(res & bf) / len(bf)
 
 
 def test_ivfpq_prunes_partitions(spark, queries, ivfpq_index):
@@ -434,15 +571,18 @@ def test_ivfpq_delete_parity_and_compaction(spark, emb, queries, tmp_path):
     assert got2 == want
 
 
-def test_rerank_improves_recall_over_raw_adc(spark, emb, queries, ivfpq_index):
+def test_rerank_improves_recall_over_raw_adc(
+    spark, emb, queries, ivfpq_trained_index
+):
     """The re-ranking stage's whole point: at equal k, exact-cosine
     re-scoring of the ADC shortlist must recover true (brute-force)
     neighbors that ADC's lossy ordering misplaced. With full probing
     the shortlist superset always contains the truth ADC had, so
-    recall can only go up; we assert it strictly improves on this
-    data (measured here: ADC 0.30 → re-ranked 0.48 at k_factor=4 on
-    random unit vectors, PQ's hardest case — the residual gap is
-    shortlist recall, which k_factor buys back, not ADC ordering)."""
+    recall can only go up; we assert it strictly improves on the
+    production (trained-quantizer, residual-code) index — measured
+    here: ADC 0.44 → re-ranked 0.77 at k_factor=4 on random unit
+    vectors, PQ's hardest case (the pre-residual raw design measured
+    0.30 → 0.48 on the same data)."""
     from py_data_pipeline_app_spark.operators.quantization import (
         ivfpq_topk,
         ivfpq_topk_rerank,
@@ -456,17 +596,23 @@ def test_rerank_improves_recall_over_raw_adc(spark, emb, queries, ivfpq_index):
     adc = {
         (r.query_id, r.vec_id)
         for r in ivfpq_topk(
-            spark, ivfpq_index, queries, k=k, nprobe=nprobe
+            spark, ivfpq_trained_index, queries, k=k, nprobe=nprobe
         ).collect()
     }
     rr = {
         (r.query_id, r.vec_id)
         for r in ivfpq_topk_rerank(
-            spark, ivfpq_index, emb, queries, k=k, k_factor=4, nprobe=nprobe
+            spark,
+            ivfpq_trained_index,
+            emb,
+            queries,
+            k=k,
+            k_factor=4,
+            nprobe=nprobe,
         ).collect()
     }
     assert len(rr & bf) > len(adc & bf), (len(rr & bf), len(adc & bf))
-    assert len(rr & bf) / len(bf) >= 0.4, len(rr & bf) / len(bf)
+    assert len(rr & bf) / len(bf) >= 0.6, len(rr & bf) / len(bf)
 
 
 def test_rerank_exact_scores_and_self_retrieval(spark, emb, queries, ivfpq_index):

@@ -92,6 +92,7 @@ FAMILY = [
     "corpus_bigram_merges",
     "bpe_merge_table",
     "bpe_encoded_corpus",
+    "bpe_char_merge_table",
     "benchmark_decontamination",
     "benchmark_span_scrub",
     "cross_corpus_decontamination",
