@@ -81,6 +81,7 @@ ALIASES = {
     # retired to tests/test_retired.py (quadratic studies by design)
     "embedding_near_dup": "emb_nd",
     "semantic_dedup": "sem_dd",
+    "semantic_dedup_reordered": "sem_reord",
     "semantic_dedup_incremental": "sem_dd_inc",
     "similarity_topk": "topk",
     "semantic_doc_retrieval": "rag",
@@ -113,7 +114,6 @@ ALIASES = {
     "source_epoch_mix": "src_epoch",
     "corpus_bigram_merges": "bigrams",
     "bpe_merge_table": "bpe",
-    "bpe_encoded_corpus": "bpe_enc",
     "bpe_char_merge_table": "bpe_ch",
     "text_token_diversity": "txt_div",
     "text_perplexity_buckets": "ppl_bkt",

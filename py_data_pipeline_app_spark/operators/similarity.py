@@ -24,6 +24,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark import fsio
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
@@ -1053,6 +1054,112 @@ def build_semantic_index(
     )
 
 
+SEMANTIC_REORDER_TOKENS_SUBDIR = "reorder-tokens"
+
+
+def _apply_reorder_stage(spark, index_path: str, stage_name: str) -> None:
+    """Commit a fully-staged reorder rewrite: swap each affected
+    cluster's partition directory from the stage into ``assigned/``
+    (delete-then-rename per cluster — each cluster's verdicts are
+    self-contained, so a crash mid-loop leaves every cluster either
+    wholly old or wholly new), record the batch token as consumed,
+    then drop the stage. Idempotent: re-running skips clusters whose
+    stage directory is already gone, so crash recovery just calls it
+    again."""
+    fs, _ = _hadoop_fs(spark, index_path)
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    m = fsio.read_json(spark, f"{index_path}/{stage_name}/_MANIFEST")
+    for c in m["clusters"]:
+        src = jvm(f"{index_path}/{stage_name}/centroid_id={c}")
+        if not fs.exists(src):
+            continue  # already swapped by the run that crashed
+        dst = jvm(f"{index_path}/assigned/centroid_id={c}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        _rename_or_raise(fs, src, dst)
+    fsio.write_text(
+        spark,
+        f"{index_path}/{SEMANTIC_REORDER_TOKENS_SUBDIR}/{m['token']}",
+        "",
+    )
+    fs.delete(jvm(f"{index_path}/{stage_name}"), True)
+
+
+def _recover_semantic_reorder(spark, index_path: str) -> None:
+    """Resume any crashed reorder rewrite (run at mutator entry, under
+    the lock): a stage with a ``_MANIFEST`` was fully written — finish
+    its swap; a stage without one never became visible — delete it."""
+    fs, root = _hadoop_fs(spark, index_path)
+    if not fs.exists(root):
+        return
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(".reorder-stage-"):
+            continue
+        if fs.exists(jvm(f"{index_path}/{name}/_MANIFEST")):
+            _apply_reorder_stage(spark, index_path, name)
+        else:
+            fs.delete(jvm(f"{index_path}/{name}"), True)
+
+
+def _semantic_reorder_append_locked(
+    spark,
+    index_path: str,
+    assigned: DataFrame,
+    probed: list,
+    threshold: float,
+    *,
+    id_col: str,
+    vec_col: str,
+    token: str,
+) -> None:
+    """Recompute-mode append (already under the lock): fold pending
+    appends into the base (the shared crash-safe compaction, so every
+    affected cluster's rows live in exactly one partition directory),
+    re-verdict ONLY the batch's clusters under the full rebuild rule —
+    merged history+batch rows, kept ⇔ no lower-id near-dup — and swap
+    those partition directories in via a staged, manifested,
+    token-idempotent rewrite. Un-touched clusters are never read,
+    never rewritten."""
+    _compact_assigned_locked(spark, index_path, IVF_APPENDS_SUBDIR, False)
+    base = spark.read.parquet(f"{index_path}/assigned").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    dup = (
+        base.select(F.col(id_col))
+        .join(assigned.select(F.col(id_col)), id_col)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"semantic index at {index_path}: batch id {dup[0][0]} already "
+            "exists in the index - appending an existing id is unsupported "
+            "(replays of a consumed reorder token are skipped via its "
+            "token marker, so this is a genuinely duplicate feed)."
+        )
+    merged = base.select(
+        F.col(id_col), F.col(vec_col), F.col("centroid_id")
+    ).unionByName(
+        assigned.select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+    )
+    kept = _semantic_kept_flags(
+        merged, None, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    stage_name = f".reorder-stage-{token}"
+    stage = f"{index_path}/{stage_name}"
+    kept.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
+    # manifest LAST: its presence marks the stage complete (recovery
+    # deletes manifest-less stages as invisible orphans)
+    fsio.write_json(
+        spark,
+        f"{stage}/_MANIFEST",
+        {"token": token, "clusters": [int(c) for c in probed]},
+    )
+    _apply_reorder_stage(spark, index_path, stage_name)
+
+
 def semantic_index_append(
     spark,
     index_path: str,
@@ -1061,6 +1168,7 @@ def semantic_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_token: str | None = None,
+    allow_reorder: bool = False,
 ) -> str:
     """Fold a NEW embedding batch into a persisted
     :func:`build_semantic_index`: assign the batch against the
@@ -1079,6 +1187,20 @@ def semantic_index_append(
     incoming min id ≤ its history max id. Re-crawl feeds with
     monotonically increasing ids (the normal case) always pass.
 
+    ``allow_reorder=True`` lifts the refusal for multi-producer feeds
+    with interleaved ids: when the monotone check trips, the append
+    switches to RECOMPUTE mode — pending appends fold into the base
+    (the shared crash-safe compaction), the batch's clusters (and only
+    those: partition-pruned read, per-cluster directory swap) are
+    re-verdicted under the full rebuild rule over merged
+    history+batch, and the rewrite commits through a staged, manifested
+    protocol with a consumed-token marker (a foreachBatch replay of a
+    committed token is a no-op — the rows are already merged into the
+    base, so the idempotent-directory trick can't cover it). History
+    verdicts in affected clusters CAN flip in this mode — that is the
+    point; the parity contract below still holds exactly. Monotone
+    batches take the ordinary fast path unchanged.
+
     Parity contract (oracle-checked end-to-end): build(A) then
     append(B) ≡ :func:`semantic_dedup` over A∪B with the same
     centroids and threshold. Tombstoned ids are excluded from the
@@ -1094,6 +1216,12 @@ def semantic_index_append(
 
     lock_fs, lock = _acquire_index_lock(spark, index_path, "semantic append")
     try:
+        _recover_semantic_reorder(spark, index_path)
+        if batch_token is not None and fsio.exists(
+            spark,
+            f"{index_path}/{SEMANTIC_REORDER_TOKENS_SUBDIR}/{batch_token}",
+        ):
+            return batch_token  # reorder replay: already merged into base
         cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
         cfg = spark.read.parquet(f"{index_path}/config").first()
         if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
@@ -1146,12 +1274,25 @@ def semantic_index_append(
             .collect()
         )
         if viol:
+            if allow_reorder:
+                _semantic_reorder_append_locked(
+                    spark,
+                    index_path,
+                    assigned,
+                    probed,
+                    threshold,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    token=token,
+                )
+                return token
             v = viol[0]
             raise ValueError(
                 f"semantic index at {index_path}: batch id {v._bmin} is not "
                 f"above cluster {v.centroid_id}'s history max {v._hmax} - "
                 "out-of-order ids could flip already-persisted kept flags "
-                "under the rebuild rule. Feed batches in id order, or "
+                "under the rebuild rule. Feed batches in id order (or pass "
+                "allow_reorder=True for the recompute-mode append), or "
                 "rebuild the index over the merged corpus."
             )
         kept = _semantic_kept_flags(
@@ -1197,6 +1338,7 @@ def semantic_index_compact(spark, index_path: str, *, keep_newest: bool = False)
 
     lock_fs, lock = _acquire_index_lock(spark, index_path, "semantic compaction")
     try:
+        _recover_semantic_reorder(spark, index_path)
         return _compact_assigned_locked(
             spark, index_path, IVF_APPENDS_SUBDIR, keep_newest
         )

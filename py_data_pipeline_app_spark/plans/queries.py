@@ -1344,6 +1344,47 @@ def semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_reordered",
+    _semantic_dedup_oracle(
+        n_centroids=128, cents_where="WHERE (vec_id % 4) <> 0"
+    ),
+)
+def semantic_dedup_reordered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECOMPUTE-mode semantic append (operators.similarity
+    semantic_index_append ``allow_reorder=True``): the index is built
+    over three quarters of the planted corpus, then every fourth id —
+    including the GLOBAL MINIMUM, so the batch interleaves strictly
+    below history ids and the monotone guard trips — arrives as one
+    out-of-order batch. Instead of refusing, the append folds pending
+    appends into the base, re-verdicts ONLY the batch's clusters under
+    the full rebuild rule (partition-pruned read, staged per-cluster
+    directory swap, consumed-token idempotence), and leaves untouched
+    clusters unread and unrewritten. History verdicts in affected
+    clusters can flip — exactly what the monotone fast path
+    (semantic_dedup_incremental, its oracle-backed twin) forbids. The
+    oracle is the full semantic_dedup rebuild over the merged corpus
+    with centroids drawn from the build subset — a green row IS the
+    reorder-vs-rebuild parity contract."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_index_append,
+        semantic_index_state,
+    )
+
+    corpus = _with_planted_near_dups(load_table(spark, "embeddings", sf_dir))
+    index = _scratch_dir("semantic_reorder")
+    base = corpus.filter(F.col("vec_id") % 4 != 0)
+    batch = corpus.filter(F.col("vec_id") % 4 == 0)
+    build_semantic_index(
+        base, index, threshold=0.9, n_centroids=128, files_per_bucket=1
+    )
+    semantic_index_append(
+        spark, index, batch, batch_token="backfill", allow_reorder=True
+    )
+    return semantic_index_state(spark, index)
+
+
+@register(
     "similarity_topk",
     f"""
     SELECT query_id, vec_id, score, rank FROM (
@@ -3868,7 +3909,7 @@ def bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(load_table(spark, "documents", sf_dir), n_merges=8)
 
 
-@register("bpe_encoded_corpus", _bpe_oracle(n_merges=4, encode=True))
+@register("bpe_encoded_corpus", _bpe_oracle(n_merges=4, encode=True), retired=True)
 def bpe_encoded_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 4-merge BPE table on the corpus, then ENCODE the corpus
     with it (operators/curation bpe_apply — the consumer half a

@@ -194,3 +194,166 @@ def test_rebuild_over_mutated_index_refused(spark, emb, tmp_path):
     semantic_index_append(spark, idx, emb.filter(F.col("vec_id") >= n // 2))
     with pytest.raises(ValueError, match="appended batches"):
         build_semantic_index(emb, idx, threshold=THRESH, n_centroids=K)
+
+
+def test_reorder_append_matches_rebuild(spark, emb, tmp_path):
+    """allow_reorder=True with a batch interleaved BELOW history ids
+    (every 4th id, including the global minimum) must reproduce the
+    full rebuild's verdicts exactly — including flips of history rows
+    the monotone path could never touch."""
+    idx = _fresh(tmp_path, "reorder")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(
+        spark, idx, batch, batch_token="backfill", allow_reorder=True
+    )
+    assert _state_rows(spark, idx) == _rebuild_rows(emb, base)
+
+
+def test_reorder_append_can_flip_history_verdicts(spark, tmp_path):
+    """The point of recompute mode: a low-id arrival that is the
+    cluster's true survivor must flip the previously-kept history
+    row to dropped."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    idx = _fresh(tmp_path, "reorder-flip")
+    # two near-identical vectors: id 10 indexed first (kept), id 1
+    # arrives later — under the rebuild rule id 1 wins, id 10 flips
+    mk = lambda rows: local_rows_df(  # noqa: E731
+        spark, "vec_id long, embedding array<double>", rows
+    )
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.999, 0.01, 0.0, 0.0]
+    build_semantic_index(mk([(10, v)]), idx, threshold=THRESH, n_centroids=1)
+    assert {
+        (r.vec_id, r.kept) for r in semantic_index_state(spark, idx).collect()
+    } == {(10, True)}
+    semantic_index_append(
+        spark, idx, mk([(1, w)]), batch_token="low", allow_reorder=True
+    )
+    assert {
+        (r.vec_id, r.kept) for r in semantic_index_state(spark, idx).collect()
+    } == {(1, True), (10, False)}
+
+
+def test_reorder_monotone_batch_takes_fast_path(spark, emb, tmp_path):
+    """A monotone batch with allow_reorder=True must still land as an
+    ordinary append directory (the fast path is unchanged), not a
+    base rewrite."""
+    from py_data_pipeline_app_spark import fsio
+
+    idx = _fresh(tmp_path, "reorder-fast")
+    n = emb.count()
+    base = emb.filter(F.col("vec_id") < n // 2)
+    batch = emb.filter(F.col("vec_id") >= n // 2)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(
+        spark, idx, batch, batch_token="mono", allow_reorder=True
+    )
+    assert fsio.exists(spark, f"{idx}/appends/batch-mono")
+    assert _state_rows(spark, idx) == _rebuild_rows(emb, base)
+
+
+def test_reorder_replay_is_noop(spark, emb, tmp_path):
+    """A consumed reorder token replays as a no-op (the rows are merged
+    into the base, so the idempotent-directory trick can't cover it —
+    the token marker does)."""
+    idx = _fresh(tmp_path, "reorder-replay")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(
+        spark, idx, batch, batch_token="bf", allow_reorder=True
+    )
+    before = _state_rows(spark, idx)
+    tok = semantic_index_append(
+        spark, idx, batch, batch_token="bf", allow_reorder=True
+    )
+    assert tok == "bf"
+    assert _state_rows(spark, idx) == before
+
+
+def test_reorder_leaves_untouched_clusters_unrewritten(spark, emb, tmp_path):
+    """Partition pruning is the scale contract: a cluster receiving no
+    batch rows keeps its exact files (same names, same mtimes) through
+    a reorder append."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _assign_to_centroids,
+        _centroid_rows,
+        _hadoop_fs,
+    )
+
+    idx = _fresh(tmp_path, "reorder-prune")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0).limit(5).localCheckpoint()
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    cent_rows = _centroid_rows(spark.read.parquet(f"{idx}/centroids"))
+    probed = {
+        r.centroid_id
+        for r in _assign_to_centroids(
+            batch, cent_rows, id_col="vec_id", vec_col="embedding"
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    untouched = sorted(set(range(K)) - probed)
+    assert untouched, "fixture batch must leave some cluster untouched"
+
+    def listing(c):
+        fs, p = _hadoop_fs(spark, f"{idx}/assigned/centroid_id={c}")
+        return sorted(
+            (s.getPath().getName(), s.getModificationTime())
+            for s in fs.listStatus(p)
+        )
+
+    before = {c: listing(c) for c in untouched}
+    semantic_index_append(
+        spark, idx, batch, batch_token="small", allow_reorder=True
+    )
+    assert {c: listing(c) for c in untouched} == before
+
+
+def test_reorder_crash_recovery_completes_swap(spark, emb, tmp_path):
+    """A stage directory left behind WITH its manifest (crash between
+    staging and swap) must be committed by the next mutator; one
+    WITHOUT a manifest (crash mid-write) must be deleted as an
+    invisible orphan."""
+    from py_data_pipeline_app_spark import fsio
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _recover_semantic_reorder,
+    )
+
+    idx = _fresh(tmp_path, "reorder-crash")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    # run the real reorder, then simulate the crash by reconstructing
+    # the pre-swap state: move the committed partitions back out into
+    # a fake stage and restore the old base partitions is intrusive;
+    # instead stage a manifest-less orphan and a manifested stage made
+    # from a copy of one committed partition, and check both outcomes
+    semantic_index_append(
+        spark, idx, batch, batch_token="bf", allow_reorder=True
+    )
+    want = _state_rows(spark, idx)
+    # manifest-less orphan: must vanish, state unchanged
+    fsio.mkdirs(spark, f"{idx}/.reorder-stage-orphan/centroid_id=0")
+    _recover_semantic_reorder(spark, idx)
+    assert not fsio.exists(spark, f"{idx}/.reorder-stage-orphan")
+    assert _state_rows(spark, idx) == want
+    # manifested stage holding cluster 0's rows: recovery must swap it
+    # in (replacing the live copy), mark its token, and drop the stage
+    rows0 = spark.read.parquet(f"{idx}/assigned").filter(
+        F.col("centroid_id") == 0
+    )
+    stage = f"{idx}/.reorder-stage-crash"
+    rows0.write.partitionBy("centroid_id").parquet(stage)
+    fsio.write_json(
+        spark, f"{stage}/_MANIFEST", {"token": "crash", "clusters": [0]}
+    )
+    _recover_semantic_reorder(spark, idx)
+    assert not fsio.exists(spark, stage)
+    assert fsio.exists(spark, f"{idx}/reorder-tokens/crash")
+    assert _state_rows(spark, idx) == want

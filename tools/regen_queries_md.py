@@ -1,6 +1,9 @@
 """Regenerate QUERIES.md (the registry index) from plans/queries.py
-docstrings. One row per registered query: name, oracle coverage, first
-docstring line. Run after any registration change:
+docstrings — one row per registered query: name, oracle coverage, first
+docstring line — and rewrite the README's registry-count span (the text
+between the ``<!-- registry-count -->`` markers) so the count is always
+generated, never hand-written (a hand-edited number went stale twice).
+Run after any registration change:
 
     python tools/regen_queries_md.py
 """
@@ -38,6 +41,24 @@ def main() -> None:
         f.write(HEADER + "\n".join(lines) + "\n")
     print(f"wrote {out}: {len(lines)} queries, "
           f"{sum(1 for n in QUERIES if n in ORACLES)} oracle-backed")
+
+    n, n_oracle = len(QUERIES), sum(1 for q in QUERIES if q in ORACLES)
+    readme = os.path.join(REPO, "README.md")
+    with open(readme) as f:
+        text = f.read()
+    start, end = "<!-- registry-count -->", "<!-- /registry-count -->"
+    if start in text and end in text:
+        head, rest = text.split(start, 1)
+        _, tail = rest.split(end, 1)
+        span = (
+            f"{n} registered queries, {n_oracle}/{n} with full DuckDB "
+            "value-hash oracles"
+        )
+        with open(readme, "w") as f:
+            f.write(head + start + span + end + tail)
+        print(f"patched README registry-count span: {span}")
+    else:
+        print("README registry-count markers missing - not patched")
 
 
 if __name__ == "__main__":

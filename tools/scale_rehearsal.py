@@ -63,6 +63,7 @@ FAMILY = [
     "embedding_near_dup",
     "semantic_dedup",
     "semantic_dedup_incremental",
+    "semantic_dedup_reordered",
     "similarity_topk",
     "semantic_doc_retrieval",
     "similarity_topk_ivf",
