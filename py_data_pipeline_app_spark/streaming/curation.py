@@ -1,0 +1,278 @@
+"""End-to-end incremental CURATION front door (extension — the
+reference has no streaming or corpus surface): one ``foreachBatch``
+stream that folds each arriving doc+embedding micro-batch through the
+four persisted incremental structures —
+
+1. span dedup against the chunk-fingerprint index
+   (``operators.span_dedup_incremental``): previously-seen spans are
+   scrubbed from the batch's text at batch cost, history never
+   re-chunked;
+2. semantic near-dup verdicts against the SemDeDup index
+   (``operators.similarity.semantic_index_append``): the batch is
+   assigned to frozen centroids and compared to within-cluster
+   history only;
+3. the pinned linear quality gate
+   (``operators.quality_model.score_quality_linear``): one projection,
+   zero shuffle, zero Python;
+4. the deterministic hash split (``operators.sampling.hash_split``)
+
+— landing one shard-ready curated output directory per micro-batch.
+A daily-crawl user previously had every piece but no composition: the
+batch rollup (``training_set_curation_semantic``) re-runs REBUILD-mode
+dedup over the whole corpus each day; this front door pays batch cost.
+
+Parity contract (tested): after streaming the corpus in id-ordered
+micro-batches, the landed rows' retention accounting equals the batch
+rollup computed over everything at once (with the index's frozen
+centroids) — and the curated text equals one batch
+``chunk_dedup_rebuild`` over the concatenated corpus.
+
+Exactly-once under micro-batch replay: every structure keys on the
+micro-batch id — the span fold and semantic append exclude their own
+token's directory from history and overwrite it, and the per-batch
+output directory is rewritten in overwrite mode — so a replayed batch
+converges to the identical state instead of duplicating. Index
+maintenance is automatic: every ``compact_every`` batches both indexes
+compact keep-newest (the one batch Structured Streaming could still
+replay stays overwritable). Unbounded history lives in parquet; the
+streaming state store stays EMPTY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from py_data_pipeline_app_spark import fsio
+
+#: split weights matching the batch rollup (plans/queries._SPLIT_WEIGHTS)
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+SPAN_SUBDIR = "span_index"
+SEMANTIC_SUBDIR = "semantic_index"
+
+_VERDICT_SCHEMA = "doc_id bigint, kept boolean"
+
+
+def curation_fold(
+    spark: SparkSession,
+    state_root: str,
+    out_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    chunk_tokens: int = 10,
+    quality_threshold: float = 0.0,
+) -> None:
+    """Fold ONE doc(+embedding) micro-batch through span dedup →
+    semantic verdict → quality gate → hash split, landing the curated
+    rows under ``out/batch-{id}``. Exposed module-level (the stream's
+    sink calls exactly this) so replay semantics are testable without
+    a checkpoint dance.
+
+    The batch frame carries (id, text, source, embedding?) — the
+    embedding column is nullable: docs without a vector pass the
+    semantic gate kept=TRUE, the same honest default as the batch
+    rollup's left join (a partially-embedded corpus is the norm).
+    Ids must arrive in per-cluster monotone order across batches (the
+    semantic index's append contract; a replayed batch satisfies it
+    because every structure excludes its own token from history).
+
+    Landed columns: (id, source, split, sem_kept, good, n_tokens,
+    text_deduped, n_chunks, n_kept_chunks, retained) — ALL batch rows
+    land with their flags, so drop-reason accounting
+    (:func:`curation_accounting`) and the shard-ready retained subset
+    (:func:`curated_corpus`) are both one filter away, and a takedown
+    audit can see WHY a row was dropped."""
+    from py_data_pipeline_app_spark.operators.quality_model import (
+        score_quality_linear,
+    )
+    from py_data_pipeline_app_spark.operators.sampling import hash_split
+    from py_data_pipeline_app_spark.operators.similarity import (
+        IVF_APPENDS_SUBDIR,
+        semantic_index_append,
+    )
+    from py_data_pipeline_app_spark.operators.span_dedup_incremental import (
+        incremental_span_fold,
+    )
+    from py_data_pipeline_app_spark.functions.text import tokens
+
+    token = f"{batch_id:08d}"
+    # localCheckpoint: the batch feeds four consumers (span fold,
+    # semantic append, quality score, token count) — batch-sized, and
+    # a streaming source frame cannot be re-read by a second action
+    batch_df = batch_df.localCheckpoint()
+
+    # 1. span dedup — EAGER index append inside, returns the rebuilt
+    # documents (previously-seen spans scrubbed)
+    rebuilt = incremental_span_fold(
+        spark,
+        f"{state_root}/{SPAN_SUBDIR}",
+        batch_df.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=chunk_tokens,
+        batch_token=token,
+    ).localCheckpoint()
+
+    # 2. semantic verdicts — append the batch's embedded rows to the
+    # index, then read back the verdicts it just computed (the append
+    # directory is batch-sized; recomputing the within-cluster
+    # comparison here would double the fold's work)
+    sem_index = f"{state_root}/{SEMANTIC_SUBDIR}"
+    emb_rows = batch_df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    semantic_index_append(
+        spark, sem_index, emb_rows, id_col=id_col, vec_col=vec_col,
+        batch_token=token,
+    )
+    append_dir = f"{sem_index}/{IVF_APPENDS_SUBDIR}/batch-{token}"
+    if fsio.exists(spark, append_dir):
+        verdict = (
+            spark.read.parquet(append_dir).select(F.col(id_col), "kept")
+        )
+    else:  # the batch had no embedded rows — the empty append self-removes
+        verdict = spark.createDataFrame(
+            [], _VERDICT_SCHEMA.replace("doc_id", id_col)
+        )
+
+    # 3+4. quality gate and split — pure projections on the batch
+    scored = score_quality_linear(
+        batch_df, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), "quality_z")
+    labeled = (
+        batch_df.select(
+            F.col(id_col),
+            F.col("source"),
+            # unfiltered token count, matching the batch rollup exactly
+            F.size(tokens(text_col)).alias("n_tokens"),
+        )
+        .join(F.broadcast(verdict), id_col, "left")
+        .withColumn("sem_kept", F.coalesce(F.col("kept"), F.lit(True)))
+        .drop("kept")
+        .join(scored, id_col)
+        .withColumn("good", F.col("quality_z") > F.lit(quality_threshold))
+        .drop("quality_z")
+    )
+    labeled = hash_split(labeled, id_col, SPLIT_WEIGHTS)
+    out = labeled.join(
+        rebuilt.select(
+            F.col(id_col),
+            F.col("text_deduped"),
+            F.col("n_chunks"),
+            F.col("n_kept").alias("n_kept_chunks"),
+        ),
+        id_col,
+    ).withColumn("retained", F.col("sem_kept") & F.col("good"))
+    # idempotent landing: a replayed batch rewrites its own directory
+    out.write.mode("overwrite").parquet(f"{out_path}/batch-{token}")
+
+
+def start_curation_stream(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    schema: T.StructType,
+    state_root: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    chunk_tokens: int = 10,
+    quality_threshold: float = 0.0,
+    compact_every: int | None = 16,
+    query_name: str = "curation_front_door",
+) -> StreamingQuery:
+    """File-landing → :func:`curation_fold` per micro-batch, with
+    automatic keep-newest compaction of BOTH indexes every
+    ``compact_every`` batches. The semantic index must already exist
+    under ``{state_root}/semantic_index`` (``build_semantic_index``
+    over the initial corpus — its centroids and threshold are frozen
+    there; this is what makes streamed verdicts reproducible); the
+    span index self-creates on the first fold. ``availableNow`` drains
+    the landing directory and terminates, so repeated calls with one
+    checkpoint fold newly landed files incrementally."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        semantic_index_compact,
+    )
+    from py_data_pipeline_app_spark.operators.span_dedup_incremental import (
+        compact_fps,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        curation_fold(
+            spark,
+            state_root,
+            out_path,
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            vec_col=vec_col,
+            chunk_tokens=chunk_tokens,
+            quality_threshold=quality_threshold,
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
+            semantic_index_compact(
+                spark, f"{state_root}/{SEMANTIC_SUBDIR}", keep_newest=True
+            )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def curated_batches(spark: SparkSession, out_path: str) -> DataFrame:
+    """Every landed batch's rows as one frame (schema-stable union of
+    the ``batch-*`` subdirectories — a bare directory read would fail
+    partition discovery on the non-partition-style layout)."""
+    dirs = [
+        f"{out_path}/{name}"
+        for name, is_dir in fsio.child_entries(spark, out_path)
+        if is_dir and name.startswith("batch-")
+    ]
+    if not dirs:
+        raise ValueError(f"no curated batches under {out_path}")
+    return spark.read.parquet(*dirs)
+
+
+def curated_corpus(spark: SparkSession, out_path: str) -> DataFrame:
+    """The shard-ready retained subset: feed this straight into
+    ``sources.maintenance.write_training_shards``."""
+    return curated_batches(spark, out_path).filter(F.col("retained"))
+
+
+def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
+    """Per (split, source) retention accounting over everything landed
+    so far — the same shape the batch rollup
+    (``training_set_curation_semantic``) reports, for parity checks
+    and mixture planning."""
+    rows = curated_batches(spark, out_path)
+    kept_good = F.col("sem_kept") & F.col("good")
+    return rows.groupBy("split", "source").agg(
+        F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(~F.col("sem_kept"), 1).otherwise(0)).alias(
+            "n_dropped_semantic"
+        ),
+        F.sum(
+            F.when(F.col("sem_kept") & ~F.col("good"), 1).otherwise(0)
+        ).alias("n_dropped_quality"),
+        F.sum(F.when(kept_good, F.col("n_tokens")).otherwise(0)).alias(
+            "retained_tokens"
+        ),
+    )

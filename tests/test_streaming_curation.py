@@ -1,0 +1,215 @@
+"""The end-to-end incremental curation front door: streamed micro-
+batches folded through span dedup + semantic verdicts + quality gate +
+hash split must reproduce the batch composition (the
+training_set_curation_semantic rollup's semantics with the index's
+frozen centroids, and one chunk_dedup_rebuild over the streamed
+corpus), across ≥2 micro-batches and a compaction boundary, and a
+replayed batch token must be a no-op."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from py_data_pipeline_app_spark.operators.curation import chunk_dedup_rebuild
+from py_data_pipeline_app_spark.operators.quality_model import (
+    score_quality_linear,
+)
+from py_data_pipeline_app_spark.operators.sampling import hash_split
+from py_data_pipeline_app_spark.operators.similarity import (
+    _md5_sample_centroids,
+    build_semantic_index,
+    semantic_dedup,
+)
+from py_data_pipeline_app_spark.streaming.curation import (
+    SPLIT_WEIGHTS,
+    curation_accounting,
+    curation_fold,
+    curated_batches,
+    curated_corpus,
+    start_curation_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+THRESH = 0.9
+K = 8
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Documents left-joined with embeddings on the shared id space —
+    the partially-embedded crawl record the front door ingests."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    df = docs.join(emb, "doc_id", "left")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, corpus, tmp_path_factory):
+    """Seed the semantic index from the first-third embeddings, stream
+    the rest in TWO id-range micro-batches with compact_every=1 (so
+    the second batch crosses a compaction boundary on both indexes).
+    Returns (state_root, out, streamed_df, seed_df)."""
+    tmp_path = tmp_path_factory.mktemp("curation")
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    t0, t1 = n // 3, 2 * n // 3
+    seed = corpus.filter(F.col("doc_id") < t0)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    build_semantic_index(
+        seed.filter(F.col("embedding").isNotNull()).select(
+            "doc_id", "embedding"
+        ),
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=K,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    for i, (lo, hi) in enumerate([(t0, t1), (t1, n)]):
+        corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(f"{landing}/b{i}")
+        q = start_curation_stream(
+            spark, landing + "/*", ckpt, SCHEMA, state, out, compact_every=1
+        )
+        q.awaitTermination(180)
+    return state, out, corpus.filter(F.col("doc_id") >= t0), seed
+
+
+def _expected_accounting(spark, corpus, streamed_df, seed):
+    """The batch composition over the streamed rows, given the seeded
+    index state: full-rebuild semantic verdicts (seed ∪ streamed, the
+    seed's frozen centroids) restricted to streamed ids, quality gate
+    and hash split per doc."""
+    emb_all = corpus.filter(F.col("embedding").isNotNull()).select(
+        "doc_id", "embedding"
+    )
+    cents = _md5_sample_centroids(
+        seed.filter(F.col("embedding").isNotNull()),
+        n_centroids=K,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    verdict = semantic_dedup(
+        emb_all,
+        threshold=THRESH,
+        n_centroids=K,
+        cents=cents,
+        id_col="doc_id",
+        vec_col="embedding",
+    ).select("doc_id", "kept")
+    from py_data_pipeline_app_spark.functions.text import tokens
+
+    labeled = (
+        streamed_df.select(
+            "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+        )
+        .join(verdict, "doc_id", "left")
+        .withColumn("sem_kept", F.coalesce(F.col("kept"), F.lit(True)))
+        .join(
+            score_quality_linear(streamed_df).select("doc_id", "quality_z"),
+            "doc_id",
+        )
+        .withColumn("good", F.col("quality_z") > 0.0)
+    )
+    labeled = hash_split(labeled, "doc_id", SPLIT_WEIGHTS)
+    kept_good = F.col("sem_kept") & F.col("good")
+    return labeled.groupBy("split", "source").agg(
+        F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(~F.col("sem_kept"), 1).otherwise(0)).alias(
+            "n_dropped_semantic"
+        ),
+        F.sum(
+            F.when(F.col("sem_kept") & ~F.col("good"), 1).otherwise(0)
+        ).alias("n_dropped_quality"),
+        F.sum(F.when(kept_good, F.col("n_tokens")).otherwise(0)).alias(
+            "retained_tokens"
+        ),
+    )
+
+
+def test_stream_accounting_matches_batch_composition(
+    spark, corpus, streamed
+):
+    state, out, streamed_df, seed = streamed
+    got = sorted(map(tuple, curation_accounting(spark, out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            _expected_accounting(spark, corpus, streamed_df, seed).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stream_span_text_matches_batch_rebuild(spark, streamed):
+    """The landed text_deduped must equal one chunk_dedup_rebuild over
+    the streamed corpus (the span index started empty, so streamed
+    history IS the corpus)."""
+    state, out, streamed_df, _ = streamed
+    got = {
+        r.doc_id: (r.text_deduped, r.n_chunks, r.n_kept_chunks)
+        for r in curated_batches(spark, out).collect()
+    }
+    want = {
+        r.doc_id: (r.text_deduped, r.n_chunks, r.n_kept)
+        for r in chunk_dedup_rebuild(streamed_df, chunk_tokens=10).collect()
+    }
+    assert got == want
+
+
+def test_replayed_batch_is_noop(spark, corpus, streamed):
+    """Replaying the LAST micro-batch (the one Structured Streaming
+    could actually redeliver) with its original token must leave the
+    landed accounting and the curated text identical — every structure
+    excludes its own token from history and overwrites its own
+    output."""
+    state, out, streamed_df, seed = streamed
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    t1 = 2 * n // 3
+    last = corpus.filter(F.col("doc_id") >= t1)
+    before_rows = sorted(
+        map(tuple, curated_batches(spark, out).collect())
+    )
+    curation_fold(spark, state, out, last, 1)  # batch id 1 = the last
+    assert (
+        sorted(map(tuple, curated_batches(spark, out).collect()))
+        == before_rows
+    )
+
+
+def test_curated_corpus_is_shard_ready(spark, streamed, tmp_path):
+    """The retained subset flows straight into write_training_shards —
+    the trainer-facing end of the front door."""
+    from py_data_pipeline_app_spark.sources.maintenance import (
+        write_training_shards,
+    )
+
+    state, out, streamed_df, _ = streamed
+    retained = curated_corpus(spark, out)
+    assert retained.count() > 0
+    n_files = write_training_shards(
+        retained.select("doc_id", "source", "split", "text_deduped"),
+        str(tmp_path / "shards"),
+        n_shards=2,
+    )
+    assert n_files == 2
