@@ -57,6 +57,7 @@ def test_retired_disjoint_from_registry():
     assert set(RETIRED_ORACLES) == set(RETIRED_QUERIES)
 
 
+@pytest.mark.oracle
 @pytest.mark.parametrize("name", sorted(RETIRED_QUERIES))
 def test_retired_query_matches_oracle(spark, sf_dir, duck, name):
     sdf = RETIRED_QUERIES[name](spark, sf_dir)
