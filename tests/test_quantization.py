@@ -656,3 +656,154 @@ def test_rerank_vector_fetch_is_shortlist_sized(spark, emb, queries, ivfpq_index
         and "hashpartitioning(query_id" not in ln
     ]
     assert bad == [], bad
+
+
+def test_rotation_matrix_is_orthonormal():
+    """The OPQ rotation must be a true isometry (R·Rᵀ = I), and
+    bit-deterministic (pure-Python Gram-Schmidt over md5 uniforms —
+    no LAPACK variance across platforms)."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        rotation_matrix,
+    )
+
+    R = rotation_matrix(7, 16)
+    assert R == rotation_matrix(7, 16)  # bit-deterministic
+    for i in range(16):
+        for j in range(16):
+            d = sum(R[i][k] * R[j][k] for k in range(16))
+            assert abs(d - (1.0 if i == j else 0.0)) < 1e-12, (i, j, d)
+    assert rotation_matrix(8, 16) != R  # seed actually matters
+
+
+def test_rotated_index_append_parity(spark, emb, queries, tmp_path):
+    """build(A, rotation)+append(B) must probe identically to
+    build(A∪B) with the same frozen tables and rotation — the batch
+    encode replays the rotation from the persisted matrix."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_topk,
+    )
+
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    i1 = str(tmp_path / "rot_append")
+    build_ivfpq_index(
+        even, i1, n_centroids=16, m=M, ksub=KSUB, dim=DIM, rotation_seed=7
+    )
+    ivfpq_index_append(spark, i1, odd, batch_token="odd")
+    cents = spark.read.parquet(f"{i1}/centroids")
+    cbs = spark.read.parquet(f"{i1}/codebooks")
+    i2 = str(tmp_path / "rot_full")
+    build_ivfpq_index(emb, i2, cents=cents, codebooks=cbs, rotation_seed=7)
+    got = sorted(map(tuple, ivfpq_topk(spark, i1, queries, k=5, nprobe=4).collect()))
+    want = sorted(map(tuple, ivfpq_topk(spark, i2, queries, k=5, nprobe=4).collect()))
+    assert got == want
+
+
+def test_rotation_checksum_drift_fails_loudly(spark, emb, queries, tmp_path):
+    """Codes live in the rotated space: probing through a drifted
+    rotation matrix must refuse, not score garbage."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    path = str(tmp_path / "rot_drift")
+    build_ivfpq_index(
+        emb, path, n_centroids=8, m=M, ksub=8, dim=DIM, rotation_seed=7
+    )
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    rows = spark.read.parquet(f"{path}/rotation").collect()
+    local_rows_df(
+        spark,
+        "row_id int, coeffs array<double>",
+        [
+            (int(r.row_id), [float(x) * 1.0000001 for x in r.coeffs])
+            for r in rows
+        ],
+    ).write.mode("overwrite").parquet(f"{path}/rotation")
+    with pytest.raises(ValueError, match="rotation"):
+        ivfpq_topk(spark, path, queries, k=5, nprobe=2)
+
+
+def test_rotation_improves_trained_recall_on_correlated_data(spark, tmp_path):
+    """The OPQ-style rotation's measured win: on data whose
+    coordinates correlate ACROSS subspaces (second half of every
+    vector is a noisy copy of the first half — plain PQ slicing pays
+    twice for the same information), trained residual codebooks in the
+    ROTATED space recall strictly more than in the plain space
+    (measured here: 0.44 → 0.52; at 600 rows/20 iters: 0.47 → 0.58).
+    On isotropic or merely scale-anisotropic data with SAMPLED
+    codebooks the rotation measures neutral (twice, both shapes) —
+    sample-quantizer error is linear in per-subspace variance, so
+    rebalancing it is a wash; the knob is for trained production
+    indexes over real (correlated) embeddings."""
+    import hashlib
+    import struct
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.quantization import (
+        _matvec,
+        _with_residual,
+        build_ivfpq_index,
+        ivfpq_topk,
+        rotation_matrix,
+    )
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _assign_to_centroids,
+        _centroid_rows,
+        float_matrix_lit,
+        train_centroids,
+    )
+
+    def u(tag, i):
+        h = hashlib.md5(f"{tag}:{i}".encode()).digest()
+        return struct.unpack(">Q", h[:8])[0] / 2**63 - 1.0
+
+    rows = []
+    for v in range(600):
+        base = [u(v, j) for j in range(DIM // 2)]
+        rows.append(
+            (v, base + [b + 0.05 * u(f"n{v}", j) for j, b in enumerate(base)])
+        )
+    emb2 = local_rows_df(
+        spark, "vec_id long, embedding array<double>", rows
+    ).localCheckpoint()
+    queries2 = emb2.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb2, queries2, k=10).collect()
+    }
+    tc = _centroid_rows(train_centroids(emb2, n_centroids=8))
+    resid = _with_residual(
+        _assign_to_centroids(emb2, tc, id_col="vec_id", vec_col="embedding"),
+        tc,
+        vec_col="embedding",
+    ).localCheckpoint()
+
+    def recall(seed, name):
+        r, vc = resid, "_rvec"
+        if seed is not None:
+            R = rotation_matrix(seed, DIM)
+            r = r.withColumn(
+                "_rvec_rot", _matvec(float_matrix_lit(R), F.col("_rvec"), DIM)
+            ).localCheckpoint()
+            vc = "_rvec_rot"
+        cb = train_pq_codebooks(r, m=M, ksub=KSUB, dim=DIM, vec_col=vc, max_iter=10)
+        idx = str(tmp_path / name)
+        build_ivfpq_index(
+            emb2, idx, n_centroids=8, m=M, ksub=KSUB, dim=DIM,
+            cents=tc, codebooks=cb, rotation_seed=seed,
+        )
+        got = {
+            (x.query_id, x.vec_id)
+            for x in ivfpq_topk(spark, idx, queries2, k=10, nprobe=8).collect()
+        }
+        return len(got & bf) / len(bf)
+
+    plain, rotated = recall(None, "plain"), recall(7, "rotated")
+    assert rotated > plain, (plain, rotated)
