@@ -1147,6 +1147,12 @@ def _semantic_reorder_append_locked(
     kept = _semantic_kept_flags(
         merged, None, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
+    # one keyed shuffle of the (batch + affected clusters)-sized frame
+    # buys one file per swapped-in partition directory — a bare
+    # partitionBy would emit (tasks × clusters) small files and
+    # permanently degrade the base layout the build may have bounded
+    # with files_per_bucket (the swap REPLACES those directories)
+    kept = _bucket_layout(kept, 1, n_buckets=max(len(probed), 1), id_col=id_col)
     stage_name = f".reorder-stage-{token}"
     stage = f"{index_path}/{stage_name}"
     kept.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
