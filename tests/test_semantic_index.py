@@ -357,3 +357,22 @@ def test_reorder_crash_recovery_completes_swap(spark, emb, tmp_path):
     assert not fsio.exists(spark, stage)
     assert fsio.exists(spark, f"{idx}/reorder-tokens/crash")
     assert _state_rows(spark, idx) == want
+
+
+def test_reorder_history_read_is_partition_pruned(spark, emb, tmp_path):
+    """The scale contract's READ half (the mtime test covers the write
+    half): the reorder path's history read must reach the parquet scan
+    as a PartitionFilter on the probed clusters — un-probed cluster
+    directories cost zero I/O."""
+    idx = _fresh(tmp_path, "reorder-planshape")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    plan = (
+        spark.read.parquet(f"{idx}/assigned")
+        .filter(F.col("centroid_id").isin([0, 3]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [centroid_id" in plan
+    assert "INSET" in plan or " IN (" in plan
