@@ -53,9 +53,6 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPAN_SUBDIR = "span_index"
 SEMANTIC_SUBDIR = "semantic_index"
 
-_VERDICT_SCHEMA = "doc_id bigint, kept boolean"
-
-
 def curation_fold(
     spark: SparkSession,
     state_root: str,
@@ -138,8 +135,13 @@ def curation_fold(
             spark.read.parquet(append_dir).select(F.col(id_col), "kept")
         )
     else:  # the batch had no embedded rows — the empty append self-removes
-        verdict = spark.createDataFrame(
-            [], _VERDICT_SCHEMA.replace("doc_id", id_col)
+        # schema derived from the batch so the id type always matches
+        # the join key (a hardcoded bigint would silently cast string
+        # doc keys)
+        verdict = (
+            batch_df.select(F.col(id_col))
+            .limit(0)
+            .withColumn("kept", F.lit(True))
         )
 
     # 3+4. quality gate and split — pure projections on the batch
