@@ -709,6 +709,73 @@ def build_ivfpq_index(
     )
 
 
+def build_ivfpq_index_trained(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_bucket: int | None = None,
+    rotation_seed: int | None = None,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> None:
+    """The PRODUCTION one-call builder: k-means coarse centroids +
+    k-means codebooks trained on the (optionally rotated) RESIDUALS,
+    then :func:`build_ivfpq_index` with those tables — the recall
+    configuration (measured 0.44 full-probe vs 0.14 for the sampled
+    stand-in tables, re-rank 0.77; module docstring) without the
+    five-call assembly dance, and with the rotation space
+    impossible to mismatch between codebook training and encoding.
+    No SQL oracle by nature (iterative k-means) — the sampled
+    :func:`build_ivfpq_index` defaults stay the gate path; recall and
+    parity are pinned in tests."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    cent_rows = _centroid_rows(
+        train_centroids(
+            corpus, n_centroids=n_centroids, vec_col=vec_col,
+            seed=seed, max_iter=max_iter,
+        )
+    )
+    resid = _with_residual(
+        _assign_to_centroids(corpus, cent_rows, id_col=id_col, vec_col=vec_col),
+        cent_rows,
+        vec_col=vec_col,
+    )
+    train_vec = "_rvec"
+    if rotation_seed is not None:
+        rot = rotation_matrix(rotation_seed, dim)
+        resid = resid.withColumn(
+            "_rvec_rot", _matvec(float_matrix_lit(rot), F.col("_rvec"), dim)
+        )
+        train_vec = "_rvec_rot"
+    codebooks = train_pq_codebooks(
+        resid, m=m, ksub=ksub, dim=dim, vec_col=train_vec,
+        seed=seed, max_iter=max_iter,
+    )
+    build_ivfpq_index(
+        corpus,
+        index_path,
+        n_centroids=n_centroids,
+        m=m,
+        ksub=ksub,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        cents=cent_rows,
+        codebooks=codebooks,
+        files_per_bucket=files_per_bucket,
+        rotation_seed=rotation_seed,
+    )
+
+
 def ivfpq_topk(
     spark,
     index_path: str,

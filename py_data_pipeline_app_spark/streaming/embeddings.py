@@ -39,6 +39,7 @@ def start_embedding_ingest_stream(
     vec_col: str = "embedding",
     compact_every: int | None = 16,
     index_kind: str = "ivf",
+    allow_reorder: bool = False,
     query_name: str = "embedding_ingest",
 ) -> StreamingQuery:
     """File-landing → per-batch index append. The index must already
@@ -54,8 +55,11 @@ def start_embedding_ingest_stream(
     within-cluster history only; the feed must deliver per-cluster
     monotonically increasing ids, which a replayed micro-batch
     satisfies because the append excludes its own token's directory
-    from history). All layouts auto-compact keep-newest every
-    ``compact_every`` batches.
+    from history — OR pass ``allow_reorder=True`` for a multi-producer
+    feed with interleaved ids: out-of-order batches then take the
+    recompute-mode append, re-verdicting only their clusters with
+    consumed-token replay protection; semantic kind only). All
+    layouts auto-compact keep-newest every ``compact_every`` batches.
     ``availableNow`` drains the landing directory and terminates, so
     repeated calls with one checkpoint fold newly landed files
     incrementally."""
@@ -80,6 +84,12 @@ def start_embedding_ingest_stream(
             f"index_kind must be one of {sorted(kinds)}, got {index_kind!r}"
         )
     append, compact = kinds[index_kind]
+    if allow_reorder and index_kind != "semantic":
+        raise ValueError(
+            "allow_reorder applies to index_kind='semantic' only - the "
+            "IVF/IVF-PQ appends are order-independent by construction"
+        )
+    extra = {"allow_reorder": True} if allow_reorder else {}
     stream = spark.readStream.schema(schema).parquet(landing)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -90,6 +100,7 @@ def start_embedding_ingest_stream(
             id_col=id_col,
             vec_col=vec_col,
             batch_token=f"{batch_id:08d}",
+            **extra,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact(spark, index_path, keep_newest=True)

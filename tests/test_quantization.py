@@ -807,3 +807,40 @@ def test_rotation_improves_trained_recall_on_correlated_data(spark, tmp_path):
 
     plain, rotated = recall(None, "plain"), recall(7, "rotated")
     assert rotated > plain, (plain, rotated)
+
+
+def test_trained_builder_one_call(spark, emb, queries, tmp_path):
+    """build_ivfpq_index_trained assembles the production recall
+    configuration in one call: probes must beat the sampled-table
+    recall floor, and a rotated build must replay through appends
+    (the rotation space cannot be mismatched by construction)."""
+    from py_data_pipeline_app_spark.operators.quantization import (
+        build_ivfpq_index_trained,
+        ivfpq_index_append,
+        ivfpq_topk,
+    )
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    path = str(tmp_path / "trained")
+    build_ivfpq_index_trained(
+        emb, path, n_centroids=16, m=M, ksub=KSUB, dim=DIM
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk(spark, path, queries, k=10, nprobe=16).collect()
+    }
+    assert len(got & bf) / len(bf) >= 0.35  # measured 0.44; sampled is 0.14
+    # rotated variant: build over half, append the rest, probes work
+    rot = str(tmp_path / "trained_rot")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    build_ivfpq_index_trained(
+        even, rot, n_centroids=8, m=M, ksub=8, dim=DIM, rotation_seed=7
+    )
+    ivfpq_index_append(
+        spark, rot, emb.filter(F.col("vec_id") % 2 == 1), batch_token="odd"
+    )
+    out = ivfpq_topk(spark, rot, queries, k=5, nprobe=8).collect()
+    assert {r.query_id for r in out} == set(range(10))

@@ -192,3 +192,67 @@ def test_streamed_semantic_appends_match_full_rebuild(spark, emb, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streamed_semantic_reorder_appends_match_full_rebuild(
+    spark, emb, tmp_path
+):
+    """index_kind='semantic' with allow_reorder=True: a multi-producer
+    feed delivering id ranges OUT OF ORDER (high range first) must
+    still converge to one full rebuild's verdicts — the out-of-order
+    batch takes the recompute-mode append instead of refusing."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _md5_sample_centroids,
+        build_semantic_index,
+        semantic_dedup,
+        semantic_index_state,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    index = str(tmp_path / "index")
+    n = emb.count()
+    initial = emb.filter(F.col("vec_id") % 3 == 2)
+    build_semantic_index(initial, index, threshold=0.8, n_centroids=8)
+    # high remainder class first, then the LOW one — interleaved below
+    # every cluster's history max
+    for i, part in enumerate([1, 0]):
+        emb.filter(F.col("vec_id") % 3 == part).coalesce(1).write.parquet(
+            f"{landing}/b{i}"
+        )
+        q = start_embedding_ingest_stream(
+            spark,
+            landing + "/*",
+            ckpt,
+            SCHEMA,
+            index,
+            index_kind="semantic",
+            allow_reorder=True,
+        )
+        q.awaitTermination(120)
+    got = sorted(map(tuple, semantic_index_state(spark, index).collect()))
+    cents = _md5_sample_centroids(
+        initial, n_centroids=8, id_col="vec_id", vec_col="embedding"
+    )
+    want = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, threshold=0.8, n_centroids=8, cents=cents
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_reorder_flag_rejected_for_order_independent_kinds(spark, tmp_path):
+    with pytest.raises(ValueError, match="allow_reorder"):
+        start_embedding_ingest_stream(
+            spark,
+            str(tmp_path / "l") + "/*",
+            str(tmp_path / "c"),
+            SCHEMA,
+            str(tmp_path / "i"),
+            index_kind="ivf",
+            allow_reorder=True,
+        )
