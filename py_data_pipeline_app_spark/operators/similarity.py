@@ -978,6 +978,69 @@ def _semantic_kept_flags(
     )
 
 
+def cluster_profile(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cluster CORPUS MAP: (centroid_id, n_members, member_share,
+    exemplar_id, mean_norm) — the cluster-level statistics a curation
+    planner reads before setting SemDeDup thresholds or mixture
+    weights (cluster size distribution says where the near-dup mass
+    lives; a norm outlier cluster flags encoder failures pooled by the
+    assignment; the exemplar id is the drill-down handle). Abbas et
+    al. 2023 set their dedup budget per cluster from exactly this
+    shape.
+
+    Scale: one zero-shuffle argmax assignment (the centroid table
+    rides as a literal) + ONE keyed aggregation with map-side
+    partials; the share/mean divisions run over the k-row result.
+    Cross-engine determinism: per-row norms enter as exact
+    DECIMAL(18,6) micro-units and both divisions use the integer
+    round-half-up form ``(2s + n) div (2n)`` (the daily_value_trend
+    pattern — double-quotient rounding diverges at .5 boundaries,
+    and share quotients like 62/1000 have exactly the short
+    expansions that hit them)."""
+    if cents is None:
+        cents = _md5_sample_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assigned = _assign_to_centroids(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        _centroid_rows(cents),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    nmicro = (
+        l2_norm(F.col(vec_col)).cast("decimal(18,6)") * 1_000_000
+    ).cast("long")
+    agg = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.col(id_col)).alias("exemplar_id"),
+        F.sum(nmicro).alias("_smicro"),
+    )
+    total = agg.agg(F.sum("n_members").alias("_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "centroid_id",
+            "n_members",
+            F.expr(
+                "CAST((2 * n_members * 1000000 + _total) DIV (2 * _total)"
+                " AS DOUBLE) / 1000000"
+            ).alias("member_share"),
+            "exemplar_id",
+            F.expr(
+                "CAST((2 * _smicro + n_members) DIV (2 * n_members)"
+                " AS DOUBLE) / 1000000"
+            ).alias("mean_norm"),
+        )
+    )
+
+
 def build_semantic_index(
     corpus: DataFrame,
     index_path: str,

@@ -1385,6 +1385,77 @@ def semantic_dedup_reordered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cluster_profile",
+    f"""
+    WITH hk AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+               AS _hk
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY _hk) - 1 AS centroid_id, embedding AS cvec
+      FROM hk ORDER BY _hk LIMIT 16
+    ),
+    acent AS (
+      SELECT vec_id, centroid_id, embedding FROM (
+        SELECT e.vec_id, c.centroid_id, e.embedding,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC,
+                                           c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT centroid_id, vec_id,
+             CAST(CAST(sqrt({_SQL_DOT.format(a='embedding', b='embedding')})
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS nmicro
+      FROM acent
+    ),
+    agg AS (
+      SELECT centroid_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             min(vec_id) AS exemplar_id,
+             sum(nmicro) AS smicro
+      FROM norms GROUP BY centroid_id
+    ),
+    tot AS (SELECT sum(n_members) AS total FROM agg)
+    SELECT CAST(centroid_id AS INT) AS centroid_id, n_members,
+           CAST((2 * n_members * 1000000 + total) // (2 * total) AS DOUBLE)
+             / 1000000 AS member_share,
+           exemplar_id,
+           CAST((2 * smicro + n_members) // (2 * n_members) AS DOUBLE)
+             / 1000000 AS mean_norm
+    FROM agg CROSS JOIN tot
+    """,
+    retired=True,
+)
+def embedding_cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level corpus map (operators/similarity cluster_profile):
+    per coarse cluster the member count and share, the lowest-id
+    exemplar, and the mean embedding L2 norm — the statistics a
+    curation planner reads before setting per-cluster dedup budgets or
+    mixture weights (Abbas et al. 2023 size their SemDeDup pruning
+    from exactly this shape; a norm-outlier cluster pools encoder
+    failures the row-level outlier scan sees one at a time). ONE
+    zero-shuffle argmax assignment + ONE keyed agg with map-side
+    partials; the divisions run over the k-row result in integer
+    round-half-up micro-units (the daily_value_trend pattern), so
+    every value hashes cross-engine. Lives in the pytest-gated oracle
+    tier from birth: the round added its two gate slots to the BPE
+    char trainer and the reorder append (the rotation invariant admits
+    two new driver rows per round), and this oracle value-checks on
+    every pytest run instead."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        cluster_profile,
+    )
+
+    return cluster_profile(
+        load_table(spark, "embeddings", sf_dir), n_centroids=16
+    )
+
+
+@register(
     "similarity_topk",
     f"""
     SELECT query_id, vec_id, score, rank FROM (

@@ -64,6 +64,7 @@ FAMILY = [
     "semantic_dedup",
     "semantic_dedup_incremental",
     "semantic_dedup_reordered",
+    "embedding_cluster_profile",
     "similarity_topk",
     "semantic_doc_retrieval",
     "similarity_topk_ivf",
