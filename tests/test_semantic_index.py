@@ -376,3 +376,74 @@ def test_reorder_history_read_is_partition_pruned(spark, emb, tmp_path):
     )
     assert "PartitionFilters: [centroid_id" in plan
     assert "INSET" in plan or " IN (" in plan
+
+
+def test_reorder_then_monotone_append_chain(spark, emb, tmp_path):
+    """The lifecycle composes: build → out-of-order reorder append →
+    ordinary monotone append on top must still equal one rebuild over
+    all three segments (the reorder leaves the index in a state the
+    fast path can keep extending)."""
+    idx = _fresh(tmp_path, "reorder-chain")
+    n = emb.count()
+    mid = emb.filter(
+        (F.col("vec_id") >= n // 4) & (F.col("vec_id") < n // 2)
+    )
+    low = emb.filter(F.col("vec_id") < n // 4)
+    high = emb.filter(F.col("vec_id") >= n // 2)
+    build_semantic_index(mid, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(
+        spark, idx, low, batch_token="backfill", allow_reorder=True
+    )
+    semantic_index_append(spark, idx, high, batch_token="tail")
+    assert _state_rows(spark, idx) == _rebuild_rows(emb, mid)
+
+
+def test_reorder_recovery_mid_swap_and_post_marker(spark, emb, tmp_path):
+    """The two crash points the basic recovery test doesn't reach:
+    (a) MID-SWAP — some clusters already renamed out of the stage,
+    others not: recovery must finish only the remaining ones and mark
+    the token; (b) POST-MARKER — the token marker exists and every
+    cluster is swapped, only the stage directory survives: recovery
+    must just delete it. State is unchanged through both."""
+    from py_data_pipeline_app_spark import fsio
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _recover_semantic_reorder,
+    )
+
+    idx = _fresh(tmp_path, "reorder-midswap")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(
+        spark, idx, batch, batch_token="bf", allow_reorder=True
+    )
+    want = _state_rows(spark, idx)
+
+    # (a) mid-swap: stage holds copies of clusters 0 and 1; cluster 0's
+    # subdir is already gone (as if its rename committed before the
+    # crash), cluster 1's swap is still pending
+    stage = f"{idx}/.reorder-stage-midswap"
+    for c in (0, 1):
+        spark.read.parquet(f"{idx}/assigned").filter(
+            F.col("centroid_id") == c
+        ).write.partitionBy("centroid_id").mode("append").parquet(stage)
+    fsio.delete(spark, f"{stage}/centroid_id=0")  # "already swapped"
+    fsio.write_json(
+        spark, f"{stage}/_MANIFEST", {"token": "midswap", "clusters": [0, 1]}
+    )
+    _recover_semantic_reorder(spark, idx)
+    assert not fsio.exists(spark, stage)
+    assert fsio.exists(spark, f"{idx}/reorder-tokens/midswap")
+    assert _state_rows(spark, idx) == want
+
+    # (b) post-marker: only the manifest survives in the stage and the
+    # token is already consumed — recovery must clean up, change nothing
+    stage2 = f"{idx}/.reorder-stage-postmark"
+    fsio.mkdirs(spark, stage2)
+    fsio.write_json(
+        spark, f"{stage2}/_MANIFEST", {"token": "postmark", "clusters": [2]}
+    )
+    fsio.write_text(spark, f"{idx}/reorder-tokens/postmark", "")
+    _recover_semantic_reorder(spark, idx)
+    assert not fsio.exists(spark, stage2)
+    assert _state_rows(spark, idx) == want
