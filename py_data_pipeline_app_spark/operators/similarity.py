@@ -1184,7 +1184,14 @@ def _semantic_reorder_append_locked(
     merged history+batch rows, kept ⇔ no lower-id near-dup — and swap
     those partition directories in via a staged, manifested,
     token-idempotent rewrite. Un-touched clusters are never read,
-    never rewritten."""
+    never rewritten BY THE REWRITE — but note the pre-compaction: it
+    is a no-op when no appends are pending, and a FULL base rewrite
+    otherwise (append rows of affected clusters must be re-homed, and
+    surgically deleting cluster subdirs out of append directories
+    would break their replay contract). A feed that reorders often
+    should compact often (the streaming front door's ``compact_every``
+    does), so each reorder finds an already-folded base and costs
+    ∝ batch + affected clusters only."""
     _compact_assigned_locked(spark, index_path, IVF_APPENDS_SUBDIR, False)
     base = spark.read.parquet(f"{index_path}/assigned").filter(
         F.col("centroid_id").isin(probed)
