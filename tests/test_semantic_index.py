@@ -447,3 +447,26 @@ def test_reorder_recovery_mid_swap_and_post_marker(spark, emb, tmp_path):
     _recover_semantic_reorder(spark, idx)
     assert not fsio.exists(spark, stage2)
     assert _state_rows(spark, idx) == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=2, max_value=97))
+def test_reorder_parity_over_arbitrary_splits(spark, emb, tmp_path_factory, mod):
+    """Property: for ANY modular split of the id space — build over
+    ids where id % mod != 0, reorder-append the rest — the index state
+    equals the full rebuild. The fixed %4 test is one point of this
+    space; hypothesis walks the prime-ish neighborhood where batch
+    sizes, cluster overlap, and violation patterns all vary."""
+    tmp_path = tmp_path_factory.mktemp(f"reorder-prop-{mod}")
+    idx = _fresh(tmp_path, "idx")
+    base = emb.filter(F.col("vec_id") % mod != 0)
+    batch = emb.filter(F.col("vec_id") % mod == 0)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(
+        spark, idx, batch, batch_token="p", allow_reorder=True
+    )
+    assert _state_rows(spark, idx) == _rebuild_rows(emb, base)
