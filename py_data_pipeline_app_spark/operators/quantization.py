@@ -598,7 +598,17 @@ def build_ivfpq_index(
     Defaults keep every input deterministic (md5-ordered samples), so
     probed results are oracle-reproducible end-to-end; pass trained
     ``cents``/``codebooks`` for production recall behind the identical
-    plan."""
+    plan.
+
+    ``codebooks`` must be trained in RESIDUAL space (on ``x − q1(x)``
+    against the SAME ``cents``, after the same rotation when
+    ``rotation_seed`` is set) — codes quantize residuals since the
+    IVFADC change, and raw-vector codebooks (the pre-residual
+    contract) silently degrade recall instead of failing (the
+    ``IVFPQ_ENCODING`` marker protects readers from old on-disk
+    indexes, not the builder from mis-trained inputs). External
+    callers should prefer :func:`build_ivfpq_index_trained`, which
+    derives both tables correctly in one call."""
     spark = corpus.sparkSession
     fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}")
     if fs.exists(appends_path):

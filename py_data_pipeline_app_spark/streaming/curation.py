@@ -47,8 +47,11 @@ from pyspark.sql.streaming import StreamingQuery
 
 from py_data_pipeline_app_spark import fsio
 
-#: split weights matching the batch rollup (plans/queries._SPLIT_WEIGHTS)
-SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+#: split weights — imported from the batch rollup so the streaming and
+#: batch paths cannot drift (the parity test compares against this name)
+from py_data_pipeline_app_spark.plans.queries import (  # noqa: E402
+    _SPLIT_WEIGHTS as SPLIT_WEIGHTS,
+)
 
 SPAN_SUBDIR = "span_index"
 SEMANTIC_SUBDIR = "semantic_index"
