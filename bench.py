@@ -51,7 +51,6 @@ ALIASES = {
     # rollup / profiling / skew / join-mode surfaces:
     "revenue_rollup_region_nation": "rev_rollup",
     "salted_segment_revenue": "salt_rev",
-    "event_value_quantiles": "ev_quant",
     "event_funnel": "ev_funnel",
     "enrich_strict_vs_dedup": "enrich_sd",
     # event-time windows (batch mode of the streaming operators):
@@ -60,7 +59,6 @@ ALIASES = {
     "session_windows": "sessions",
     # temporal + sampling:
     "asof_last_click_before_purchase": "asof_click",
-    "dataset_split_profile": "split_prof",
     # dedup family:
     "dedup_exact": "dd_exact",
     "dedup_minhash_lsh": "dd_lsh",
@@ -105,7 +103,6 @@ ALIASES = {
     "benchmark_span_scrub": "span_scrub",
     "cross_corpus_decontamination": "xdecontam",
     "sequence_packing": "seqpack",
-    "training_set_curation_leakage_safe": "curation_ls",
     "training_set_curation_v2": "curation2",
     "training_set_curation_semantic": "curation_sem",
     "split_leakage_audit": "leak_audit",
@@ -115,10 +112,12 @@ ALIASES = {
     "corpus_bigram_merges": "bigrams",
     "bpe_merge_table": "bpe",
     "bpe_char_merge_table": "bpe_ch",
+    "bpe_token_ids": "bpe_ids",
     "text_token_diversity": "txt_div",
     "text_perplexity_buckets": "ppl_bkt",
     "text_html_strip": "html",
     "source_reputation": "src_rep",
+    "embedding_cluster_profile": "clus_prof",
     "embedding_dim_stats": "emb_stats",
     "embedding_outliers": "emb_out",
     "scd2_state_history": "scd2",

@@ -872,6 +872,116 @@ def bpe_merge_table(
     )
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    *,
+    text_col: str = "text",
+    level: str = "word",
+) -> DataFrame:
+    """The trained tokenizer's (symbol, token_id) table — what a model
+    trainer actually loads (HF/GPT-2 ``vocab.json`` shape): the BASE
+    alphabet (every distinct initial symbol in the corpus — characters
+    with their end-of-word variants at char level, whitespace tokens at
+    word level) takes ids ``0..B-1`` in lexicographic order, then each
+    merge's output symbol takes ``B + rank - 1`` in merge order — the
+    id order GPT-2's encoder files use (bytes first, merges by rank).
+
+    Distribution shape: the alphabet is one distinct-agg over exploded
+    initial symbols (map-side combined), ranked with the two-phase
+    :func:`~py_data_pipeline_app_spark.operators.ranking.global_dense_rank`
+    — no single-partition Exchange even for a word-level vocabulary in
+    the millions. The merge rows are driver-known literals; their id
+    offset joins through a 1-row count frame (no collect). Two merges
+    can textually collide (``(ab,c)`` and ``(a,bc)`` both yield
+    ``abc``), and a tokenizer vocabulary maps each symbol to ONE id —
+    the smallest wins (HF keeps the first), via a final min-agg over
+    the vocab-sized frame."""
+    from py_data_pipeline_app_spark.operators.ranking import global_dense_rank
+
+    state = docs.select(_bpe_state_expr(text_col, level).alias("_s"))
+    syms = F.split(F.expr("substring(_s, 2, length(_s) - 2)"), "›‹")
+    alpha = state.select(F.explode(syms).alias("symbol")).distinct()
+    base = global_dense_rank(alpha, "symbol", "_rk", descending=False).select(
+        "symbol", (F.col("_rk") - 1).cast("int").alias("token_id")
+    )
+    if not merges:
+        return base
+    mrows = local_rows_df(
+        docs.sparkSession,
+        "rank int, symbol string",
+        [
+            (rank, _bpe_merged_symbol(left, right, level))
+            for rank, left, right, _ in sorted(merges)
+        ],
+    )
+    b = alpha.agg(F.count(F.lit(1)).alias("_b"))
+    mvocab = mrows.crossJoin(F.broadcast(b)).select(
+        "symbol", (F.col("_b") + F.col("rank") - 1).cast("int").alias("token_id")
+    )
+    return (
+        base.unionByName(mvocab)
+        .groupBy("symbol")
+        .agg(F.min("token_id").alias("token_id"))
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    vocab: list[tuple[str, int]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: str = "word",
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Documents → token-ID sequences: :func:`bpe_apply`'s symbol
+    arrays mapped through a driver-known ``vocab`` (collect
+    :func:`bpe_vocab` ONCE and thread the rows — the collect-once
+    codebook discipline; at char level the vocabulary is
+    alphabet + n_merges entries, the same size class as a PQ
+    codebook). The lookup is a map LITERAL staged as its own
+    projection column (the lambda-capture staging rule) and the whole
+    encode stays ONE pure zero-shuffle projection — no explode, no
+    join, no re-aggregation shuffle of the tokenized corpus, which is
+    exactly the term that would dominate at 100 TB. For vocabularies
+    too large to ship as a literal (word-level on an open corpus),
+    broadcast-join :func:`bpe_vocab`'s frame against exploded symbols
+    instead — that path costs one keyed shuffle to reassemble and is
+    deliberately NOT the default.
+
+    Returns (id, token_ids array<int>, n_ids, n_oov, n_tokens).
+    Symbols missing from ``vocab`` become ``unk_id`` (or stay null
+    when it is None — count them via ``n_oov``); a vocab trained on
+    the same corpus by construction has ``n_oov = 0``."""
+    enc = bpe_apply(
+        docs, merges, text_col=text_col, id_col=id_col, level=level
+    )
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(s) for s, _ in vocab]),
+        F.array(*[F.lit(int(i)) for _, i in vocab]),
+    )
+    looked = enc.withColumn("_vmap", vmap).withColumn(
+        "_ids",
+        F.transform(
+            F.col("symbols"), lambda s: F.element_at(F.col("_vmap"), s)
+        ),
+    )
+    ids = F.col("_ids")
+    if unk_id is not None:
+        ids = F.transform(ids, lambda i: F.coalesce(i, F.lit(int(unk_id))))
+    return looked.select(
+        id_col,
+        ids.alias("token_ids"),
+        F.size("_ids").alias("n_ids"),
+        F.size(F.filter(F.col("_ids"), lambda i: i.isNull()))
+        .cast("int")
+        .alias("n_oov"),
+        "n_tokens",
+    )
+
+
 def benchmark_span_scrub(
     docs: DataFrame,
     benchmark: DataFrame,

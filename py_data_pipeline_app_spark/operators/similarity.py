@@ -704,10 +704,14 @@ def _union_appends(
     the BASE table's schema: inference is redundant work per
     directory, and a legacy file-less empty append
     (pre-:func:`_write_append_batch` writers) then reads as an
-    empty frame instead of failing every probe of the index."""
+    empty frame instead of failing every probe of the index.
+    Superseded-cluster exclusion markers (written by reorder rewrites
+    — see :func:`_load_reorder_exclusions`) subtract each append's
+    re-homed clusters from its scan."""
     out = base
     fs, appends_path = _hadoop_fs(spark, appends_dir)
     if fs.exists(appends_path):
+        excl = _load_reorder_exclusions(spark, appends_dir.rsplit("/", 1)[0])
         for status in sorted(
             fs.listStatus(appends_path), key=lambda s: str(s.getPath())
         ):
@@ -716,11 +720,15 @@ def _union_appends(
                 and status.getPath().getName().startswith("batch-")
             ):
                 continue
-            if exclude is not None and status.getPath().getName() == exclude:
+            name = status.getPath().getName()
+            if exclude is not None and name == exclude:
                 continue
             batch = spark.read.schema(base.schema).parquet(
                 str(status.getPath())
             )
+            gone = excl.get(name)
+            if gone:
+                batch = batch.filter(~F.col("centroid_id").isin(gone))
             if probed is not None:
                 batch = batch.filter(F.col("centroid_id").isin(probed))
             out = out.unionByName(batch)
@@ -1118,20 +1126,54 @@ def build_semantic_index(
 
 
 SEMANTIC_REORDER_TOKENS_SUBDIR = "reorder-tokens"
+SEMANTIC_REORDER_EXCL_SUBDIR = "reorder-exclusions"
+
+
+def _load_reorder_exclusions(spark, index_path: str) -> dict:
+    """Map of append-directory name → sorted cluster ids whose rows a
+    reorder rewrite has re-homed into the base (the superseded-cluster
+    markers :func:`_apply_reorder_stage` writes). Readers subtract
+    these clusters from each append scan — without the markers the
+    re-homed rows would be counted twice (once in the swapped base
+    partition, once still sitting in the append directory, which the
+    reorder deliberately does NOT rewrite: surgically deleting cluster
+    subsets out of append directories would break their idempotent
+    replay contract). One driver listing + one tiny JSON read per
+    marker; indexes that never reorder never have the directory."""
+    fs, root = _hadoop_fs(spark, f"{index_path}/{SEMANTIC_REORDER_EXCL_SUBDIR}")
+    if not fs.exists(root):
+        return {}
+    out: dict = {}
+    for st in fs.listStatus(root):
+        if st.isDirectory():
+            continue
+        m = fsio.read_json(spark, str(st.getPath()))
+        out.setdefault(m["append"], set()).update(int(c) for c in m["clusters"])
+    return {k: sorted(v) for k, v in out.items()}
 
 
 def _apply_reorder_stage(spark, index_path: str, stage_name: str) -> None:
-    """Commit a fully-staged reorder rewrite: swap each affected
-    cluster's partition directory from the stage into ``assigned/``
-    (delete-then-rename per cluster — each cluster's verdicts are
-    self-contained, so a crash mid-loop leaves every cluster either
-    wholly old or wholly new), record the batch token as consumed,
-    then drop the stage. Idempotent: re-running skips clusters whose
-    stage directory is already gone, so crash recovery just calls it
-    again."""
+    """Commit a fully-staged reorder rewrite: write a superseded-cluster
+    exclusion marker for every append directory the manifest names
+    (their affected-cluster rows now live in the staged copies — from
+    the first swapped directory onward a reader must stop counting the
+    append-side originals), swap each affected cluster's partition
+    directory from the stage into ``assigned/`` (delete-then-rename per
+    cluster — each cluster's verdicts are self-contained, so a crash
+    mid-loop leaves every cluster either wholly old or wholly new),
+    record the batch token as consumed, then drop the stage.
+    Idempotent: marker writes are same-content overwrites and
+    re-running skips clusters whose stage directory is already gone,
+    so crash recovery just calls it again."""
     fs, _ = _hadoop_fs(spark, index_path)
     jvm = spark._jvm.org.apache.hadoop.fs.Path
     m = fsio.read_json(spark, f"{index_path}/{stage_name}/_MANIFEST")
+    for name in m.get("superseded", []):
+        fsio.write_json(
+            spark,
+            f"{index_path}/{SEMANTIC_REORDER_EXCL_SUBDIR}/{name}--{m['token']}",
+            {"append": name, "clusters": [int(c) for c in m["clusters"]]},
+        )
     for c in m["clusters"]:
         src = jvm(f"{index_path}/{stage_name}/centroid_id={c}")
         if not fs.exists(src):
@@ -1177,28 +1219,41 @@ def _semantic_reorder_append_locked(
     vec_col: str,
     token: str,
 ) -> None:
-    """Recompute-mode append (already under the lock): fold pending
-    appends into the base (the shared crash-safe compaction, so every
-    affected cluster's rows live in exactly one partition directory),
-    re-verdict ONLY the batch's clusters under the full rebuild rule —
-    merged history+batch rows, kept ⇔ no lower-id near-dup — and swap
-    those partition directories in via a staged, manifested,
-    token-idempotent rewrite. Un-touched clusters are never read,
-    never rewritten BY THE REWRITE — but note the pre-compaction: it
-    is a no-op when no appends are pending, and a FULL base rewrite
-    otherwise (append rows of affected clusters must be re-homed, and
-    surgically deleting cluster subdirs out of append directories
-    would break their replay contract). A feed that reorders often
-    should compact often (the streaming front door's ``compact_every``
-    does), so each reorder finds an already-folded base and costs
-    ∝ batch + affected clusters only."""
-    _compact_assigned_locked(spark, index_path, IVF_APPENDS_SUBDIR, False)
-    base = spark.read.parquet(f"{index_path}/assigned").filter(
-        F.col("centroid_id").isin(probed)
+    """Recompute-mode append (already under the lock): re-verdict ONLY
+    the batch's clusters under the full rebuild rule — merged
+    history+batch rows read from base ∪ pending appends (partition-
+    pruned to the probed clusters), kept ⇔ no lower-id near-dup — and
+    swap those partition directories in via a staged, manifested,
+    token-idempotent rewrite. Pending appends stay in place: the
+    manifest names them as superseded for the probed clusters, and
+    :func:`_apply_reorder_stage` writes per-append exclusion markers
+    (consumed by :func:`_union_appends` and the next compaction) so
+    their re-homed rows are never double-counted. Cost is therefore
+    ∝ batch + affected clusters regardless of how many appends are
+    pending — never a full base rewrite.
+
+    One caveat a multi-producer feed inherits from compaction itself:
+    a superseded append that is REPLAYED afterwards (its producer
+    crashed pre-checkpoint, then retried) finds its own rows already
+    re-homed in the base and fails the duplicate-id guard loudly.
+    Within one streaming query this cannot happen (foreachBatch
+    serializes epochs, so only the newest batch is replayable and a
+    reorder only runs while processing a newer batch); independent
+    producers should reorder only at quiesce points — the same rule
+    full compaction already imposes."""
+    appends_dir = f"{index_path}/{IVF_APPENDS_SUBDIR}"
+    # duplicate-id guard over the FULL index state — not just the
+    # probed clusters: a re-embedded doc whose vector moved clusters
+    # would otherwise land a second copy of its id in a new cluster
+    # and silently break the rebuild-parity contract. Column-pruned id
+    # scan on the big side, batch-sized broadcast on the probe side.
+    all_ids = _union_appends(
+        spark, spark.read.parquet(f"{index_path}/assigned"), appends_dir, None
     )
+    all_ids = _apply_tombstones(spark, all_ids, index_path, id_col=id_col)
     dup = (
-        base.select(F.col(id_col))
-        .join(assigned.select(F.col(id_col)), id_col)
+        all_ids.select(F.col(id_col))
+        .join(F.broadcast(assigned.select(F.col(id_col))), id_col)
         .limit(1)
         .collect()
     )
@@ -1209,7 +1264,12 @@ def _semantic_reorder_append_locked(
             "(replays of a consumed reorder token are skipped via its "
             "token marker, so this is a genuinely duplicate feed)."
         )
-    merged = base.select(
+    base = spark.read.parquet(f"{index_path}/assigned").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    hist = _union_appends(spark, base, appends_dir, probed)
+    hist = _apply_tombstones(spark, hist, index_path, id_col=id_col)
+    merged = hist.select(
         F.col(id_col), F.col(vec_col), F.col("centroid_id")
     ).unionByName(
         assigned.select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
@@ -1223,6 +1283,15 @@ def _semantic_reorder_append_locked(
     # permanently degrade the base layout the build may have bounded
     # with files_per_bucket (the swap REPLACES those directories)
     kept = _bucket_layout(kept, 1, n_buckets=max(len(probed), 1), id_col=id_col)
+    fs, _ = _hadoop_fs(spark, index_path)
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    pending = []
+    if fs.exists(jvm(appends_dir)):
+        pending = sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(jvm(appends_dir))
+            if s.isDirectory() and s.getPath().getName().startswith("batch-")
+        )
     stage_name = f".reorder-stage-{token}"
     stage = f"{index_path}/{stage_name}"
     kept.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
@@ -1231,7 +1300,11 @@ def _semantic_reorder_append_locked(
     fsio.write_json(
         spark,
         f"{stage}/_MANIFEST",
-        {"token": token, "clusters": [int(c) for c in probed]},
+        {
+            "token": token,
+            "clusters": [int(c) for c in probed],
+            "superseded": pending,
+        },
     )
     _apply_reorder_stage(spark, index_path, stage_name)
 
@@ -1390,7 +1463,39 @@ def semantic_index_state(
     :func:`semantic_dedup` returns for a from-scratch run over the
     same corpus (the parity the oracle checks). Vectors stay on disk:
     the projection reads only the id/kept columns plus the partition
-    value."""
+    value.
+
+    If a crashed reorder rewrite left a manifested stage behind, the
+    read first FINISHES it (the idempotent recovery, briefly under the
+    index lock) — a mid-commit stage is the one on-disk state where
+    base ∪ appends is globally inconsistent (some clusters
+    re-verdicted, others not), and without this a pure reader could
+    observe it indefinitely until the next mutator ran. A live mutator
+    holding the lock raises the usual loud lock error rather than
+    returning that inconsistent view; a manifest-LESS stage is an
+    in-progress (or orphaned) write that never became visible, so the
+    read proceeds normally."""
+    fs, root = _hadoop_fs(spark, index_path)
+    if fs.exists(root) and any(
+        st.getPath().getName().startswith(".reorder-stage-")
+        and fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/{st.getPath().getName()}/_MANIFEST"
+            )
+        )
+        for st in fs.listStatus(root)
+    ):
+        from py_data_pipeline_app_spark.operators.dedup_incremental import (
+            _acquire_index_lock,
+        )
+
+        lock_fs, lock = _acquire_index_lock(
+            spark, index_path, "reorder crash recovery"
+        )
+        try:
+            _recover_semantic_reorder(spark, index_path)
+        finally:
+            lock_fs.delete(lock, False)
     base = spark.read.parquet(f"{index_path}/assigned")
     rows = _union_appends(spark, base, f"{index_path}/{IVF_APPENDS_SUBDIR}", None)
     rows = _apply_tombstones(spark, rows, index_path, id_col=id_col)
@@ -1687,6 +1792,11 @@ def _compact_assigned_locked(
             fs.delete(jvm(f"{index_path}/{appends_subdir}/{name}"), True)
         for name in manifest.get("deletes", []):
             fs.delete(jvm(f"{index_path}/{IVF_DELETES_SUBDIR}/{name}"), True)
+        for name in manifest.get("exclusions", []):
+            fs.delete(
+                jvm(f"{index_path}/{SEMANTIC_REORDER_EXCL_SUBDIR}/{name}"),
+                False,
+            )
         fs.delete(old, True)
         fs.delete(jvm(f"{index_path}/assigned/_MANIFEST"), False)
 
@@ -1730,32 +1840,50 @@ def _compact_assigned_locked(
         )
     if not names and not del_names:
         return 0
+    # reorder exclusion markers: an append's re-homed clusters already
+    # live in the base — merging them again would double-count. The
+    # markers for merged appends are consumed through the manifest
+    # (crash between swap and cleanup deletes exactly these on retry);
+    # a keep-newest pass leaves the kept-back batch's markers pending.
+    excl = _load_reorder_exclusions(spark, index_path)
+    excl_names: list[str] = []
+    _, excl_path = _hadoop_fs(spark, f"{index_path}/{SEMANTIC_REORDER_EXCL_SUBDIR}")
+    if excl and fs.exists(excl_path):
+        merged_set = set(names)
+        for s in fs.listStatus(excl_path):
+            if s.isDirectory():
+                continue
+            m = fsio.read_json(spark, str(s.getPath()))
+            if m["append"] in merged_set:
+                excl_names.append(s.getPath().getName())
+        excl_names.sort()
     merged = spark.read.parquet(f"{index_path}/assigned")
     for d in batch_dirs:
         # base schema: a legacy file-less empty append must merge as an
         # empty frame, not fail inference (same guard as _union_appends)
-        merged = merged.unionByName(spark.read.schema(merged.schema).parquet(d))
+        b = spark.read.schema(merged.schema).parquet(d)
+        gone = excl.get(d.rsplit("/", 1)[-1])
+        if gone:
+            b = b.filter(~F.col("centroid_id").isin(gone))
+        merged = merged.unionByName(b)
     # ALL pending tombstones are applied to the rewrite (a keep-newest
     # pass just doesn't consume them — see docstring)
     merged = _apply_tombstones(spark, merged, index_path)
     merged.write.partitionBy("centroid_id").mode("overwrite").parquet(str(staged))
+    manifest = {"appends": names, "deletes": del_names, "exclusions": excl_names}
     out = fs.create(jvm(f"{index_path}/assigned-compact/_MANIFEST"), True)
     try:
-        out.write(
-            bytearray(
-                json.dumps({"appends": names, "deletes": del_names}).encode(
-                    "utf-8"
-                )
-            )
-        )
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
     fs.delete(old, True)
     _rename_or_raise(fs, base, old)
     _rename_or_raise(fs, staged, base)
-    cleanup({"appends": names, "deletes": del_names})
+    cleanup(manifest)
     if not keep_newest:
         fs.delete(appends_path, True)
+        # every append is merged, so every exclusion marker is moot
+        fs.delete(excl_path, True)
         if del_names:
             fs.delete(dels_path, True)
     return len(batch_dirs) + len(del_names)

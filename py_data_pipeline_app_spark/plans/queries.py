@@ -1428,7 +1428,6 @@ def semantic_dedup_reordered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000 AS mean_norm
     FROM agg CROSS JOIN tot
     """,
-    retired=True,
 )
 def embedding_cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level corpus map (operators/similarity cluster_profile):
@@ -1441,11 +1440,11 @@ def embedding_cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle argmax assignment + ONE keyed agg with map-side
     partials; the divisions run over the k-row result in integer
     round-half-up micro-units (the daily_value_trend pattern), so
-    every value hashes cross-engine. Lives in the pytest-gated oracle
-    tier from birth: the round added its two gate slots to the BPE
-    char trainer and the reorder append (the rotation invariant admits
-    two new driver rows per round), and this oracle value-checks on
-    every pytest run instead."""
+    every value hashes cross-engine. Born in the pytest-gated oracle
+    tier in round 10 (that round's two gate slots went to the BPE char
+    trainer and the reorder append); promoted to a driver gate row in
+    round 11 after three near-twin queries were retired to restore
+    registry headroom."""
     from py_data_pipeline_app_spark.operators.similarity import (
         cluster_profile,
     )
@@ -2836,6 +2835,7 @@ def training_set_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_stat_avg('quality_score', 6)} AS avg_quality
     FROM split GROUP BY split, lang
     """,
+    retired=True,
 )
 def training_set_curation_leakage_safe_q(
     spark: SparkSession, sf_dir: str
@@ -3435,6 +3435,7 @@ def revenue_rollup_region_nation_q(spark: SparkSession, sf_dir: str) -> DataFram
     FROM events
     GROUP BY event_type
     """,
+    retired=True,
 )
 def event_value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution profiling per event type: exact continuous-
@@ -3522,6 +3523,7 @@ _LANG_FRACTIONS = {"en": 0.25}
     FROM documents
     GROUP BY split
     """,
+    retired=True,
 )
 def dataset_split_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split of the corpus keyed
@@ -3884,7 +3886,12 @@ def corpus_bigram_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_merge_candidates(load_table(spark, "documents", sf_dir), k=50)
 
 
-def _bpe_oracle(n_merges: int, encode: bool = False, level: str = "word") -> str:
+def _bpe_oracle(
+    n_merges: int,
+    encode: bool = False,
+    level: str = "word",
+    ids: bool = False,
+) -> str:
     """DuckDB mirror of the FULL iterative bpe_train loop, unrolled:
     each round is three CTEs (pair count over the current symbol
     strings, deterministic top-1 pick, greedy merge application).
@@ -3944,6 +3951,46 @@ def _bpe_oracle(n_merges: int, encode: bool = False, level: str = "word") -> str
       FROM s{i - 1} CROSS JOIN m{i} m
     )"""
         )
+    if ids:
+        mrg_sym = "l || ' ' || rr" if level == "word" else "l || rr"
+        mv = "\n        UNION ALL ".join(
+            f"SELECT {i} AS rank, {mrg_sym} AS symbol FROM m{i}"
+            for i in range(1, n_merges + 1)
+        )
+        final = f""",
+    alpha AS (
+      SELECT DISTINCT
+        unnest(string_split(substring(_s, 2, length(_s) - 2), '›‹')) AS symbol
+      FROM s0
+    ),
+    bc AS (SELECT count(*) AS b FROM alpha),
+    vocab0 AS (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY symbol) - 1 AS INT) AS token_id
+      FROM alpha
+      UNION ALL
+      SELECT symbol, CAST(b + rank - 1 AS INT)
+      FROM ({mv}) CROSS JOIN bc
+    ),
+    vocab AS (
+      SELECT symbol, CAST(min(token_id) AS INT) AS token_id
+      FROM vocab0 GROUP BY symbol
+    ),
+    toks AS (
+      SELECT doc_id, n_tokens,
+             unnest(list_transform(range(1, len(syms) + 1),
+                                   i -> {{'pos': i, 'sym': syms[i]}})) AS u
+      FROM (SELECT doc_id, n_tokens,
+                   string_split(substring(_s, 2, length(_s) - 2), '›‹') AS syms
+            FROM s{n_merges})
+    )
+    SELECT doc_id,
+           string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY u.pos) AS ids_str,
+           CAST(count(*) AS INT) AS n_ids,
+           CAST(any_value(n_tokens) AS BIGINT) AS n_tokens
+    FROM toks JOIN vocab v ON u.sym = v.symbol
+    GROUP BY doc_id"""
+        return "WITH " + ",\n    ".join(parts) + final
     if encode:
         final = f"""
     SELECT doc_id,
@@ -4026,6 +4073,39 @@ def bpe_char_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_merge_table(
         load_table(spark, "documents", sf_dir), n_merges=8, level="char"
+    )
+
+
+@register("bpe_token_ids", _bpe_oracle(n_merges=8, level="char", ids=True))
+def bpe_token_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer stack's missing OUTPUT surface (round-10 verdict
+    missing #3): train the same 8-merge char-level tokenizer as
+    bpe_char_merge_table, derive the (symbol, token_id) vocabulary
+    (operators/curation bpe_vocab — base alphabet ids 0..B-1 by
+    lexicographic two-phase rank, merge outputs B+rank-1 in merge
+    order, textual collisions resolved smallest-id like HF), and
+    encode every document to its token-ID sequence
+    (bpe_encode_ids — the vocab collected ONCE and shipped as a map
+    literal, so the encode is one zero-shuffle pure projection; no
+    explode/join/re-agg of the tokenized corpus). Emits the id
+    sequence space-joined so the value hash pins every position of
+    every document. The oracle extends the unrolled training chain
+    with the same vocabulary derivation and id join — a green row
+    value-checks train, vocab ids, AND the full encoded corpus."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    merges = CUR.bpe_train(docs, n_merges=8, text_col="text", level="char")
+    vocab_rows = sorted(
+        (r.symbol, r.token_id)
+        for r in CUR.bpe_vocab(docs, merges, level="char").collect()
+    )
+    out = CUR.bpe_encode_ids(docs, merges, vocab_rows, level="char")
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform("token_ids", lambda i: i.cast("string")), " "
+        ).alias("ids_str"),
+        "n_ids",
+        "n_tokens",
     )
 
 

@@ -193,6 +193,9 @@ def start_curation_stream(
     chunk_tokens: int = 10,
     quality_threshold: float = 0.0,
     compact_every: int | None = 16,
+    shards_every: int | None = None,
+    n_shards: int = 8,
+    shards_path: str | None = None,
     query_name: str = "curation_front_door",
 ) -> StreamingQuery:
     """File-landing → :func:`curation_fold` per micro-batch, with
@@ -203,15 +206,33 @@ def start_curation_stream(
     there; this is what makes streamed verdicts reproducible); the
     span index self-creates on the first fold. ``availableNow`` drains
     the landing directory and terminates, so repeated calls with one
-    checkpoint fold newly landed files incrementally."""
+    checkpoint fold newly landed files incrementally.
+
+    ``shards_every=N`` closes the loop to the trainer: every N batches
+    the retained corpus-so-far (:func:`curated_corpus`) is rewritten
+    through ``sources.maintenance.write_training_shards`` into
+    ``shards_path`` (default ``{out_path}/shards`` — outside the
+    ``batch-*`` namespace the readers union), so a daily-crawl feed
+    produces trainer-ready shards with no manual batch step. Replay-
+    safe for free: shard membership and intra-file order are pure
+    functions of the ids present (hash-deterministic, overwrite mode),
+    so a replayed boundary batch rewrites byte-identical shards.
+    ``verify=False`` on the stream path — the early batches of a
+    fresh feed are legitimately smaller than ``n_shards`` cells and
+    a raise inside foreachBatch would kill the query; size
+    ``n_shards`` to the corpus, not the batch."""
     from py_data_pipeline_app_spark.operators.similarity import (
         semantic_index_compact,
     )
     from py_data_pipeline_app_spark.operators.span_dedup_incremental import (
         compact_fps,
     )
+    from py_data_pipeline_app_spark.sources.maintenance import (
+        write_training_shards,
+    )
 
     stream = spark.readStream.schema(schema).parquet(landing)
+    shards_dest = shards_path or f"{out_path}/shards"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         curation_fold(
@@ -230,6 +251,14 @@ def start_curation_stream(
             compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
             semantic_index_compact(
                 spark, f"{state_root}/{SEMANTIC_SUBDIR}", keep_newest=True
+            )
+        if shards_every and batch_id > 0 and batch_id % shards_every == 0:
+            write_training_shards(
+                curated_corpus(spark, out_path),
+                shards_dest,
+                n_shards=n_shards,
+                id_col=id_col,
+                verify=False,
             )
 
     return (

@@ -306,3 +306,130 @@ def test_train_guard_costs_no_extra_job(spark):
     bpe_train(df, n_merges=1)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after - before <= 3
+
+
+# ---------------------------------------------------------------------------
+# Token-ID surface (round 11): bpe_vocab ids, bpe_encode_ids round-trip,
+# OOV handling, and sequence packing over REAL id sequences.
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.operators.curation import (  # noqa: E402
+    bpe_encode_ids,
+    bpe_vocab,
+)
+
+_CORPUS = ["low lower lowest", "new newer lower", "low low new"]
+
+
+def _trained(spark):
+    docs = _df(spark, _CORPUS)
+    merges = bpe_train(docs, n_merges=4, level="char")
+    vocab = sorted(
+        (r.symbol, r.token_id)
+        for r in bpe_vocab(docs, merges, level="char").collect()
+    )
+    return docs, merges, vocab
+
+
+def test_vocab_ids_are_alphabet_then_merges(spark):
+    """Base alphabet gets 0..B-1 in lexicographic order; each merge's
+    output symbol gets B+rank-1 — the GPT-2 encoder id layout."""
+    docs, merges, vocab = _trained(spark)
+    d = dict(vocab)
+    # recompute the expected base alphabet in pure Python
+    alpha = set()
+    for t in _CORPUS:
+        for w in t.split():
+            chars = list(w)
+            alpha.update(chars[:-1])
+            alpha.add(chars[-1] + "·")
+    base = {s: i for i, s in enumerate(sorted(alpha))}
+    for s, i in base.items():
+        assert d[s] == i, (s, i, d[s])
+    merged_syms = []
+    for rank, left, right, _ in sorted(merges):
+        sym = left + right
+        assert d[sym] == len(base) + rank - 1 or sym in base
+        merged_syms.append(sym)
+    assert len(d) == len(base) + len(set(merged_syms) - set(base))
+
+
+def test_encode_ids_round_trip_through_vocab(spark):
+    """Decoding the id sequence through the inverted vocab must
+    reproduce bpe_apply's symbol sequence exactly, for every doc."""
+    from py_data_pipeline_app_spark.operators.curation import bpe_apply
+
+    docs, merges, vocab = _trained(spark)
+    inv = {i: s for s, i in vocab}
+    got = {
+        r.doc_id: [inv[i] for i in r.token_ids]
+        for r in bpe_encode_ids(docs, merges, vocab, level="char").collect()
+    }
+    want = {
+        r.doc_id: list(r.symbols)
+        for r in bpe_apply(docs, merges, level="char").collect()
+    }
+    assert got == want
+    # trained-on-same-corpus: zero OOV by construction
+    oov = {
+        r.doc_id: r.n_oov
+        for r in bpe_encode_ids(docs, merges, vocab, level="char").collect()
+    }
+    assert set(oov.values()) == {0}
+
+
+def test_encode_ids_oov_null_vs_unk(spark):
+    """A symbol missing from the vocab nulls (default) or maps to
+    unk_id, and n_oov counts it either way."""
+    docs, merges, vocab = _trained(spark)
+    unseen = _df(spark, ["low qow"])  # q never appears in the corpus
+    out = bpe_encode_ids(unseen, merges, vocab, level="char").collect()[0]
+    assert out.n_oov == 1 and None in out.token_ids
+    out2 = bpe_encode_ids(
+        unseen, merges, vocab, level="char", unk_id=9999
+    ).collect()[0]
+    assert out2.n_oov == 1 and 9999 in out2.token_ids and None not in out2.token_ids
+
+
+def test_encode_ids_plan_is_zero_shuffle(spark):
+    """The 100-TB contract: the encode is ONE pure projection — no
+    Exchange anywhere in the plan (no explode/join/re-agg path)."""
+    docs, merges, vocab = _trained(spark)
+    plan = (
+        bpe_encode_ids(docs, merges, vocab, level="char")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_over_real_ids(spark):
+    """pack_sequences fed n_ids from the REAL id sequences (token_col)
+    must bin exactly like a pure-Python concat-and-chop over the same
+    sequences — ids, not whitespace estimates, drive the offsets."""
+    import pyspark.sql.functions as F
+
+    from py_data_pipeline_app_spark.operators.curation import pack_sequences
+
+    docs, merges, vocab = _trained(spark)
+    enc = bpe_encode_ids(docs, merges, vocab, level="char")
+    packed = {
+        r.doc_id: (r.shard, r.seq_bin, r.n_tokens, r.offset)
+        for r in pack_sequences(
+            enc, seq_len=8, n_shards=2, token_col=F.col("n_ids"), id_col="doc_id"
+        ).collect()
+    }
+    seqs = {
+        r.doc_id: r.token_ids
+        for r in enc.collect()
+    }
+    # pure-Python packing over the id sequences
+    want = {}
+    streams = {}
+    for doc_id in sorted(seqs):
+        shard = doc_id % 2
+        off = streams.get(shard, 0)
+        want[doc_id] = (shard, off // 8, len(seqs[doc_id]), off)
+        streams[shard] = off + len(seqs[doc_id])
+    assert packed == want

@@ -470,3 +470,162 @@ def test_reorder_parity_over_arbitrary_splits(spark, emb, tmp_path_factory, mod)
         spark, idx, batch, batch_token="p", allow_reorder=True
     )
     assert _state_rows(spark, idx) == _rebuild_rows(emb, base)
+
+
+def test_reorder_with_pending_appends_is_bounded(spark, emb, tmp_path):
+    """Round-11 scale contract: a reorder arriving while appends are
+    PENDING must not fold them into the base (the old full-O(index)
+    pre-compaction) — the pending append directories survive
+    untouched, un-probed base cluster directories keep their exact
+    files and mtimes, and the re-homed rows are not double-counted:
+    state still equals the rebuild, through a replay, a later full
+    compaction (which consumes the exclusion markers), and a further
+    monotone append."""
+    from py_data_pipeline_app_spark import fsio
+    from py_data_pipeline_app_spark.operators.similarity import (
+        SEMANTIC_REORDER_EXCL_SUBDIR,
+        _assign_to_centroids,
+        _centroid_rows,
+        _hadoop_fs,
+        semantic_index_compact,
+    )
+
+    idx = _fresh(tmp_path, "reorder-pending")
+    n = emb.count()
+    base = emb.filter((F.col("vec_id") >= n // 4) & (F.col("vec_id") < n // 2))
+    a1 = emb.filter((F.col("vec_id") >= n // 2) & (F.col("vec_id") < 3 * n // 4))
+    a2 = emb.filter((F.col("vec_id") >= 3 * n // 4) & (F.col("vec_id") < n - 5))
+    low = emb.filter(F.col("vec_id") < n // 4).limit(7).localCheckpoint()
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(spark, idx, a1, batch_token="a1")
+    semantic_index_append(spark, idx, a2, batch_token="a2")
+
+    cent_rows = _centroid_rows(spark.read.parquet(f"{idx}/centroids"))
+    probed = {
+        r.centroid_id
+        for r in _assign_to_centroids(
+            low, cent_rows, id_col="vec_id", vec_col="embedding"
+        )
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    untouched = sorted(set(range(K)) - probed)
+    assert untouched, "fixture batch must leave some cluster untouched"
+
+    def listing(c):
+        fs, p = _hadoop_fs(spark, f"{idx}/assigned/centroid_id={c}")
+        return sorted(
+            (s.getPath().getName(), s.getModificationTime())
+            for s in fs.listStatus(p)
+        )
+
+    def append_listing(tok):
+        fs, p = _hadoop_fs(spark, f"{idx}/appends/batch-{tok}")
+        return sorted(
+            (s.getPath().toString(), s.getModificationTime())
+            for s in fs.listStatus(p)
+        )
+
+    base_before = {c: listing(c) for c in untouched}
+    appends_before = {t: append_listing(t) for t in ("a1", "a2")}
+    semantic_index_append(
+        spark, idx, low, batch_token="backfill", allow_reorder=True
+    )
+    # pending appends still there byte-for-byte; un-probed base dirs too
+    assert {t: append_listing(t) for t in ("a1", "a2")} == appends_before
+    assert {c: listing(c) for c in untouched} == base_before
+    # exclusion markers exist for both pending appends
+    excl = sorted(fsio.child_names(spark, f"{idx}/{SEMANTIC_REORDER_EXCL_SUBDIR}"))
+    assert excl == ["batch-a1--backfill", "batch-a2--backfill"]
+
+    want_corpus = emb.filter((F.col("vec_id") >= n // 4) & (F.col("vec_id") < n - 5)).unionByName(low)
+    want = _rebuild_rows(want_corpus, base)
+    assert _state_rows(spark, idx) == want
+    # replay of the consumed reorder token is still a no-op
+    semantic_index_append(
+        spark, idx, low, batch_token="backfill", allow_reorder=True
+    )
+    assert _state_rows(spark, idx) == want
+    # full compaction consumes the markers without double-counting
+    semantic_index_compact(spark, idx)
+    assert not fsio.exists(spark, f"{idx}/{SEMANTIC_REORDER_EXCL_SUBDIR}")
+    assert _state_rows(spark, idx) == want
+    # the lifecycle keeps composing: a monotone append on top
+    semantic_index_append(
+        spark, idx, emb.filter(F.col("vec_id") >= n - 5), batch_token="tail"
+    )
+    assert _state_rows(spark, idx) == _rebuild_rows(
+        want_corpus.unionByName(emb.filter(F.col("vec_id") >= n - 5)), base
+    )
+
+
+def test_reader_finishes_crashed_reorder(spark, emb, tmp_path):
+    """A manifested stage left by a crash is committed by the next
+    READER (semantic_index_state), not just the next mutator — and the
+    commit writes the manifest's superseded-append exclusion markers,
+    so the state read that triggered recovery already excludes the
+    re-homed rows."""
+    from py_data_pipeline_app_spark import fsio
+    from py_data_pipeline_app_spark.operators.similarity import (
+        SEMANTIC_REORDER_EXCL_SUBDIR,
+    )
+
+    idx = _fresh(tmp_path, "reader-recovery")
+    n = emb.count()
+    base = emb.filter((F.col("vec_id") >= n // 4) & (F.col("vec_id") < n // 2))
+    a1 = emb.filter(F.col("vec_id") >= n // 2)
+    build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
+    semantic_index_append(spark, idx, a1, batch_token="a1")
+    want = _state_rows(spark, idx)
+    # fake a crashed reorder that re-verdicted cluster 0 to exactly its
+    # current base rows and superseded batch-a1 for cluster 0: applying
+    # it re-homes a1's cluster-0 rows into the base copy
+    stage = f"{idx}/.reorder-stage-crash"
+    spark.read.parquet(f"{idx}/assigned").filter(
+        F.col("centroid_id") == 0
+    ).unionByName(
+        spark.read.schema(spark.read.parquet(f"{idx}/assigned").schema)
+        .parquet(f"{idx}/appends/batch-a1")
+        .filter(F.col("centroid_id") == 0)
+    ).write.partitionBy("centroid_id").parquet(stage)
+    fsio.write_json(
+        spark,
+        f"{stage}/_MANIFEST",
+        {"token": "crash", "clusters": [0], "superseded": ["batch-a1"]},
+    )
+    # the pure reader must finish the swap and see a consistent state
+    assert _state_rows(spark, idx) == want
+    assert not fsio.exists(spark, stage)
+    assert fsio.exists(spark, f"{idx}/reorder-tokens/crash")
+    assert fsio.exists(
+        spark, f"{idx}/{SEMANTIC_REORDER_EXCL_SUBDIR}/batch-a1--crash"
+    )
+    # lock must have been released (a mutator can run)
+    semantic_index_compact(spark, idx)
+    assert _state_rows(spark, idx) == want
+
+
+def test_reader_refuses_mid_commit_stage_under_live_lock(spark, emb, tmp_path):
+    """If a LIVE mutator (lock held) is between manifest-write and
+    swap, the reader raises the loud lock error instead of silently
+    returning the inconsistent mid-commit view."""
+    from py_data_pipeline_app_spark import fsio
+
+    idx = _fresh(tmp_path, "reader-locked")
+    n = emb.count()
+    build_semantic_index(
+        emb.filter(F.col("vec_id") < n // 2), idx, threshold=THRESH, n_centroids=K
+    )
+    stage = f"{idx}/.reorder-stage-live"
+    fsio.mkdirs(spark, stage)
+    fsio.write_json(
+        spark, f"{stage}/_MANIFEST", {"token": "live", "clusters": [0]}
+    )
+    fsio.write_text(spark, f"{idx}/_index.lock", "")
+    try:
+        with pytest.raises(RuntimeError, match="locked"):
+            semantic_index_state(spark, idx)
+    finally:
+        fsio.delete(spark, f"{idx}/_index.lock")
+        fsio.delete(spark, stage)

@@ -89,7 +89,15 @@ def streamed(spark, corpus, tmp_path_factory):
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).coalesce(1).write.parquet(f"{landing}/b{i}")
         q = start_curation_stream(
-            spark, landing + "/*", ckpt, SCHEMA, state, out, compact_every=1
+            spark,
+            landing + "/*",
+            ckpt,
+            SCHEMA,
+            state,
+            out,
+            compact_every=1,
+            shards_every=1,
+            n_shards=2,
         )
         q.awaitTermination(180)
     return state, out, corpus.filter(F.col("doc_id") >= t0), seed
@@ -213,3 +221,35 @@ def test_curated_corpus_is_shard_ready(spark, streamed, tmp_path):
         n_shards=2,
     )
     assert n_files == 2
+
+
+def test_stream_shard_sink_end_to_end(spark, streamed, tmp_path):
+    """shards_every wires the front door to the trainer sink with no
+    manual batch step: after ≥2 streamed batches the shards under
+    {out}/shards hold exactly the retained corpus, membership is the
+    deterministic id hash (byte-identical to an independent manual
+    write_training_shards run over curated_corpus), and rewriting is
+    replay-safe (a second write converges, never duplicates)."""
+    from py_data_pipeline_app_spark.sources.maintenance import (
+        write_training_shards,
+    )
+
+    state, out, streamed_df, _ = streamed
+    shard_rows = spark.read.parquet(f"{out}/shards")
+    retained = curated_corpus(spark, out)
+    # exactly the retained docs, each exactly once
+    assert sorted(r.doc_id for r in shard_rows.select("doc_id").collect()) == (
+        sorted(r.doc_id for r in retained.select("doc_id").collect())
+    )
+    got = sorted(map(tuple, shard_rows.collect()))
+    # determinism + replay safety: an independent write over the same
+    # retained corpus produces identical rows and shard assignment
+    write_training_shards(
+        retained, str(tmp_path / "manual"), n_shards=2, verify=False
+    )
+    manual = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "manual")).collect())
+    )
+    assert got == manual
+    # the shards subdir must be invisible to the batch-* readers
+    assert "shard" not in curated_batches(spark, out).columns

@@ -42,23 +42,63 @@ def main() -> None:
     print(f"wrote {out}: {len(lines)} queries, "
           f"{sum(1 for n in QUERIES if n in ORACLES)} oracle-backed")
 
+    from py_data_pipeline_app_spark.plans.queries import RETIRED_QUERIES
+
     n, n_oracle = len(QUERIES), sum(1 for q in QUERIES if q in ORACLES)
+    spans = {
+        "registry-count": (
+            f"{n} registered queries, {n_oracle}/{n} with full DuckDB "
+            "value-hash oracles"
+        ),
+        "registry-headroom": (
+            f"N = {n} registered (+{len(RETIRED_QUERIES)} retired), "
+            f"headroom for {100 - n} more"
+        ),
+    }
+    bench = _latest_bench()
+    if bench is not None:
+        rnd, total = bench
+        spans["bench-band"] = f"{total:.0f} s measured in round {rnd}"
     readme = os.path.join(REPO, "README.md")
     with open(readme) as f:
         text = f.read()
-    start, end = "<!-- registry-count -->", "<!-- /registry-count -->"
-    if start in text and end in text:
-        head, rest = text.split(start, 1)
-        _, tail = rest.split(end, 1)
-        span = (
-            f"{n} registered queries, {n_oracle}/{n} with full DuckDB "
-            "value-hash oracles"
-        )
-        with open(readme, "w") as f:
-            f.write(head + start + span + end + tail)
-        print(f"patched README registry-count span: {span}")
-    else:
-        print("README registry-count markers missing - not patched")
+    for key, span in spans.items():
+        start, end = f"<!-- {key} -->", f"<!-- /{key} -->"
+        if start in text and end in text:
+            head, rest = text.split(start, 1)
+            _, tail = rest.split(end, 1)
+            text = head + start + span + end + tail
+            print(f"patched README {key} span: {span}")
+        else:
+            print(f"README {key} markers missing - not patched")
+    with open(readme, "w") as f:
+        f.write(text)
+
+
+def _latest_bench() -> tuple[int, float] | None:
+    """(round, total seconds) from the newest committed BENCH_r*.json —
+    the source for the README's bench-band span, so the stated number
+    is always a driver measurement, never a hand-written claim."""
+    import glob
+    import json
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        total = data.get("value")
+        if isinstance(total, (int, float)) and (
+            best is None or int(m.group(1)) > best[0]
+        ):
+            best = (int(m.group(1)), float(total))
+    return best
 
 
 if __name__ == "__main__":

@@ -95,6 +95,7 @@ FAMILY = [
     "bpe_merge_table",
     "bpe_encoded_corpus",
     "bpe_char_merge_table",
+    "bpe_token_ids",
     "benchmark_decontamination",
     "benchmark_span_scrub",
     "cross_corpus_decontamination",
