@@ -541,6 +541,162 @@ def source_reputation(
     )
 
 
+def bigram_perplexity_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32,
+    lam: float = 0.7,
+    head_cutoff: float = 3.0,
+    tail_cutoff: float = 4.0,
+) -> DataFrame:
+    """:func:`perplexity_buckets` upgraded to an INTERPOLATED BIGRAM
+    LM — one honest step from the unigram stand-in toward CCNet's
+    5-gram KenLM (Wenzek et al. 2020; Jelinek-Mercer interpolation):
+
+    - tokens outside the top-``vocab_size`` unigram vocabulary map to
+      one ``<unk>`` symbol FIRST (KenLM's open-vocabulary setup), so
+      the bigram table is bounded by (V+1)² regardless of corpus size
+      and every context has a count;
+    - p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}) +
+      (1−λ)·c(w_i)/total, the classic interpolated backoff — an
+      unseen pair falls back to (1−λ)·unigram instead of a flat
+      floor;
+    - the document's first token scores by pure unigram (no ``<s>``
+      context state to persist).
+
+    The unigram model cannot see token ORDER: word salad built from
+    frequent words buckets "head" under it and tail here — the
+    fixture pinning that flip is the test. Repetitive spam moves the
+    other way (its one transition is cheap), which is why CCNet pairs
+    the LM filter with repetition rules (:func:`repetition_filter`).
+
+    Determinism/oracle: every count is an exact integer aggregate,
+    per-transition logp is round(ln(λ·cb/cp + (1−λ)·cu/total), 6)
+    (the tfidf 6-dp ln precedent), per-doc sums run over
+    decimal(18,6), final CE is one rounded double division — the
+    whole derivation value-hashes in DuckDB.
+
+    Scale shape: the vocabulary is ONE TakeOrdered (V rows, collected
+    once, re-entering as a map literal — zero extra jobs to map the
+    stream); bigram and unigram counts are keyed aggregations with
+    map-side combine over bounded key spaces ((V+1)² and V+1); both
+    LM tables BROADCAST into the scoring joins; only per-document
+    summaries shuffle. Self-trained only (the corpus-relative mode) —
+    persist the counts yourself for the fixed-reference setup."""
+    spark = docs.sparkSession
+    vocab_rows = (
+        docs.select(F.explode(tokens(text_col)).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r._tok for r in vocab_rows]
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]), F.array(*[F.lit(t) for t in vocab])
+    )
+    # stage the token array AND the mapped array as their own
+    # projections (lambda-capture staging rule) before slicing pairs
+    staged = (
+        docs.select(
+            F.col(id_col),
+            F.filter(tokens(text_col), lambda x: x != "").alias("_toks"),
+        )
+        .withColumn("_vmap", vmap)
+        .withColumn(
+            "_m",
+            F.transform(
+                F.col("_toks"),
+                lambda t: F.coalesce(
+                    F.element_at(F.col("_vmap"), t), F.lit("<unk>")
+                ),
+            ),
+        )
+        .select(F.col(id_col), "_m")
+        .filter(F.size("_m") > 0)
+        .localCheckpoint(eager=False)
+    )
+    uni = staged.select(F.explode("_m").alias("_tok")).groupBy("_tok").agg(
+        F.count(F.lit(1)).alias("_cu")
+    )
+    total = uni.agg(F.sum("_cu").alias("_t"))
+    uni = uni.crossJoin(F.broadcast(total))
+    pairs_col = F.zip_with(
+        F.slice(F.col("_m"), 1, F.size("_m") - 1),
+        F.slice(F.col("_m"), 2, F.size("_m") - 1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+    )
+    pair_stream = staged.select(
+        F.col(id_col), F.explode(pairs_col).alias("_pr")
+    ).select(F.col(id_col), F.col("_pr.p").alias("_p"), F.col("_pr.w").alias("_w"))
+    bi = pair_stream.groupBy("_p", "_w").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = bi.groupBy("_p").agg(F.sum("_cb").alias("_cp"))
+    lam_lit, ulam = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    bi_lm = (
+        bi.join(ctx, "_p")
+        .join(uni.withColumnRenamed("_tok", "_w"), "_w")
+        .select(
+            "_p",
+            "_w",
+            F.round(
+                F.log(
+                    lam_lit * F.col("_cb").cast("double") / F.col("_cp")
+                    + ulam * F.col("_cu").cast("double") / F.col("_t")
+                ),
+                6,
+            ).alias("_lp"),
+        )
+    )
+    # unseen-pair fallback and first-token scores, both per target token
+    uni_lm = uni.select(
+        F.col("_tok"),
+        F.round(
+            F.log(ulam * F.col("_cu").cast("double") / F.col("_t")), 6
+        ).alias("_lp_back"),
+        F.round(
+            F.log(F.col("_cu").cast("double") / F.col("_t")), 6
+        ).alias("_lp_uni"),
+    )
+    trans = (
+        pair_stream.join(F.broadcast(bi_lm), ["_p", "_w"], "left")
+        .join(
+            F.broadcast(uni_lm.withColumnRenamed("_tok", "_w")), "_w", "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_lp"), F.col("_lp_back")).alias("_score"),
+        )
+    )
+    first = staged.select(
+        F.col(id_col), F.element_at(F.col("_m"), 1).alias("_w")
+    ).join(F.broadcast(uni_lm.withColumnRenamed("_tok", "_w")), "_w").select(
+        F.col(id_col), F.col("_lp_uni").alias("_score")
+    )
+    agg = (
+        trans.unionByName(first)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_score").cast("decimal(18,6)")).alias("_s"),
+        )
+    )
+    ce = F.round(-F.col("_s").cast("double") / F.col("n_tokens"), 6)
+    return agg.select(
+        id_col,
+        "n_tokens",
+        ce.alias("cross_entropy"),
+        F.when(ce <= head_cutoff, "head")
+        .when(ce > tail_cutoff, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+        (ce <= tail_cutoff).alias("kept"),
+    )
+
+
 def unigram_lm(
     docs: DataFrame, *, text_col: str = "text", vocab_size: int = 32
 ) -> DataFrame:

@@ -576,6 +576,7 @@ def build_ivfpq_index(
     codebooks: DataFrame | None = None,
     files_per_bucket: int | None = None,
     rotation_seed: int | None = None,
+    rotation: list | None = None,
 ) -> None:
     """Materialize the IVF-PQ index — the standard corpus-scale ANN
     layout (FAISS's IVFPQ shape, rebuilt Spark-first): every vector's
@@ -644,13 +645,21 @@ def build_ivfpq_index(
     resid = _with_residual(assigned, cent_rows, vec_col=vec_col)
     enc_vec, enc_offset = "_rvec", "_cvec"
     rot = None
-    if rotation_seed is not None:
+    if rotation is not None or rotation_seed is not None:
         # OPQ-style decorrelation: quantize R·r instead of r. The
         # reconstruction norm the score needs is ‖c + Rᵀ·q2(Rr)‖,
         # which equals ‖Rc + q2(Rr)‖ (R is orthonormal) — so the
         # existing offset machinery works verbatim with the centroid
-        # PRE-ROTATED driver-side.
-        rot = rotation_matrix(rotation_seed, dim)
+        # PRE-ROTATED driver-side. ``rotation`` passes an EXPLICIT
+        # matrix (a trained OPQ rotation — train_opq_rotation — is
+        # not derivable from a seed); ``rotation_seed`` derives the
+        # fixed RR baseline. Readers never see the difference: both
+        # persist to rotation/ with the same checksum machinery.
+        rot = (
+            rotation
+            if rotation is not None
+            else rotation_matrix(rotation_seed, dim)
+        )
         rot_lit = float_matrix_lit(rot)
         crot = _rotated_centroids(rot, cent_rows)
         resid = resid.withColumn(
@@ -719,6 +728,87 @@ def build_ivfpq_index(
     )
 
 
+def _np_lloyd(S, ksub: int, n_iter: int = 10):
+    """Plain Lloyd's over a small numpy sample (n×dsub), deterministic:
+    initial centers are the first ``ksub`` DISTINCT sample rows (the
+    sample arrives md5-ordered, so the init is a pure function of the
+    data), an emptied cluster keeps its previous center. Returns
+    (centers ksub×dsub, assignment n)."""
+    import numpy as np
+
+    _, first = np.unique(S.round(12), axis=0, return_index=True)
+    init = S[np.sort(first)[:ksub]]
+    if len(init) < ksub:  # degenerate sample: pad by repeating rows
+        init = np.vstack([init, S[: ksub - len(init)]])
+    C = init.copy()
+    assign = None
+    for _ in range(n_iter):
+        d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(ksub):
+            mask = assign == j
+            if mask.any():
+                C[j] = S[mask].mean(0)
+    return C, assign
+
+
+def train_opq_rotation(
+    resid: DataFrame,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "_rvec",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    n_iter: int = 8,
+    seed: int = 7,
+) -> list[list[float]]:
+    """TRAINED OPQ rotation — Ge et al. 2014's non-parametric
+    alternating optimization (Algorithm 1), not the fixed-random "RR"
+    baseline :func:`rotation_matrix` is: repeat {fit per-subspace
+    k-means codebooks to the rotated sample; reconstruct each sample
+    from its nearest codewords; update R by the orthogonal Procrustes
+    solution ``R = V·Uᵀ`` of ``svd(XᵀY)``, which is the orthogonal
+    matrix minimizing ‖XRᵀ − Y‖²}. Each step cannot increase the
+    quantization error, so the alternation monotonically improves on
+    its RR initialization (pinned by test).
+
+    Runs DRIVER-SIDE over a bounded deterministic sample (md5-ordered
+    ``sample_size`` rows collected once — FAISS's OPQMatrix trains on
+    a sample the same way; the rotation is a dim×dim statistic, it
+    does not need the corpus). The distributed plan never changes:
+    the result feeds ``build_ivfpq_index(rotation=...)`` / full-corpus
+    codebook training exactly like the fixed matrix. numpy SVD is
+    bit-stable per platform but not across BLAS builds — trained
+    indexes persist the matrix with a checksum (readers replay it
+    from disk, never re-derive), and the cross-engine gate stays on
+    the seed-derived path."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    sample = (
+        resid.select(F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[0]] for r in sample])
+    R = np.array(rotation_matrix(seed, dim))
+    for _ in range(n_iter):
+        Xr = X @ R.T
+        Y = np.empty_like(Xr)
+        for s in range(m):
+            Ssub = Xr[:, s * dsub : (s + 1) * dsub]
+            C, assign = _np_lloyd(Ssub, ksub)
+            Y[:, s * dsub : (s + 1) * dsub] = C[assign]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = Vt.T @ U.T
+    return [[float(x) for x in row] for row in R]
+
+
 def build_ivfpq_index_trained(
     corpus: DataFrame,
     index_path: str,
@@ -731,6 +821,7 @@ def build_ivfpq_index_trained(
     vec_col: str = "embedding",
     files_per_bucket: int | None = None,
     rotation_seed: int | None = None,
+    opq_iters: int = 0,
     seed: int = 7,
     max_iter: int = 20,
 ) -> None:
@@ -741,7 +832,13 @@ def build_ivfpq_index_trained(
     stand-in tables, re-rank 0.77; module docstring) without the
     five-call assembly dance, and with the rotation space
     impossible to mismatch between codebook training and encoding.
-    No SQL oracle by nature (iterative k-means) — the sampled
+    ``opq_iters > 0`` upgrades the rotation from the fixed RR
+    baseline to the TRAINED alternating-optimization one
+    (:func:`train_opq_rotation`, initialized from ``rotation_seed``
+    or ``seed``) — measured strictly above the fixed rotation on
+    cross-subspace-correlated data (test-pinned); the full-corpus
+    codebooks then refit in the trained space. No SQL oracle by
+    nature (iterative k-means) — the sampled
     :func:`build_ivfpq_index` defaults stay the gate path; recall and
     parity are pinned in tests."""
     from py_data_pipeline_app_spark.operators.similarity import (
@@ -759,9 +856,21 @@ def build_ivfpq_index_trained(
         cent_rows,
         vec_col=vec_col,
     )
-    train_vec = "_rvec"
-    if rotation_seed is not None:
+    rot = None
+    if opq_iters > 0:
+        rot = train_opq_rotation(
+            resid,
+            m=m,
+            ksub=ksub,
+            dim=dim,
+            id_col=id_col,
+            n_iter=opq_iters,
+            seed=rotation_seed if rotation_seed is not None else seed,
+        )
+    elif rotation_seed is not None:
         rot = rotation_matrix(rotation_seed, dim)
+    train_vec = "_rvec"
+    if rot is not None:
         resid = resid.withColumn(
             "_rvec_rot", _matvec(float_matrix_lit(rot), F.col("_rvec"), dim)
         )
@@ -782,7 +891,7 @@ def build_ivfpq_index_trained(
         cents=cent_rows,
         codebooks=codebooks,
         files_per_bucket=files_per_bucket,
-        rotation_seed=rotation_seed,
+        rotation=rot,
     )
 
 

@@ -3740,6 +3740,112 @@ def text_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_LAM, _BIGRAM_ULAM = 0.7, 1.0 - 0.7  # exact doubles, repr'd into SQL
+
+
+@register(
+    "text_perplexity_bigram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, list_filter({_SQL_WS}, x -> x <> '') AS ws
+        FROM documents
+      ) WHERE len(ws) > 0
+    ),
+    rawc AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok
+    ),
+    vl AS (
+      SELECT list(tok) AS l
+      FROM (SELECT tok FROM rawc ORDER BY c DESC, tok LIMIT 32)
+    ),
+    m AS (
+      SELECT doc_id,
+             list_transform(ws, x -> CASE WHEN list_contains(vl.l, x)
+                                          THEN x ELSE '<unk>' END) AS mw
+      FROM toks CROSS JOIN vl
+    ),
+    uni AS (
+      SELECT w, count(*) AS cu
+      FROM (SELECT unnest(mw) AS w FROM m) GROUP BY w
+    ),
+    tot AS (SELECT sum(cu) AS t FROM uni),
+    prs AS (
+      SELECT doc_id, u.p AS p, u.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(mw)),
+                                     j -> {{'p': mw[j], 'w': mw[j+1]}})) AS u
+        FROM m
+      )
+    ),
+    bi AS (SELECT p, w, count(*) AS cb FROM prs GROUP BY p, w),
+    ctx AS (SELECT p, sum(cb) AS cp FROM bi GROUP BY p),
+    bilm AS (
+      SELECT b.p, b.w,
+             round(ln({_BIGRAM_LAM!r} * b.cb::DOUBLE / ctx.cp
+                      + {_BIGRAM_ULAM!r} * u.cu::DOUBLE / tot.t), 6) AS lp
+      FROM bi b JOIN ctx ON b.p = ctx.p JOIN uni u ON b.w = u.w CROSS JOIN tot
+    ),
+    unilm AS (
+      SELECT w,
+             round(ln({_BIGRAM_ULAM!r} * cu::DOUBLE / t), 6) AS lp_back,
+             round(ln(cu::DOUBLE / t), 6) AS lp_uni
+      FROM uni CROSS JOIN tot
+    ),
+    trans AS (
+      SELECT prs.doc_id, coalesce(bilm.lp, unilm.lp_back) AS sc
+      FROM prs LEFT JOIN bilm ON prs.p = bilm.p AND prs.w = bilm.w
+               LEFT JOIN unilm ON prs.w = unilm.w
+    ),
+    fst AS (
+      SELECT f.doc_id, unilm.lp_uni AS sc
+      FROM (SELECT doc_id, mw[1] AS w FROM m) f JOIN unilm ON f.w = unilm.w
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(-(sum(sc::DECIMAL(18,6))::DOUBLE) / count(*), 6) AS ce
+      FROM (SELECT * FROM trans UNION ALL SELECT * FROM fst) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, ce AS cross_entropy,
+           CASE WHEN ce <= 3.37 THEN 'head'
+                WHEN ce > 3.41 THEN 'tail'
+                ELSE 'middle' END AS bucket,
+           ce <= 3.41 AS kept
+    FROM agg
+    """,
+    retired=True,
+)
+def text_perplexity_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-BIGRAM LM quality filter (operators/curation
+    bigram_perplexity_buckets) — the honest next step from the unigram
+    stand-in toward CCNet's 5-gram KenLM: tokens outside the top-32
+    vocabulary map to one ``<unk>`` first (bounds the bigram table to
+    33² and keeps every context counted), transitions score
+    λ·bigram + (1−λ)·unigram with λ = 0.7, first tokens score pure
+    unigram. Unlike the unigram model this SEES token order — word
+    salad built from frequent words flips head→tail (fixture-pinned in
+    tests/test_curation.py). Cutoffs 3.37/3.41 sit at this corpus'
+    ~25th/90th CE percentiles (the CCNet calibrate-once protocol).
+    All counts exact integers, per-transition logp rounded to 6 dp,
+    decimal sums — the whole derivation value-hashes; the interpolation
+    weights are repr'd into the SQL so both engines multiply by
+    bit-identical doubles. Retired tier from birth: the round's two
+    driver slots went to embedding_cluster_profile and bpe_token_ids;
+    this oracle value-checks on every pytest run."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_perplexity_buckets,
+    )
+
+    return bigram_perplexity_buckets(
+        load_table(spark, "documents", sf_dir),
+        vocab_size=32,
+        lam=_BIGRAM_LAM,
+        head_cutoff=3.37,
+        tail_cutoff=3.41,
+    )
+
+
 # Markup planted onto every 7th document (the sf corpora are plain
 # text): wrapper tags, a script block whose BODY contains a tag, and
 # double-escaped entities — exercising block removal, tag stripping,

@@ -299,3 +299,65 @@ def test_benchmark_span_scrub_removes_planted_leak(spark):
     assert out[1].text_scrubbed == clean and out[1].n_removed == 1
     assert out[2].text_scrubbed == clean and out[2].n_removed == 0
     assert out[3].text_scrubbed == "" and out[3].n_removed == 1
+
+
+def test_bigram_perplexity_flips_word_salad(spark):
+    """The bigram mode's reason to exist, pinned: word salad built
+    from the corpus' most frequent words is INVISIBLE to the unigram
+    filter (identical CE to the natural sentence it scrambles — the
+    unigram model cannot see order) and flips head → tail under the
+    interpolated bigram. Natural repetitions of the sentence stay
+    head under both."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_perplexity_buckets,
+        perplexity_buckets,
+    )
+
+    nat = "the cat sat on the mat"
+    salad = "mat the on sat cat the"  # same multiset, scrambled order
+    docs = local_rows_df(
+        spark,
+        "doc_id long, text string",
+        [(i, nat) for i in range(8)] + [(100, salad)],
+    )
+    kw = dict(vocab_size=16, head_cutoff=1.7, tail_cutoff=1.7)
+    uni = {
+        r.doc_id: (r.cross_entropy, r.bucket)
+        for r in perplexity_buckets(docs, **kw).collect()
+    }
+    bi = {
+        r.doc_id: (r.cross_entropy, r.bucket)
+        for r in bigram_perplexity_buckets(docs, **kw).collect()
+    }
+    # unigram: salad is bit-identical to natural — both head
+    assert uni[100][0] == uni[0][0]
+    assert uni[0][1] == uni[100][1] == "head"
+    # bigram: natural stays head, salad flips to tail
+    assert bi[0][1] == "head"
+    assert bi[100][1] == "tail", bi[100]
+    assert bi[100][0] > bi[0][0]
+
+
+def test_bigram_perplexity_unk_bounds_the_table(spark):
+    """Out-of-vocabulary tokens map to ONE <unk> symbol before any
+    counting, so rare-token spam cannot grow the bigram key space —
+    and a doc of pure OOV noise still scores (through <unk>
+    transitions), never drops."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_perplexity_buckets,
+    )
+
+    docs = local_rows_df(
+        spark,
+        "doc_id long, text string",
+        [(i, "the cat sat on the mat") for i in range(8)]
+        + [(200, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")],
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_perplexity_buckets(docs, vocab_size=4).collect()
+    }
+    assert out[200].n_tokens == 8  # every token scored
+    assert out[200].cross_entropy is not None

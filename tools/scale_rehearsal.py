@@ -86,6 +86,7 @@ FAMILY = [
     "span_dedup_incremental",
     "text_token_diversity",
     "text_perplexity_buckets",
+    "text_perplexity_bigram",
     "text_html_strip",
     "source_reputation",
     "source_cap_sample",
