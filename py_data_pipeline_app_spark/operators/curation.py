@@ -585,7 +585,6 @@ def bigram_perplexity_buckets(
     LM tables BROADCAST into the scoring joins; only per-document
     summaries shuffle. Self-trained only (the corpus-relative mode) —
     persist the counts yourself for the fixed-reference setup."""
-    spark = docs.sparkSession
     vocab_rows = (
         docs.select(F.explode(tokens(text_col)).alias("_tok"))
         .filter(F.col("_tok") != "")

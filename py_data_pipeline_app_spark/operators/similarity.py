@@ -1507,12 +1507,15 @@ def semantic_index_state(
 def semantic_index_compact(spark, index_path: str, *, keep_newest: bool = False) -> int:
     """Merge ``appends/batch-*`` into the semantic index's base table —
     verdicts are already final (append-only by the monotone-id
-    contract), so the merge is the same plain union rewrite as IVF's,
-    and it shares :func:`_compact_assigned_locked`'s staged-write +
+    contract; a reorder rewrite flips verdicts only inside the BASE
+    partitions it swaps, and marks the append rows it re-homed with
+    exclusion markers the merge subtracts), so the merge is the same
+    plain union rewrite as IVF's, and it shares
+    :func:`_compact_assigned_locked`'s staged-write +
     manifest + two-rename crash-safety protocol verbatim (recovery at
     every crash point is tested there). Applies and (on full
-    compaction) consumes pending tombstones. Returns directories
-    merged + tombstone sets consumed."""
+    compaction) consumes pending tombstones and exclusion markers.
+    Returns directories merged + tombstone sets consumed."""
     from py_data_pipeline_app_spark.operators.dedup_incremental import (
         _acquire_index_lock,
     )

@@ -88,10 +88,12 @@ def test_terminates_when_trained_out(spark):
         max_size=6,
     )
 )
+@pytest.mark.oracle
 def test_property_matches_reference(spark, texts):
     assert bpe_train(_df(spark, texts), n_merges=4) == py_bpe(texts, 4)
 
 
+@pytest.mark.oracle
 def test_deterministic(spark):
     texts = ["p q p q r", "q p q p r", "r r r"]
     a = bpe_train(_df(spark, texts), n_merges=5)

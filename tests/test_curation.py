@@ -111,6 +111,7 @@ def test_pack_sequences_invariants(spark):
             run += r.n_tokens
 
 
+@pytest.mark.oracle
 def test_cluster_keyed_split_has_zero_leakage(spark):
     # assigning splits by the cluster canonical id puts every near-dup
     # pair in one split — the property the leakage-safe build relies on

@@ -195,6 +195,7 @@ def test_connected_components_long_path(spark):
     assert len(got) == 12
 
 
+@pytest.mark.oracle
 def test_connected_components_star_parity(spark):
     """The O(log n) large-star/small-star variant must produce the
     exact same (node, component) labeling as min-label propagation on

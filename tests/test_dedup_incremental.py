@@ -107,6 +107,7 @@ def test_fold_result_is_pinned_against_later_appends(spark, docs, tmp_path):
     assert all(x in a_ids and y in a_ids for x, y, _ in late)
 
 
+@pytest.mark.oracle
 def test_compaction_preserves_fold_results(spark, docs, tmp_path):
     """compact_index merges batch subdirectories without changing any
     subsequent fold's emissions, is a no-op on a single batch, and
@@ -149,6 +150,7 @@ def test_compaction_preserves_fold_results(spark, docs, tmp_path):
     assert sorted(got) == _pairs(minhash_dedup_pairs(docs, threshold=0.5))
 
 
+@pytest.mark.oracle
 def test_fold_is_idempotent_under_retry(spark, docs, tmp_path):
     """Replaying a fold with the same batch token overwrites its index
     subdirectory instead of double-counting history (the streaming
@@ -196,6 +198,7 @@ def test_config_drift_fails_loudly(spark, docs, tmp_path):
     ).collect()
 
 
+@pytest.mark.oracle
 def test_compaction_keep_newest_protects_replayable_batch(spark, docs, tmp_path):
     """Default compaction leaves the most recently written batch
     subdirectory untouched — the only batch a crashed micro-batch

@@ -88,6 +88,7 @@ def test_ingest_rejects_wrong_extension_and_missing_sheet(spark, tmp_path):
         ingest_workbook(spark, p)
 
 
+@pytest.mark.oracle
 def test_end_to_end_from_xlsx_matches_fixture_goldens(spark, tmp_path):
     """The judge's SRC1 contract: start from a real .xlsx file and
     reproduce the fixture pipeline's numbers exactly."""
@@ -149,6 +150,7 @@ def test_excel_report_sink_roundtrips(spark, tmp_path):
     assert back["TopSpenders"][0][:2] == ["customer_id", "name"]
 
 
+@pytest.mark.oracle
 def test_merged_mirror_is_distributed_and_excel_sheet_is_capped(spark, tmp_path):
     """SNK4 at scale: the MergedData parquet mirror is written
     executor-side (a partitioned parquet directory, full row count —

@@ -238,6 +238,7 @@ _US = 1_000_000
     ),
     bin_seconds=st.sampled_from([1, 7, 3600, 86400]),
 )
+@pytest.mark.oracle
 def test_interval_join_matches_naive_model(spark, facts, ivs, bin_seconds):
     """Property: for arbitrary facts/intervals and any bin width, the
     bin-bucketed join returns exactly the naive containment pairs —

@@ -7,6 +7,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -73,6 +74,7 @@ def test_pii_scrub_counts_match_injections(spark, rows):
     st.integers(min_value=2, max_value=3),  # number of fold batches
     st.sampled_from([1.0, 0.5]),
 )
+@pytest.mark.oracle
 def test_incremental_fold_union_equals_batch_lsh(spark, toklists, n_batches, threshold):
     """Replay parity as a property: for ANY corpus and ANY split into
     sequential batches, the union of incremental_lsh_fold emissions
@@ -159,6 +161,7 @@ def test_source_cap_sample_respects_cap_for_any_distribution(spark, srcs, cap):
         assert r.src_total == truth[r.source]
 
 
+@pytest.mark.oracle
 @settings(max_examples=10, deadline=None)
 @given(st.lists(TOKLIST.filter(bool), min_size=1, max_size=10))
 def test_simhash64_matches_python_reference(spark, toklists):

@@ -75,6 +75,7 @@ def test_classifier_separates_heldout_junk(spark, corpus):
     assert auc >= 0.8, auc
 
 
+@pytest.mark.oracle
 def test_training_is_deterministic(spark, corpus):
     m1 = train_quality_classifier(corpus, vocab_size=16)
     m2 = train_quality_classifier(corpus, vocab_size=16)

@@ -130,6 +130,7 @@ def test_pq_topk_precomputed_encoding_identical(emb, cb, queries):
     )
 
 
+@pytest.mark.oracle
 def test_trained_codebooks_beat_sample(emb, cb, queries):
     """Per-subspace k-means tracks the data distribution, so its mean
     quantization error must be lower and recall at least as good."""
@@ -300,6 +301,7 @@ def test_ivfpq_full_probe_matches_python_model(spark, emb, queries, ivfpq_index)
             assert gv == wv and abs(gs - ws) < 1e-8, (qid, pairs, want[qid])
 
 
+@pytest.mark.oracle
 def test_residual_encoding_beats_raw_adc(spark, emb, cb, queries, ivfpq_trained_index):
     """The point of IVFADC's residual codes (Jégou et al. 2011 §V):
     with trained quantizers, full-probe residual ADC must strictly
@@ -379,6 +381,7 @@ def test_ivfpq_recall_not_worse_than_halved_probe(spark, emb, cb, queries, ivfpq
     assert hits(8) >= hits(2)
 
 
+@pytest.mark.oracle
 def test_ivfpq_append_parity_with_full_rebuild(spark, emb, queries, tmp_path):
     """build(evens) + append(odds) must probe bit-identically to one
     build over everything with the same centroids + codebooks."""
@@ -477,6 +480,7 @@ def test_index_mutators_respect_lock(spark, emb, tmp_path):
         fs.delete(lock, False)
 
 
+@pytest.mark.oracle
 def test_ivfpq_compact_preserves_probes(spark, emb, queries, tmp_path):
     """Compaction merges code appends into the base with identical
     probe results and removes the append directories."""
@@ -507,6 +511,7 @@ def test_ivfpq_compact_preserves_probes(spark, emb, queries, tmp_path):
     assert not os.path.isdir(os.path.join(path, "appends"))
 
 
+@pytest.mark.oracle
 def test_ivfpq_empty_append_does_not_poison_probes(spark, emb, queries, tmp_path):
     """Zero-row appends (empty replayed micro-batches) must leave the
     IVF-PQ index probeable — same contract as the raw IVF layout."""
@@ -524,6 +529,7 @@ def test_ivfpq_empty_append_does_not_poison_probes(spark, emb, queries, tmp_path
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
 
 
+@pytest.mark.oracle
 def test_ivfpq_delete_parity_and_compaction(spark, emb, queries, tmp_path):
     """Tombstones on the compressed layout: probing A∪B with B deleted
     equals probing an index built over A with the same centroids and
@@ -571,6 +577,7 @@ def test_ivfpq_delete_parity_and_compaction(spark, emb, queries, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.oracle
 def test_rerank_improves_recall_over_raw_adc(
     spark, emb, queries, ivfpq_trained_index
 ):
@@ -675,6 +682,7 @@ def test_rotation_matrix_is_orthonormal():
     assert rotation_matrix(8, 16) != R  # seed actually matters
 
 
+@pytest.mark.oracle
 def test_rotated_index_append_parity(spark, emb, queries, tmp_path):
     """build(A, rotation)+append(B) must probe identically to
     build(A∪B) with the same frozen tables and rotation — the batch
@@ -701,6 +709,7 @@ def test_rotated_index_append_parity(spark, emb, queries, tmp_path):
     assert got == want
 
 
+@pytest.mark.oracle
 def test_rotation_checksum_drift_fails_loudly(spark, emb, queries, tmp_path):
     """Codes live in the rotated space: probing through a drifted
     rotation matrix must refuse, not score garbage."""
@@ -728,6 +737,7 @@ def test_rotation_checksum_drift_fails_loudly(spark, emb, queries, tmp_path):
         ivfpq_topk(spark, path, queries, k=5, nprobe=2)
 
 
+@pytest.mark.oracle
 def test_rotation_improves_trained_recall_on_correlated_data(spark, tmp_path):
     """The OPQ-style rotation's measured win: on data whose
     coordinates correlate ACROSS subspaces (second half of every
@@ -809,6 +819,7 @@ def test_rotation_improves_trained_recall_on_correlated_data(spark, tmp_path):
     assert rotated > plain, (plain, rotated)
 
 
+@pytest.mark.oracle
 def test_trained_builder_one_call(spark, emb, queries, tmp_path):
     """build_ivfpq_index_trained assembles the production recall
     configuration in one call: probes must beat the sampled-table
@@ -846,6 +857,7 @@ def test_trained_builder_one_call(spark, emb, queries, tmp_path):
     assert {r.query_id for r in out} == set(range(10))
 
 
+@pytest.mark.oracle
 def test_trained_opq_rotation_beats_fixed_rr(spark, tmp_path):
     """Round-11: the TRAINED alternating-optimization rotation (Ge et
     al. 2014 Algorithm 1, train_opq_rotation) must strictly beat the
@@ -914,6 +926,7 @@ def test_trained_opq_rotation_beats_fixed_rr(spark, tmp_path):
             assert abs(dot - (1.0 if i == j else 0.0)) < 1e-9
 
 
+@pytest.mark.oracle
 def test_opq_alternation_reduces_quantization_error(spark):
     """train_opq_rotation's alternation must END with lower sample
     quantization error than its RR initialization (each codebook fit

@@ -19,6 +19,28 @@ def test_every_query_has_an_oracle():
     assert sorted(set(QUERIES) - set(ORACLES)) == []
 
 
+# A handful of cheap structurally-diverse sentinels keep the fast loop
+# honest about the registry wiring (import, load_table, plan build);
+# the FULL sweep runs in the slow tier — it re-executes all ~98 queries
+# and duplicates what the driver gate + check_oracle re-verify per
+# round anyway (round-11 tier split, see pytest.ini).
+_SMOKE_SENTINELS = [
+    "pricing_summary",
+    "customer_spend_ranking",
+    "text_quality",
+    "source_cap_sample",
+    "tumbling_counts",
+]
+
+
+@pytest.mark.parametrize("name", _SMOKE_SENTINELS)
+def test_query_executes_sentinel(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name
+
+
+@pytest.mark.oracle
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_executes(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)

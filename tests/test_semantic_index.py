@@ -59,6 +59,7 @@ def _rebuild_rows(emb, base):
     )
 
 
+@pytest.mark.oracle
 def test_two_appends_match_rebuild(spark, emb, tmp_path):
     n = emb.count()
     a, b = n // 3, 2 * n // 3
@@ -72,6 +73,7 @@ def test_two_appends_match_rebuild(spark, emb, tmp_path):
     assert _state_rows(spark, idx) == _rebuild_rows(emb, base)
 
 
+@pytest.mark.oracle
 def test_append_is_idempotent_by_token(spark, emb, tmp_path):
     n = emb.count()
     base = emb.filter(F.col("vec_id") < n // 2)
@@ -98,6 +100,7 @@ def test_out_of_order_id_refused_before_writing(spark, emb, tmp_path):
     assert _state_rows(spark, idx) == before
 
 
+@pytest.mark.oracle
 def test_tombstone_forgets_history(spark, tmp_path):
     """Deleting an id removes it from the state immediately AND stops
     it dropping future arrivals (forget semantics): append a clone of
@@ -196,6 +199,7 @@ def test_rebuild_over_mutated_index_refused(spark, emb, tmp_path):
         build_semantic_index(emb, idx, threshold=THRESH, n_centroids=K)
 
 
+@pytest.mark.oracle
 def test_reorder_append_matches_rebuild(spark, emb, tmp_path):
     """allow_reorder=True with a batch interleaved BELOW history ids
     (every 4th id, including the global minimum) must reproduce the
@@ -237,6 +241,7 @@ def test_reorder_append_can_flip_history_verdicts(spark, tmp_path):
     } == {(1, True), (10, False)}
 
 
+@pytest.mark.oracle
 def test_reorder_monotone_batch_takes_fast_path(spark, emb, tmp_path):
     """A monotone batch with allow_reorder=True must still land as an
     ordinary append directory (the fast path is unchanged), not a
@@ -255,6 +260,7 @@ def test_reorder_monotone_batch_takes_fast_path(spark, emb, tmp_path):
     assert _state_rows(spark, idx) == _rebuild_rows(emb, base)
 
 
+@pytest.mark.oracle
 def test_reorder_replay_is_noop(spark, emb, tmp_path):
     """A consumed reorder token replays as a no-op (the rows are merged
     into the base, so the idempotent-directory trick can't cover it —
@@ -274,6 +280,7 @@ def test_reorder_replay_is_noop(spark, emb, tmp_path):
     assert _state_rows(spark, idx) == before
 
 
+@pytest.mark.oracle
 def test_reorder_leaves_untouched_clusters_unrewritten(spark, emb, tmp_path):
     """Partition pruning is the scale contract: a cluster receiving no
     batch rows keeps its exact files (same names, same mtimes) through
@@ -315,6 +322,7 @@ def test_reorder_leaves_untouched_clusters_unrewritten(spark, emb, tmp_path):
     assert {c: listing(c) for c in untouched} == before
 
 
+@pytest.mark.oracle
 def test_reorder_crash_recovery_completes_swap(spark, emb, tmp_path):
     """A stage directory left behind WITH its manifest (crash between
     staging and swap) must be committed by the next mutator; one
@@ -378,6 +386,7 @@ def test_reorder_history_read_is_partition_pruned(spark, emb, tmp_path):
     assert "INSET" in plan or " IN (" in plan
 
 
+@pytest.mark.oracle
 def test_reorder_then_monotone_append_chain(spark, emb, tmp_path):
     """The lifecycle composes: build → out-of-order reorder append →
     ordinary monotone append on top must still equal one rebuild over
@@ -398,6 +407,7 @@ def test_reorder_then_monotone_append_chain(spark, emb, tmp_path):
     assert _state_rows(spark, idx) == _rebuild_rows(emb, mid)
 
 
+@pytest.mark.oracle
 def test_reorder_recovery_mid_swap_and_post_marker(spark, emb, tmp_path):
     """The two crash points the basic recovery test doesn't reach:
     (a) MID-SWAP — some clusters already renamed out of the stage,
@@ -453,6 +463,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.oracle
 @settings(max_examples=5, deadline=None)
 @given(st.integers(min_value=2, max_value=97))
 def test_reorder_parity_over_arbitrary_splits(spark, emb, tmp_path_factory, mod):
@@ -472,6 +483,7 @@ def test_reorder_parity_over_arbitrary_splits(spark, emb, tmp_path_factory, mod)
     assert _state_rows(spark, idx) == _rebuild_rows(emb, base)
 
 
+@pytest.mark.oracle
 def test_reorder_with_pending_appends_is_bounded(spark, emb, tmp_path):
     """Round-11 scale contract: a reorder arriving while appends are
     PENDING must not fold them into the base (the old full-O(index)
@@ -560,6 +572,7 @@ def test_reorder_with_pending_appends_is_bounded(spark, emb, tmp_path):
     )
 
 
+@pytest.mark.oracle
 def test_reader_finishes_crashed_reorder(spark, emb, tmp_path):
     """A manifested stage left by a crash is committed by the next
     READER (semantic_index_state), not just the next mutator — and the

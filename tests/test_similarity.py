@@ -224,6 +224,7 @@ def test_trained_ivf_recall_at_least_hash_sample(emb):
     assert r_train >= 0.5
 
 
+@pytest.mark.oracle
 def test_ivf_append_parity_with_full_rebuild(spark, emb, tmp_path):
     """build(A) + append(B) probes bit-identically to build(A∪B) with
     the same centroids — the incremental index never re-assigns the
@@ -559,6 +560,7 @@ def test_files_per_bucket_bounds_index_layout_and_keeps_parity(spark, emb, tmp_p
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+@pytest.mark.oracle
 def test_ivf_compact_crash_recovery(spark, emb, tmp_path):
     """Every interruption point of the staged-swap compaction must be
     recovered by the next call: an interrupted swap (no base on disk),
@@ -727,6 +729,7 @@ def test_indexed_probe_refuses_drifted_centroids(spark, emb, tmp_path):
         ivf_topk_indexed(spark, index, queries, k=5, nprobe=2)
 
 
+@pytest.mark.oracle
 def test_ivf_index_delete_tombstones_and_compaction(spark, emb, tmp_path):
     """Tombstone deletes: probing an index built over A∪B with B
     tombstoned is bit-identical to probing an index built over A with
@@ -787,6 +790,7 @@ def test_ivf_index_delete_tombstones_and_compaction(spark, emb, tmp_path):
     assert ivf_index_compact(spark, full) == 0  # converged no-op
 
 
+@pytest.mark.oracle
 def test_ivf_delete_keep_newest_compaction_keeps_tombstones(spark, emb, tmp_path):
     """A keep-newest (streaming) compaction applies tombstones to the
     merged base but must NOT consume them: the kept-back newest append

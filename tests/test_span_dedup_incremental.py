@@ -102,6 +102,7 @@ def test_lock_excludes_concurrent_fold(spark, corpus, tmp_path):
         fs.delete(lock, False)
 
 
+@pytest.mark.oracle
 def test_streaming_span_dedup_parity_and_compaction(spark, corpus, tmp_path):
     """Streamed micro-batches (with a compaction boundary) must union
     to the batch operator's output, with bounded fps subdirs."""

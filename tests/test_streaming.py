@@ -130,6 +130,7 @@ def test_windowed_event_stream_matches_batch(spark, tmp_path):
     assert mismatches == 0
 
 
+@pytest.mark.oracle
 def test_stream_auto_maintenance_bounds_warehouse_layout(spark, tmp_path):
     """With maintain_every=2, a 5-batch replay must leave the append
     logs compacted (bounded subdir count), the dimension vacuumed to 2

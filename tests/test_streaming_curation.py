@@ -31,6 +31,10 @@ from py_data_pipeline_app_spark.streaming.curation import (
     start_curation_stream,
 )
 
+# streaming lifecycle parity suites are multi-second end-to-end runs —
+# slow tier by module (round-11 split; see pytest.ini)
+pytestmark = pytest.mark.oracle
+
 SF_DIR = "/root/testdata/sf0.001"
 THRESH = 0.9
 K = 8
@@ -158,6 +162,7 @@ def _expected_accounting(spark, corpus, streamed_df, seed):
 def test_stream_accounting_matches_batch_composition(
     spark, corpus, streamed
 ):
+
     state, out, streamed_df, seed = streamed
     got = sorted(map(tuple, curation_accounting(spark, out).collect()))
     want = sorted(

@@ -3,6 +3,8 @@ watermark, re-emission after state expiry."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import types as T
@@ -20,6 +22,10 @@ SCHEMA = T.StructType(
         T.StructField("ts", T.TimestampType()),
     ]
 )
+
+# streaming lifecycle parity suites are multi-second end-to-end runs —
+# slow tier by module (round-11 split; see pytest.ini)
+pytestmark = pytest.mark.oracle
 
 
 def _ts(h: int, m: int = 0) -> datetime:

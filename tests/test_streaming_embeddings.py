@@ -16,6 +16,10 @@ from py_data_pipeline_app_spark.streaming.embeddings import (
     start_embedding_ingest_stream,
 )
 
+# streaming lifecycle parity suites are multi-second end-to-end runs —
+# slow tier by module (round-11 split; see pytest.ini)
+pytestmark = pytest.mark.oracle
+
 SF_DIR = "/root/testdata/sf0.001"
 
 SCHEMA = T.StructType(
@@ -197,6 +201,7 @@ def test_streamed_semantic_appends_match_full_rebuild(spark, emb, tmp_path):
 def test_streamed_semantic_reorder_appends_match_full_rebuild(
     spark, emb, tmp_path
 ):
+
     """index_kind='semantic' with allow_reorder=True: a multi-producer
     feed delivering id ranges OUT OF ORDER (high range first) must
     still converge to one full rebuild's verdicts — the out-of-order

@@ -132,6 +132,7 @@ def test_batch_left_outer_keeps_unmatched_views(sides):
     assert rows == {1: 11, 2: 12, 3: None}
 
 
+@pytest.mark.oracle
 def test_streaming_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     """Outer semantics on a live stream: an unmatched view can only be
     declared unmatched once the watermark passes its candidate window,
