@@ -68,6 +68,7 @@ def curation_fold(
     vec_col: str = "embedding",
     chunk_tokens: int = 10,
     quality_threshold: float = 0.0,
+    allow_reorder: bool = False,
 ) -> None:
     """Fold ONE doc(+embedding) micro-batch through span dedup →
     semantic verdict → quality gate → hash split, landing the curated
@@ -81,7 +82,20 @@ def curation_fold(
     rollup's left join (a partially-embedded corpus is the norm).
     Ids must arrive in per-cluster monotone order across batches (the
     semantic index's append contract; a replayed batch satisfies it
-    because every structure excludes its own token from history).
+    because every structure excludes its own token from history) — OR
+    pass ``allow_reorder=True`` for multi-producer / backfill feeds
+    with interleaved ids: an out-of-order batch then takes the
+    semantic index's bounded RECOMPUTE path (cost ∝ batch + affected
+    clusters) and its verdicts are read back from the swapped base
+    partitions, partition-pruned to the batch's clusters. SEMANTICS
+    CAVEAT that mode carries: a reorder can flip an EARLIER batch's
+    verdicts in the INDEX, but that batch's already-landed output
+    directory is not rewritten — the landed ``sem_kept`` flag is the
+    fold-time verdict. The index itself stays exactly rebuild-parity;
+    read the final corpus through :func:`curated_corpus_current`
+    (landed rows re-joined with the index's CURRENT verdicts) instead
+    of the fold-time :func:`curated_corpus` when feeding a trainer
+    from a reordering feed.
 
     Landed columns: (id, source, split, sem_kept, good, n_tokens,
     text_deduped, n_chunks, n_kept_chunks, retained) — ALL batch rows
@@ -130,13 +144,50 @@ def curation_fold(
     )
     semantic_index_append(
         spark, sem_index, emb_rows, id_col=id_col, vec_col=vec_col,
-        batch_token=token,
+        batch_token=token, allow_reorder=allow_reorder,
     )
     append_dir = f"{sem_index}/{IVF_APPENDS_SUBDIR}/batch-{token}"
     if fsio.exists(spark, append_dir):
         verdict = (
             spark.read.parquet(append_dir).select(F.col(id_col), "kept")
         )
+    elif allow_reorder and fsio.exists(
+        spark, f"{sem_index}/reorder-tokens/{token}"
+    ):
+        # the append took the recompute path: the batch's rows were
+        # merged straight into the swapped base partitions (there is no
+        # batch directory, by design — the consumed-token marker is the
+        # proof). Read the verdicts back partition-pruned to the
+        # batch's clusters: one batch-sized re-assignment against the
+        # frozen centroids buys the partition filter, so un-touched
+        # clusters still cost zero I/O.
+        from py_data_pipeline_app_spark.operators.similarity import (
+            _assign_to_centroids,
+            _centroid_rows,
+            _union_appends,
+        )
+
+        cent_rows = _centroid_rows(
+            spark.read.parquet(f"{sem_index}/centroids")
+        )
+        probed = [
+            r.centroid_id
+            for r in _assign_to_centroids(
+                emb_rows, cent_rows, id_col=id_col, vec_col=vec_col
+            )
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        ]
+        pruned = spark.read.parquet(f"{sem_index}/assigned").filter(
+            F.col("centroid_id").isin(probed)
+        )
+        pruned = _union_appends(
+            spark, pruned, f"{sem_index}/{IVF_APPENDS_SUBDIR}", probed
+        )
+        verdict = pruned.join(
+            F.broadcast(emb_rows.select(F.col(id_col))), id_col
+        ).select(F.col(id_col), "kept")
     else:  # the batch had no embedded rows — the empty append self-removes
         # schema derived from the batch so the id type always matches
         # the join key (a hardcoded bigint would silently cast string
@@ -192,6 +243,7 @@ def start_curation_stream(
     vec_col: str = "embedding",
     chunk_tokens: int = 10,
     quality_threshold: float = 0.0,
+    allow_reorder: bool = False,
     compact_every: int | None = 16,
     shards_every: int | None = None,
     n_shards: int = 8,
@@ -246,6 +298,7 @@ def start_curation_stream(
             vec_col=vec_col,
             chunk_tokens=chunk_tokens,
             quality_threshold=quality_threshold,
+            allow_reorder=allow_reorder,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
@@ -287,8 +340,48 @@ def curated_batches(spark: SparkSession, out_path: str) -> DataFrame:
 
 def curated_corpus(spark: SparkSession, out_path: str) -> DataFrame:
     """The shard-ready retained subset: feed this straight into
-    ``sources.maintenance.write_training_shards``."""
+    ``sources.maintenance.write_training_shards``. Flags are the
+    FOLD-TIME verdicts — exactly right for monotone feeds (verdicts
+    never change); a reordering feed should read
+    :func:`curated_corpus_current` instead."""
     return curated_batches(spark, out_path).filter(F.col("retained"))
+
+
+def curated_corpus_current(
+    spark: SparkSession,
+    out_path: str,
+    state_root: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The retained subset under the semantic index's CURRENT verdicts
+    — the correct trainer feed for an ``allow_reorder`` stream, where
+    a later backfill batch can flip an earlier batch's ``sem_kept``
+    in the index after that batch's output directory already landed
+    (see :func:`curation_fold`). Landed rows re-join the index state
+    (id, kept) — rows without an embedding never entered the index
+    and keep their landed TRUE default — and the retained filter is
+    re-derived from the refreshed flag. The index state is exactly
+    rebuild-parity (the reorder oracle), so this frame matches what a
+    from-scratch batch curation over the full corpus would retain.
+    One keyed join of landed rows against the id/kept projection; at
+    100 TB prefer running it once per shard-write cadence, not per
+    read."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        semantic_index_state,
+    )
+
+    rows = curated_batches(spark, out_path)
+    state = semantic_index_state(
+        spark, f"{state_root}/{SEMANTIC_SUBDIR}", id_col=id_col
+    ).select(F.col(id_col), F.col("kept").alias("_kept_now"))
+    return (
+        rows.join(state, id_col, "left")
+        .withColumn("sem_kept", F.coalesce(F.col("_kept_now"), F.col("sem_kept")))
+        .drop("_kept_now")
+        .withColumn("retained", F.col("sem_kept") & F.col("good"))
+        .filter(F.col("retained"))
+    )
 
 
 def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:

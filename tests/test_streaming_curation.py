@@ -258,3 +258,94 @@ def test_stream_shard_sink_end_to_end(spark, streamed, tmp_path):
     assert got == manual
     # the shards subdir must be invisible to the batch-* readers
     assert "shard" not in curated_batches(spark, out).columns
+
+
+def test_reorder_feed_through_front_door(spark, corpus, tmp_path):
+    """allow_reorder end-to-end: a backfill micro-batch with ids BELOW
+    already-folded history must not refuse — it takes the semantic
+    index's bounded recompute path, its landed verdicts come back from
+    the swapped base partitions, the index stays exactly rebuild-
+    parity, and curated_corpus_current re-derives the retained set
+    under the CURRENT verdicts (the fold-time flags of earlier batches
+    are documented as frozen)."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        semantic_index_state,
+    )
+    from py_data_pipeline_app_spark.streaming.curation import (
+        curated_corpus_current,
+    )
+
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    t0, t1 = n // 3, 2 * n // 3
+    seed = corpus.filter(F.col("doc_id") < t0)
+    high = corpus.filter(F.col("doc_id") >= t1)          # folded first
+    low = corpus.filter(                                  # backfill: BELOW history
+        (F.col("doc_id") >= t0) & (F.col("doc_id") < t1)
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    build_semantic_index(
+        seed.filter(F.col("embedding").isNotNull()).select("doc_id", "embedding"),
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=K,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    curation_fold(spark, state, out, high, 0, allow_reorder=True)
+    # the monotone contract still fails loudly without the flag
+    with pytest.raises(ValueError, match="not above cluster"):
+        curation_fold(spark, state, out, low, 1)
+    curation_fold(spark, state, out, low, 1, allow_reorder=True)
+
+    # index == full rebuild over everything, with the seed's centroids
+    emb_all = corpus.filter(F.col("embedding").isNotNull()).select(
+        "doc_id", "embedding"
+    )
+    cents = _md5_sample_centroids(
+        seed.filter(F.col("embedding").isNotNull()),
+        n_centroids=K,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    want_verdicts = {
+        r.doc_id: r.kept
+        for r in semantic_dedup(
+            emb_all, threshold=THRESH, n_centroids=K, cents=cents,
+            id_col="doc_id", vec_col="embedding",
+        ).collect()
+    }
+    got_verdicts = {
+        r.doc_id: r.kept
+        for r in semantic_index_state(
+            spark, f"{state}/semantic_index", id_col="doc_id"
+        ).collect()
+    }
+    assert got_verdicts == want_verdicts
+
+    # the backfill batch's landed flags match the index for its ids
+    landed_low = {
+        r.doc_id: r.sem_kept
+        for r in spark.read.parquet(f"{out}/batch-00000001").collect()
+        if r.doc_id in got_verdicts
+    }
+    assert landed_low == {i: got_verdicts[i] for i in landed_low}
+
+    # curated_corpus_current == batch composition retained set over the
+    # streamed rows (quality gate re-applied under current verdicts)
+    streamed_df = corpus.filter(F.col("doc_id") >= t0)
+    good = {
+        r.doc_id
+        for r in score_quality_linear(streamed_df).collect()
+        if r.quality_z > 0.0
+    }
+    want_retained = {
+        r.doc_id
+        for r in streamed_df.select("doc_id").collect()
+        if r.doc_id in good and got_verdicts.get(r.doc_id, True)
+    }
+    got_retained = {
+        r.doc_id
+        for r in curated_corpus_current(spark, out, state).collect()
+    }
+    assert got_retained == want_retained
