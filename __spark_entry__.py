@@ -19,9 +19,11 @@ least-recently-verified first: a query's priority is the most recent
 round whose ``CORRECTNESS_r*.json`` contains a fully-green row for it
 (never-verified or previously-failing queries sort first; ties break
 on registration order). With N registered queries and a cap of C the
-structural bound is N <= 2C (100 at C=50; N=100 as of round 8, so the
-registry is at capacity — adding a query now requires retiring one)
-and each query is unverified for at most one consecutive round.
+structural bound is N <= 2C (100 at C=50; N=98 as of round 11 after
+three near-twins retired to the pytest tier and two operators
+registered) and each query is unverified for at most one consecutive
+round. Retirements must come from the PRIOR round's verified half:
+only those free prefix slots for never-verified newcomers.
 The ordering is a pure function of the committed CORRECTNESS files,
 so it is deterministic for the driver and reproducible for the judge.
 """
