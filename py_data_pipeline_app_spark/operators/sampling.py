@@ -28,7 +28,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from py_data_pipeline_app_spark.functions.text import md5_long
+from py_data_pipeline_app_spark.functions.text import md5_long, tokens
 
 #: Denominator for bucketing; fractions are resolved to integer
 #: thresholds out of this, so any fraction with <=4 decimal places is
@@ -229,6 +229,78 @@ def source_temperature_mix(
     return ranked.join(F.broadcast(quotas), source_col).filter(
         F.col("mix_rank") <= F.col("quota")
     ).select(id_col, source_col, "src_total", "quota", "mix_rank")
+
+
+def source_token_budget_mix(
+    docs: DataFrame,
+    *,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "tokmix",
+) -> DataFrame:
+    """:func:`source_temperature_mix` in the currency that actually
+    matters to a trainer — TOKENS, not documents. A pretraining run is
+    budgeted in tokens; per-document quotas over-weight sources full
+    of short pages and under-weight long-form ones. Here source s gets
+    a TOKEN quota ∝ floor(sqrt(T_s)) (T_s = its total token count; the
+    same α = 0.5 square-root flattening, and the same reason sqrt is
+    pinned: IEEE sqrt is correctly rounded where pow is not, so the
+    integer weight is engine-identical), quotas are pure integer
+    arithmetic (``token_budget · w_s div Σw``), and each quota fills
+    GREEDILY by the deterministic hash rank every sampler here uses:
+    a document is kept iff its running inclusive token sum within its
+    source stays ≤ the quota. The first document that would overflow
+    is dropped along with everything ranked after it — a strict prefix
+    rule, so membership is one window cumsum comparison, reproducible
+    across engines, partitionings, and re-runs (no best-fit packing,
+    which would be order-sensitive and NP-flavored for no gain at
+    corpus scale).
+
+    Returns kept rows (id, source, n_tokens, tokens_cum, src_tokens,
+    token_quota) — the audit columns show how full each quota ran
+    (Σ kept ≤ quota by construction; quotas sum ≤ budget by the
+    floor). Scale shape: one map-side-combined token-sum aggregation
+    (|sources| rows, broadcast back) and ONE keyed rank+cumsum window
+    per source — the same shuffle as :func:`source_cap_sample`, same
+    extreme-skew escape hatch documented there."""
+    toks = F.size(F.filter(tokens(text_col), lambda x: x != ""))
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        toks.cast("bigint").alias("n_tokens"),
+    )
+    totals = d.groupBy(source_col).agg(F.sum("n_tokens").alias("src_tokens"))
+    weights = totals.withColumn(
+        "_w", F.floor(F.sqrt(F.col("src_tokens"))).cast("bigint")
+    )
+    tot = weights.agg(F.sum("_w").alias("_ws"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "src_tokens",
+        F.expr(f"CAST({int(token_budget)} AS BIGINT) * _w div _ws").alias(
+            "token_quota"
+        ),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(hash_bucket(F.col(id_col), seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("tokens_cum", F.sum("n_tokens").over(w))
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("tokens_cum") <= F.col("token_quota"))
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            "tokens_cum",
+            "src_tokens",
+            "token_quota",
+        )
+    )
 
 
 def epoch_oversample(

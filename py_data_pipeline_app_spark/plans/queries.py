@@ -3642,6 +3642,63 @@ def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_token_budget_mix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter({_SQL_WS}, x -> x <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    t AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(floor(sqrt(sum(n_tokens))) AS BIGINT) AS w
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS ws FROM t),
+    q AS (
+      SELECT source, src_tokens, (12000 * w) // ws AS token_quota
+      FROM t, tot
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {sql_hash_bucket('doc_id', 'tokmix')}, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS tokens_cum
+      FROM d
+    )
+    SELECT r.doc_id, r.source, r.n_tokens, r.tokens_cum,
+           q.src_tokens, q.token_quota
+    FROM r JOIN q USING (source)
+    WHERE r.tokens_cum <= q.token_quota
+    """,
+    retired=True,
+)
+def source_token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing in the TRAINER'S currency (round 11 —
+    operators/sampling.source_token_budget_mix): quotas and fills are
+    measured in TOKENS, not documents — a per-document quota
+    over-weights sources full of short pages and under-weights
+    long-form ones, which is exactly the skew α-mixing exists to fix.
+    Source quotas ∝ floor(sqrt(T_s)) of a 12,000-token budget (α = 0.5
+    pinned for the same correctly-rounded-sqrt reason as the document
+    variant), filled greedily by the shared deterministic hash rank
+    with a strict prefix rule (a doc is kept iff its running inclusive
+    token sum fits the quota — one window cumsum, order-insensitive to
+    partitioning, cross-engine exact). Audit columns show how full
+    each quota ran. Retired tier from birth: the round's two driver
+    slots went to embedding_cluster_profile and bpe_token_ids."""
+    from py_data_pipeline_app_spark.operators.sampling import (
+        source_token_budget_mix,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return source_token_budget_mix(docs, token_budget=12000)
+
+
+@register(
     "text_token_diversity",
     f"""
     WITH tok AS (

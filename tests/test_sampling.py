@@ -262,3 +262,53 @@ def test_epoch_oversample_rejects_negative(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
     with _pytest.raises(ValueError):
         epoch_oversample(df, {"a": -1.0})
+
+
+def test_token_budget_mix_respects_quotas_and_flattens(spark):
+    """Token-currency mixing (round 11): per-source kept tokens never
+    exceed the integer quota, quotas sum ≤ the budget, membership is
+    the strict hash-rank prefix (deterministic across runs), and the
+    α = 0.5 flattening holds in TOKENS — a head source 16× the tail's
+    token mass gets only ~4× the quota."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.sampling import (
+        source_token_budget_mix,
+    )
+
+    rows = []
+    for i in range(160):  # head: 160 docs x 10 tokens = 1600 tokens
+        rows.append((i, "head", "tok " * 9 + "tok"))
+    for i in range(10):  # tail: 10 docs x 10 tokens = 100 tokens
+        rows.append((1000 + i, "tail", "tok " * 9 + "tok"))
+    docs = local_rows_df(spark, "doc_id long, source string, text string", rows)
+    out = source_token_budget_mix(docs, token_budget=500)
+    got = [tuple(r) for r in out.collect()]
+    assert got == [tuple(r) for r in source_token_budget_mix(
+        docs, token_budget=500
+    ).collect()]  # deterministic
+    per_src: dict = {}
+    quotas: dict = {}
+    for doc_id, src, n, cum, total, quota in got:
+        per_src[src] = per_src.get(src, 0) + n
+        quotas[src] = quota
+        assert cum <= quota
+    assert sum(quotas.values()) <= 500
+    for src, kept in per_src.items():
+        assert kept <= quotas[src]
+    # flattening: sqrt weights 40 vs 10 -> head quota = 4x tail quota,
+    # though head has 16x the token mass
+    assert quotas["head"] == 4 * quotas["tail"], quotas
+    # strict prefix: kept set is exactly the hash-rank prefix that fits
+    from py_data_pipeline_app_spark.operators.sampling import hash_bucket
+    import pyspark.sql.functions as F
+
+    order = [
+        r.doc_id
+        for r in docs.filter(F.col("source") == "tail")
+        .select("doc_id", hash_bucket(F.col("doc_id"), "tokmix").alias("h"))
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    kept_tail = {d for d, s, *_ in got if s == "tail"}
+    want_tail = set(order[: quotas["tail"] // 10])  # 10 tokens per doc
+    assert kept_tail == want_tail

@@ -91,6 +91,7 @@ FAMILY = [
     "source_reputation",
     "source_cap_sample",
     "source_temperature_mix",
+    "source_token_budget_mix",
     "source_epoch_mix",
     "corpus_bigram_merges",
     "bpe_merge_table",
