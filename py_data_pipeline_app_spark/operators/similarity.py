@@ -1123,10 +1123,216 @@ def build_semantic_index(
     rows.write.partitionBy("centroid_id").mode("overwrite").parquet(
         f"{index_path}/assigned"
     )
+    # per-cluster Bloom id-stats sidecar: bounds the reorder append's
+    # duplicate-id guard to batch + probed sidecars instead of a full
+    # id scan per backfill batch. A stale sidecar from a previous
+    # index at the same path would only add false maybe-hits, but the
+    # stale entries would accrete forever — clean before writing.
+    fsio.delete(spark, f"{index_path}/{ID_STATS_SUBDIR}")
+    _write_id_stats(
+        spark,
+        index_path,
+        "base",
+        assigned.select(F.col(id_col), "centroid_id"),
+        id_col,
+        covers_tokens=[],
+    )
 
 
 SEMANTIC_REORDER_TOKENS_SUBDIR = "reorder-tokens"
 SEMANTIC_REORDER_EXCL_SUBDIR = "reorder-exclusions"
+
+ID_STATS_SUBDIR = "id-stats"
+#: 24 bits/key with 14 probes ≈ 1.1e-5 false-positive rate — a few
+#: expected false maybe-hits per million batch ids, each costing one
+#: partition-pruned exact re-check (never a correctness miss: Bloom
+#: filters have no false negatives).
+_BLOOM_BITS_PER_ID = 24
+_BLOOM_HASHES = 14
+
+
+def _bloom_probe_frame(rows: DataFrame, id_col: str, m: int, h: int) -> DataFrame:
+    """``rows`` with h deterministic Bloom positions per input row
+    exploded to (…, _pi, _pos): double hashing pos_i = (h1 + i·h2) mod m
+    over xxhash64 of the STRING form of the id (so int/bigint/string id
+    columns probe identically across writer and reader frames).
+    pmod-first arithmetic keeps every intermediate ≤ h·m ≪ 2⁶³, so the
+    expressions are ANSI-overflow-safe at any index size."""
+    sid = F.col(id_col).cast("string")
+    h1 = F.pmod(F.xxhash64(sid), F.lit(m))
+    h2 = F.pmod(F.xxhash64(sid, F.lit("‖idstats")), F.lit(m))
+    staged = rows.withColumn("_h1", h1).withColumn("_h2", h2)
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("_pi"),
+                    F.pmod(
+                        F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(m)
+                    ).alias("_pos"),
+                )
+                for i in range(h)
+            ]
+        )
+    )
+    return (
+        staged.withColumn("_p", probes)
+        .select("*", "_p._pi", "_p._pos")
+        .drop("_h1", "_h2", "_p")
+    )
+
+
+def _write_id_stats(
+    spark,
+    index_path: str,
+    entry: str,
+    rows: DataFrame,
+    id_col: str,
+    *,
+    covers_tokens: list | None = None,
+) -> None:
+    """Build + persist the per-cluster Bloom sidecar for one index
+    entry (``base`` or ``batch-{token}``): a parquet word table
+    (centroid_id, _word_idx, _bits) whose OR-aggregated 64-bit words
+    encode the entry's id set, sized at build time from the entry's
+    own row count (each entry carries its own m — sidecars never
+    saturate as the index grows, they chain). ``_META`` is written
+    LAST: its presence marks the entry complete, so a crashed write
+    reads as missing and :func:`_ensure_id_stats` rebuilds it. The
+    word table is ~``_BLOOM_BITS_PER_ID``/8 bytes per id — two orders
+    of magnitude below the id column it summarizes."""
+    dest = f"{index_path}/{ID_STATS_SUBDIR}/{entry}"
+    fsio.delete(spark, dest)
+    n = rows.count()
+    meta = {"n": int(n), "h": _BLOOM_HASHES, "m": 0, "id_col": id_col}
+    if covers_tokens is not None:
+        meta["covers_tokens"] = sorted(covers_tokens)
+    if n:
+        m = max(((n * _BLOOM_BITS_PER_ID + 63) // 64) * 64, 1024)
+        meta["m"] = int(m)
+        probes = _bloom_probe_frame(
+            rows.select(F.col(id_col), "centroid_id"), id_col, m, _BLOOM_HASHES
+        )
+        words = (
+            probes.select(
+                F.col("centroid_id").cast("int").alias("centroid_id"),
+                F.expr("_pos DIV 64").alias("_word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))"
+                ).alias("_mask"),
+            )
+            .groupBy("centroid_id", "_word_idx")
+            .agg(F.bit_or("_mask").alias("_bits"))
+        )
+        # one file per ~8M source ids: entry word tables are re-read
+        # whole by every guard probe, so small-file overhead dominates
+        # at test scale while a single giant file would serialize the
+        # scan at 100 TB scale
+        words.coalesce(max(1, -(-n // 8_000_000))).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/words")
+    fsio.write_json(spark, f"{dest}/_META", meta)
+
+
+def _id_stats_maybe_hits(
+    spark, index_path: str, entry: str, batch_ids: DataFrame, id_col: str
+) -> list:
+    """Probe one sidecar entry with the batch's ids: returns the
+    (id, centroid_id) pairs the entry's Bloom CANNOT rule out — the
+    clusters an exact duplicate-id re-check must scan. One broadcast
+    join of the (batch × h)-row probe frame against the entry's word
+    table; the collected result is ≈ batch × FPR + any true
+    duplicates, i.e. tiny unless the feed really is a duplicate."""
+    dest = f"{index_path}/{ID_STATS_SUBDIR}/{entry}"
+    meta = fsio.read_json(spark, f"{dest}/_META")
+    if not meta["n"]:
+        return []
+    probes = _bloom_probe_frame(batch_ids, id_col, meta["m"], meta["h"]).select(
+        F.col(id_col),
+        "_pi",
+        F.expr("_pos DIV 64").alias("_word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))"
+        ).alias("_mask"),
+    )
+    words = spark.read.parquet(f"{dest}/words")
+    hits = (
+        F.broadcast(probes)
+        .join(words, "_word_idx")
+        .filter(F.col("_bits").bitwiseAND(F.col("_mask")) != 0)
+        .groupBy(F.col(id_col), "centroid_id")
+        .agg(F.count_distinct("_pi").alias("_nhit"))
+        .filter(F.col("_nhit") == meta["h"])
+        .select(F.col(id_col), "centroid_id")
+        .collect()
+    )
+    return [(r[0], int(r[1])) for r in hits]
+
+
+def _ensure_id_stats(spark, index_path: str, id_col: str) -> list:
+    """Make Bloom coverage complete for the CURRENT index state and
+    return the entry names to probe. Coverage invariant: every id in
+    base ∪ appends appears in at least one entry — ``base`` covers the
+    assigned table as of its build (including the consumed reorder
+    tokens listed in its ``covers_tokens``), each pending append
+    directory has its own entry, and each later-consumed reorder token
+    keeps the entry written at its commit. A missing append entry is
+    rebuilt from its directory (batch-sized); a missing base or
+    reorder-token entry forces ONE full id scan to rebuild ``base``
+    (the legacy-index migration path — every later guard is bounded).
+    Callers hold the index lock."""
+    stats_root = f"{index_path}/{ID_STATS_SUBDIR}"
+    tokens_dir = f"{index_path}/{SEMANTIC_REORDER_TOKENS_SUBDIR}"
+    tokens = set()
+    if fsio.exists(spark, tokens_dir):
+        tokens = {
+            name
+            for name, is_dir in fsio.child_entries(spark, tokens_dir)
+            if not is_dir
+        }
+    covered: set = set()
+    rebuild_base = not fsio.exists(spark, f"{stats_root}/base/_META")
+    if not rebuild_base:
+        covered = set(
+            fsio.read_json(spark, f"{stats_root}/base/_META").get(
+                "covers_tokens", []
+            )
+        )
+        if any(
+            not fsio.exists(spark, f"{stats_root}/batch-{t}/_META")
+            for t in tokens - covered
+        ):
+            rebuild_base = True
+    if rebuild_base:
+        _write_id_stats(
+            spark,
+            index_path,
+            "base",
+            spark.read.parquet(f"{index_path}/assigned").select(
+                F.col(id_col), "centroid_id"
+            ),
+            id_col,
+            covers_tokens=sorted(tokens),
+        )
+        covered = tokens
+    entries = ["base"] + [f"batch-{t}" for t in sorted(tokens - covered)]
+    appends_dir = f"{index_path}/{IVF_APPENDS_SUBDIR}"
+    if fsio.exists(spark, appends_dir):
+        for name, is_dir in sorted(fsio.child_entries(spark, appends_dir)):
+            if not (is_dir and name.startswith("batch-")):
+                continue
+            if not fsio.exists(spark, f"{stats_root}/{name}/_META"):
+                _write_id_stats(
+                    spark,
+                    index_path,
+                    name,
+                    spark.read.parquet(f"{appends_dir}/{name}").select(
+                        F.col(id_col), "centroid_id"
+                    ),
+                    id_col,
+                )
+            entries.append(name)
+    return entries
 
 
 def _load_reorder_exclusions(spark, index_path: str) -> dict:
@@ -1245,25 +1451,51 @@ def _semantic_reorder_append_locked(
     # duplicate-id guard over the FULL index state — not just the
     # probed clusters: a re-embedded doc whose vector moved clusters
     # would otherwise land a second copy of its id in a new cluster
-    # and silently break the rebuild-parity contract. Column-pruned id
-    # scan on the big side, batch-sized broadcast on the probe side.
-    all_ids = _union_appends(
-        spark, spark.read.parquet(f"{index_path}/assigned"), appends_dir, None
-    )
-    all_ids = _apply_tombstones(spark, all_ids, index_path, id_col=id_col)
-    dup = (
-        all_ids.select(F.col(id_col))
-        .join(F.broadcast(assigned.select(F.col(id_col))), id_col)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"semantic index at {index_path}: batch id {dup[0][0]} already "
-            "exists in the index - appending an existing id is unsupported "
-            "(replays of a consumed reorder token are skipped via its "
-            "token marker, so this is a genuinely duplicate feed)."
+    # and silently break the rebuild-parity contract. Consults the
+    # per-cluster Bloom sidecars (:func:`_ensure_id_stats`) instead of
+    # scanning every id: sidecar mass is ~_BLOOM_BITS_PER_ID/8 bytes
+    # per id and the exact re-check runs only on Bloom maybe-hits,
+    # partition-pruned to their clusters — so the guard costs
+    # ∝ batch + sidecar probes, never a full id-column scan per
+    # backfill micro-batch (the round-11 regression).
+    entries = _ensure_id_stats(spark, index_path, id_col)
+    batch_ids = assigned.select(F.col(id_col))
+    maybe: list = []
+    for entry in entries:
+        maybe.extend(
+            _id_stats_maybe_hits(spark, index_path, entry, batch_ids, id_col)
         )
+    if maybe:
+        cand = sorted({c for _, c in maybe})
+        suspects = spark.read.parquet(f"{index_path}/assigned").filter(
+            F.col("centroid_id").isin(cand)
+        )
+        suspects = _union_appends(spark, suspects, appends_dir, cand)
+        suspects = _apply_tombstones(spark, suspects, index_path, id_col=id_col)
+        dup = (
+            suspects.select(F.col(id_col))
+            .join(F.broadcast(batch_ids), id_col)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"semantic index at {index_path}: batch id {dup[0][0]} already "
+                "exists in the index - appending an existing id is unsupported "
+                "(replays of a consumed reorder token are skipped via its "
+                "token marker, so this is a genuinely duplicate feed)."
+            )
+    # the batch's own sidecar entry, BEFORE the stage commit: from the
+    # moment the swap makes these rows part of the base, the next
+    # guard's coverage must already include them (a crash in between
+    # leaves an extra entry — false maybes only, never a miss)
+    _write_id_stats(
+        spark,
+        index_path,
+        f"batch-{token}",
+        assigned.select(F.col(id_col), "centroid_id"),
+        id_col,
+    )
     base = spark.read.parquet(f"{index_path}/assigned").filter(
         F.col("centroid_id").isin(probed)
     )
@@ -1338,17 +1570,23 @@ def semantic_index_append(
 
     ``allow_reorder=True`` lifts the refusal for multi-producer feeds
     with interleaved ids: when the monotone check trips, the append
-    switches to RECOMPUTE mode — pending appends fold into the base
-    (the shared crash-safe compaction), the batch's clusters (and only
-    those: partition-pruned read, per-cluster directory swap) are
-    re-verdicted under the full rebuild rule over merged
-    history+batch, and the rewrite commits through a staged, manifested
-    protocol with a consumed-token marker (a foreachBatch replay of a
-    committed token is a no-op — the rows are already merged into the
-    base, so the idempotent-directory trick can't cover it). History
-    verdicts in affected clusters CAN flip in this mode — that is the
-    point; the parity contract below still holds exactly. Monotone
-    batches take the ordinary fast path unchanged.
+    switches to RECOMPUTE mode — the batch's clusters (and only
+    those: partition-pruned read over base ∪ pending appends,
+    per-cluster directory swap) are re-verdicted under the full
+    rebuild rule over merged history+batch, and the rewrite commits
+    through a staged, manifested protocol with a consumed-token marker
+    (a foreachBatch replay of a committed token is a no-op — the rows
+    are already merged into the base, so the idempotent-directory
+    trick can't cover it). Pending appends stay in place: per-append
+    superseded-cluster exclusion markers (consumed by
+    :func:`_union_appends` and the next compaction) keep their
+    re-homed rows from being double-counted, so reorder cost is
+    ∝ batch + affected clusters even with appends pending. The
+    duplicate-id guard consults the per-cluster Bloom id-stats
+    sidecar (:func:`_ensure_id_stats`) rather than scanning every id.
+    History verdicts in affected clusters CAN flip in this mode —
+    that is the point; the parity contract below still holds exactly.
+    Monotone batches take the ordinary fast path unchanged.
 
     Parity contract (oracle-checked end-to-end): build(A) then
     append(B) ≡ :func:`semantic_dedup` over A∪B with the same
@@ -1450,6 +1688,11 @@ def semantic_index_append(
         _write_append_batch(
             spark, kept, f"{index_path}/{IVF_APPENDS_SUBDIR}/batch-{token}"
         )
+        # no sidecar write here: monotone appends are the hot path and
+        # a Bloom entry would tax every one of them; the reorder
+        # guard's :func:`_ensure_id_stats` builds any missing append
+        # entry lazily (batch-sized, once, persisted) when — and only
+        # when — a reorder actually needs to probe it.
         return token
     finally:
         lock_fs.delete(lock, False)
@@ -1889,7 +2132,61 @@ def _compact_assigned_locked(
         fs.delete(excl_path, True)
         if del_names:
             fs.delete(dels_path, True)
+    _refresh_id_stats_after_compaction(spark, index_path)
     return len(batch_dirs) + len(del_names)
+
+
+def _refresh_id_stats_after_compaction(spark, index_path: str) -> None:
+    """Garbage-collect the Bloom id-stats sidecar after a compaction
+    rewrote the base: rebuild ``base`` from the post-compaction
+    assigned table (one id scan — marginal next to the full-base
+    rewrite that just happened, and it's what consumes tombstoned ids
+    out of the Bloom), THEN drop entries whose append directory was
+    merged away and token entries the new base now covers. Order
+    matters for crash-safety: until the new base entry lands, the old
+    entries keep coverage complete (stale sidecars over-approximate —
+    false maybes, never misses), so a crash anywhere here degrades the
+    guard's cost, not its correctness. Indexes without a sidecar (IVF,
+    pre-sidecar semantic indexes) skip in one existence check."""
+    stats_root = f"{index_path}/{ID_STATS_SUBDIR}"
+    base_meta = f"{stats_root}/base/_META"
+    if not fsio.exists(spark, base_meta):
+        return
+    id_col = fsio.read_json(spark, base_meta).get("id_col")
+    if not id_col:
+        fsio.delete(spark, stats_root)
+        return
+    tokens_dir = f"{index_path}/{SEMANTIC_REORDER_TOKENS_SUBDIR}"
+    tokens = (
+        sorted(
+            name
+            for name, is_dir in fsio.child_entries(spark, tokens_dir)
+            if not is_dir
+        )
+        if fsio.exists(spark, tokens_dir)
+        else []
+    )
+    _write_id_stats(
+        spark,
+        index_path,
+        "base",
+        spark.read.parquet(f"{index_path}/assigned").select(
+            F.col(id_col), "centroid_id"
+        ),
+        id_col,
+        covers_tokens=tokens,
+    )
+    appends_dir = f"{index_path}/{IVF_APPENDS_SUBDIR}"
+    keep = {"base"}
+    if fsio.exists(spark, appends_dir):
+        keep.update(
+            name
+            for name, is_dir in fsio.child_entries(spark, appends_dir)
+            if is_dir and name.startswith("batch-")
+        )
+    for name, is_dir in fsio.child_entries(spark, stats_root):
+        if is_dir and name not in keep:
+            fsio.delete(spark, f"{stats_root}/{name}")
 
 
 def ivf_topk_indexed(
