@@ -261,7 +261,11 @@ def start_curation_stream(
     checkpoint fold newly landed files incrementally.
 
     ``shards_every=N`` closes the loop to the trainer: every N batches
-    the retained corpus-so-far (:func:`curated_corpus`) is rewritten
+    the retained corpus-so-far (:func:`curated_corpus` — or, when
+    ``allow_reorder`` is set, :func:`curated_corpus_current`, because
+    a backfill batch can flip an earlier batch's landed ``sem_kept``
+    and the trainer feed must honor the index's CURRENT verdicts; the
+    extra keyed join is the price of backfill feeds) is rewritten
     through ``sources.maintenance.write_training_shards`` into
     ``shards_path`` (default ``{out_path}/shards`` — outside the
     ``batch-*`` namespace the readers union), so a daily-crawl feed
@@ -306,8 +310,25 @@ def start_curation_stream(
                 spark, f"{state_root}/{SEMANTIC_SUBDIR}", keep_newest=True
             )
         if shards_every and batch_id > 0 and batch_id % shards_every == 0:
+            # a reordering feed's shard write must read the index's
+            # CURRENT verdicts (curation_fold's documented contract):
+            # a backfill batch can flip an earlier batch's sem_kept
+            # AFTER its directory landed, and fold-time flags would
+            # ship those near-dups to the trainer. The extra keyed
+            # join of landed rows against the id/kept projection is
+            # the price of backfill feeds — it runs once per shard
+            # cadence, exactly where curated_corpus_current's
+            # docstring says to pay it; monotone feeds keep the
+            # join-free fold-time read (verdicts never change).
+            feed = (
+                curated_corpus_current(
+                    spark, out_path, state_root, id_col=id_col
+                )
+                if allow_reorder
+                else curated_corpus(spark, out_path)
+            )
             write_training_shards(
-                curated_corpus(spark, out_path),
+                feed,
                 shards_dest,
                 n_shards=n_shards,
                 id_col=id_col,

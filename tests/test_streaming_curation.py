@@ -349,3 +349,105 @@ def test_reorder_feed_through_front_door(spark, corpus, tmp_path):
         for r in curated_corpus_current(spark, out, state).collect()
     }
     assert got_retained == want_retained
+
+
+def test_reorder_shard_sink_reads_current_verdicts(spark, corpus, tmp_path):
+    """Round-12 verdict task 1: with ``allow_reorder=True`` the
+    ``shards_every`` sink must shard from the index's CURRENT verdicts
+    (curated_corpus_current), not the fold-time flags — a backfill
+    batch that flips an earlier batch's ``sem_kept`` after its
+    directory landed must see the flipped row DROPPED from the next
+    shard write, while the monotone prefix's shards stay identical to
+    the fold-time read."""
+    from py_data_pipeline_app_spark.streaming.curation import (
+        curated_corpus_current,
+    )
+
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    t0, t1 = n // 3, 2 * n // 3
+    seed = corpus.filter(F.col("doc_id") < t0)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    build_semantic_index(
+        seed.filter(F.col("embedding").isNotNull()).select(
+            "doc_id", "embedding"
+        ),
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=K,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+
+    def run(batch_df, name):
+        batch_df.coalesce(1).write.parquet(f"{landing}/{name}")
+        q = start_curation_stream(
+            spark,
+            landing + "/*",
+            ckpt,
+            SCHEMA,
+            state,
+            out,
+            allow_reorder=True,
+            compact_every=None,
+            shards_every=1,
+            n_shards=2,
+        )
+        q.awaitTermination(180)
+
+    high = corpus.filter(F.col("doc_id") >= t1)
+    mid_hi = (t1 + n) // 2
+    run(high.filter(F.col("doc_id") < mid_hi), "b0")   # batch 0: no shard write
+    run(high.filter(F.col("doc_id") >= mid_hi), "b1")  # batch 1: first shards
+
+    # pick a retained, embedded victim from batch 0's landed rows
+    victim = (
+        spark.read.parquet(f"{out}/batch-00000000")
+        .filter(F.col("retained") & F.col("sem_kept"))
+        .join(
+            corpus.filter(F.col("embedding").isNotNull()).select("doc_id"),
+            "doc_id",
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+        .first()
+    )
+    assert victim is not None, "need an embedded retained row to flip"
+    vid = victim.doc_id
+    shard1 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/shards").select("doc_id").collect()
+    }
+    assert vid in shard1  # monotone prefix: fold-time == current
+
+    # backfill: the [t0, t1) range, with one row's embedding REPLACED
+    # by the victim's — a strictly-lower-id near-dup in the victim's
+    # cluster, so the reorder must flip the victim's kept to False
+    vvec = (
+        corpus.filter(F.col("doc_id") == vid).select("embedding").first()[0]
+    )
+    low = corpus.filter((F.col("doc_id") >= t0) & (F.col("doc_id") < t1))
+    twin_id = low.filter(F.col("embedding").isNotNull()).agg(
+        F.min("doc_id")
+    ).first()[0]
+    low = low.withColumn(
+        "embedding",
+        F.when(F.col("doc_id") == twin_id, F.lit(vvec).cast("array<float>"))
+        .otherwise(F.col("embedding")),
+    )
+    run(low, "b2")  # batch 2: reorder + shard write
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/shards").select("doc_id").collect()
+    }
+    assert vid not in got, "flipped row shipped to the trainer shards"
+    # fold-time flags still carry the stale verdict — the exact bug
+    stale = {r.doc_id for r in curated_corpus(spark, out).collect()}
+    assert vid in stale
+    want = {
+        r.doc_id for r in curated_corpus_current(spark, out, state).collect()
+    }
+    assert got == want
