@@ -957,6 +957,355 @@ def bpe_train(
     return merges
 
 
+def _py_bpe_sequences(texts, level: str):
+    """The pure-Python twin of :func:`_bpe_state_expr`'s state machine,
+    collapsed to frequency-keyed symbol sequences: char level keys on
+    DISTINCT WORDS (pairs never cross a word boundary, so per-word
+    training state is exact — Sennrich's reference trainer's own
+    representation), word level keys on whole-document token tuples.
+    Tokenization mirrors ``tokens()`` exactly (trim spaces, split on
+    the Java-regex ``\\s`` class, drop empties) and the reserved-marker
+    guard raises the same ValueError the projection guard does."""
+    import re
+    from collections import Counter
+
+    guard = re.compile("[‹›·]" if level == "char" else "[‹›]")
+    seqs: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        if guard.search(t):
+            raise ValueError(
+                "bpe: corpus text contains a reserved marker character "
+                f"{_bpe_guard_chars(level)} - pre-scrub or re-tokenize: "
+                f"{t[:40]}"
+            )
+        toks = [
+            x for x in re.split("[ \t\n\x0b\f\r]+", t.strip(" ")) if x != ""
+        ]
+        if level == "word":
+            if toks:
+                seqs[tuple(toks)] += 1
+        else:
+            for w in toks:
+                cs = list(w)
+                cs[-1] += _BPE_EOW
+                seqs[tuple(cs)] += 1
+    return seqs
+
+
+def _py_bpe_train(seqs, n_merges: int, level: str):
+    """Heap-based incremental BPE over frequency-keyed sequences —
+    O(affected sequences) per merge instead of a full recount, which
+    is what makes 32k merges tractable. Selection semantics are
+    bit-identical to :func:`bpe_train`'s Spark loop: count every
+    adjacent (overlapping) pair occurrence, pick max count with
+    lexicographic (left, right) tie-break — the heap orders on
+    (-count, pair) and UTF-8 byte order equals code-point order, so
+    Python tuple comparison reproduces Spark's ORDER BY n DESC, l, r —
+    then merge greedily left-to-right (non-overlapping), the same
+    result as the JVM literal replace. Stale heap entries are handled
+    by lazy validation; every count CHANGE pushes a fresh entry, so a
+    decremented pair can still win later rounds."""
+    import heapq
+    from collections import defaultdict
+
+    seq_list = [(list(s), f) for s, f in sorted(seqs.items())]
+    counts: dict = defaultdict(int)
+    index: dict = defaultdict(set)
+    for si, (syms, f) in enumerate(seq_list):
+        for p in zip(syms, syms[1:]):
+            counts[p] += f
+            index[p].add(si)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p, delta, si):
+        counts[p] += delta
+        if delta > 0:
+            index[p].add(si)
+        heapq.heappush(heap, (-counts[p], p))
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if -negc <= 0:
+                break
+            if counts.get(p, 0) != -negc:
+                heapq.heappop(heap)
+                continue
+            best = p
+            break
+        if best is None:
+            break
+        merges.append((rank, best[0], best[1], int(counts[best])))
+        new_sym = _bpe_merged_symbol(best[0], best[1], level)
+        left, right = best
+        for si in sorted(index[best]):
+            syms, f = seq_list[si]
+            hit = False
+            out: list = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(new_sym)
+                    hit = True
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not hit:  # stale index entry from an earlier rewrite
+                continue
+            for p in zip(syms, syms[1:]):
+                bump(p, -f, si)
+            seq_list[si] = (out, f)
+            for p in zip(out, out[1:]):
+                bump(p, f, si)
+        counts.pop(best, None)
+        index.pop(best, None)
+    return merges
+
+
+def bpe_train_sampled(
+    docs: DataFrame,
+    *,
+    n_merges: int = 32000,
+    sample_docs: int = 2048,
+    text_col: str = "text",
+    level: str = "char",
+) -> list[tuple[int, str, str, int]]:
+    """Production-scale BPE training: ONE md5-bounded TakeOrdered pulls
+    a deterministic ``sample_docs``-document sample to the driver, and
+    a pure-Python heap trainer (:func:`_py_bpe_train`) runs all
+    ``n_merges`` rounds over it — 32k merges in seconds, where
+    :func:`bpe_train`'s exact distributed loop would cost one keyed
+    count + one collect + one corpus rewrite PER merge (~100k Spark
+    jobs at tokenizer scale; it stays the right tool for the
+    oracle-checked small-merge-count queries). The same
+    sample-statistic-driver-side precedent as
+    ``quantization.train_opq_rotation``: a tokenizer vocabulary is a
+    frequency statistic, and a bounded uniform-ish (md5-ordered)
+    sample estimates it; the returned merge table feeds the UNCHANGED
+    distributed :func:`bpe_apply` / :func:`bpe_vocab` /
+    :func:`bpe_encode_ids`, whose encode stays one zero-shuffle
+    projection regardless of where the table was trained.
+
+    Caveats the name carries: ``n_occurrences`` are SAMPLE counts, and
+    merges beyond what the sample supports simply stop early (the
+    trainer returns fewer rows). Parity contract (property-tested):
+    with ``sample_docs`` ≥ the corpus size this returns EXACTLY
+    :func:`bpe_train`'s output — same pairs, same ranks, same counts,
+    same tie-breaks — at either level."""
+    if level not in ("word", "char"):
+        raise ValueError(f"bpe_train_sampled: unknown level {level!r}")
+    sample = [
+        r[0]
+        for r in docs.select(F.col(text_col))
+        .orderBy(F.md5(F.col(text_col)), F.col(text_col))
+        .limit(int(sample_docs))
+        .collect()
+    ]
+    return _py_bpe_train(
+        _py_bpe_sequences(sample, level), int(n_merges), level
+    )
+
+
+#: merge tables above this size leave the nested-literal-replace encode
+#: for the Arrow-batched one: ~1500 nested F.replace calls overflow the
+#: JVM stack during expression conversion (measured), and Catalyst cost
+#: grows with tree depth long before that — a 32k-merge tokenizer table
+#: is simply not an expression.
+_BPE_MAX_LITERAL_MERGES = 200
+
+
+def _py_bpe_encode_seq(syms, pair_rank, by_rank):
+    """Encode ONE symbol sequence with EXACT sequential-rank semantics
+    (each merge rank gets one greedy left-to-right pass, in rank
+    order, exactly like :func:`bpe_apply`'s replace chain — NOT the
+    GPT-2 min-rank iteration, which can diverge on colliding-output
+    tables): a rank heap visits only ranks whose pair is actually
+    present, and each pass pushes the ranks of pairs newly created
+    AROUND its merge points, so cost is O(occurrences), not
+    O(n_merges) per sequence."""
+    import heapq
+
+    if len(syms) < 2:
+        return list(syms)
+    heap = [
+        rk for p in zip(syms, syms[1:]) if (rk := pair_rank.get(p)) is not None
+    ]
+    heapq.heapify(heap)
+    cursor = 0
+    while heap:
+        rk = heapq.heappop(heap)
+        if rk <= cursor:
+            continue
+        cursor = rk
+        left, right, merged = by_rank[rk]
+        out: list = []
+        marks: list = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                if out:
+                    nrk = pair_rank.get((out[-1], merged))
+                    if nrk is not None and nrk > cursor:
+                        heapq.heappush(heap, nrk)
+                marks.append(len(out))
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        if not marks:
+            continue
+        for m in marks:
+            if m + 1 < len(out):
+                nrk = pair_rank.get((out[m], out[m + 1]))
+                if nrk is not None and nrk > cursor:
+                    heapq.heappush(heap, nrk)
+        syms = out
+    return syms
+
+
+def _arrow_bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    *,
+    text_col: str,
+    id_col: str,
+    level: str,
+    vocab: list | None = None,
+    unk_id: int | None = None,
+) -> DataFrame:
+    """The tokenizer-scale encode: one ``mapInPandas`` pass (the
+    sanctioned Arrow boundary — the merge-table closure broadcasts
+    with the task binary) whose per-batch Python applies
+    :func:`_py_bpe_encode_seq` with a per-distinct-word cache at char
+    level. Zero shuffle, zero Python ROW boundary (Arrow batches),
+    cost ∝ corpus bytes — the same scan shape as the literal chain,
+    minus its expression-depth ceiling. With ``vocab`` the id lookup
+    happens in the same pass (a 32k-entry map LITERAL would pay ~1s
+    of py4j per 1k cells — the measured per-cell F.lit tax)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    by_rank = {}
+    pair_rank: dict = {}
+    for rank, left, right, _ in sorted(merges):
+        by_rank[rank] = (left, right, _bpe_merged_symbol(left, right, level))
+        pair_rank.setdefault((left, right), rank)
+    vmap = dict(vocab) if vocab is not None else None
+    guard_re = "[‹›·]" if level == "char" else "[‹›]"
+    guard_msg = (
+        "bpe: corpus text contains a reserved marker character "
+        f"{_bpe_guard_chars(level)} - pre-scrub or re-tokenize: "
+    )
+    id_field = docs.schema[id_col]
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        guard = re.compile(guard_re)
+        split = re.compile("[ \t\n\x0b\f\r]+")
+        word_cache: dict = {}
+
+        def enc_word(w):
+            got = word_cache.get(w)
+            if got is None:
+                cs = list(w)
+                cs[-1] += _BPE_EOW
+                got = _py_bpe_encode_seq(cs, pair_rank, by_rank)
+                word_cache[w] = got
+            return got
+
+        for pdf in batches:
+            ids, symcol, ncol, tokcol = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(did)
+                if text is None:
+                    symcol.append(None)
+                    ncol.append(None)
+                    tokcol.append(None)
+                    continue
+                if guard.search(text):
+                    raise ValueError(guard_msg + text[:40])
+                toks = [x for x in split.split(text.strip(" ")) if x != ""]
+                if not toks:
+                    # the literal chain's split("") quirk: one empty
+                    # symbol, so the two paths stay row-identical
+                    syms = [""]
+                elif level == "word":
+                    syms = _py_bpe_encode_seq(toks, pair_rank, by_rank)
+                else:
+                    syms = [s for w in toks for s in enc_word(w)]
+                symcol.append(syms)
+                ncol.append(len(syms))
+                tokcol.append(len(toks))
+            if vmap is None:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "symbols": symcol,
+                        "n_symbols": pd.array(ncol, dtype="Int32"),
+                        "n_tokens": pd.array(tokcol, dtype="Int32"),
+                    }
+                )
+            else:
+                idcol, nids, noov = [], [], []
+                for syms in symcol:
+                    if syms is None:
+                        idcol.append(None)
+                        nids.append(None)
+                        noov.append(None)
+                        continue
+                    looked = [vmap.get(s) for s in syms]
+                    oov = sum(1 for x in looked if x is None)
+                    if unk_id is not None:
+                        looked = [
+                            int(unk_id) if x is None else x for x in looked
+                        ]
+                    idcol.append(looked)
+                    nids.append(len(looked))
+                    noov.append(oov)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "token_ids": idcol,
+                        "n_ids": pd.array(nids, dtype="Int32"),
+                        "n_oov": pd.array(noov, dtype="Int32"),
+                        "n_tokens": pd.array(tokcol, dtype="Int32"),
+                    }
+                )
+
+    if vmap is None:
+        fields = [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("symbols", T.ArrayType(T.StringType())),
+            T.StructField("n_symbols", T.IntegerType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    else:
+        fields = [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("n_ids", T.IntegerType()),
+            T.StructField("n_oov", T.IntegerType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        encode_batches, T.StructType(fields)
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[int, str, str, int]],
@@ -981,9 +1330,20 @@ def bpe_apply(
     would silently fabricate fake symbol boundaries, so the same
     projection guard as :func:`bpe_train` rides the encode — it fires
     (as a Spark USER_RAISED_EXCEPTION) on whatever action the
-    consumer runs, still zero extra jobs."""
+    consumer runs, still zero extra jobs.
+
+    Merge tables larger than ``_BPE_MAX_LITERAL_MERGES`` (tokenizer
+    scale — :func:`bpe_train_sampled` output) dispatch to the
+    row-identical Arrow-batched encode (:func:`_arrow_bpe_encode`):
+    the nested replace chain overflows the JVM stack near ~1500
+    merges, so the big-table path trades whole-stage codegen for one
+    ``mapInPandas`` scan — still zero shuffle."""
     if level not in ("word", "char"):
         raise ValueError(f"bpe_apply: unknown level {level!r}")
+    if len(merges) > _BPE_MAX_LITERAL_MERGES:
+        return _arrow_bpe_encode(
+            docs, merges, text_col=text_col, id_col=id_col, level=level
+        )
     toks = F.filter(tokens(text_col), lambda x: x != "")
     enc = _bpe_state_expr(text_col, level)
     for _, left, right, _ in sorted(merges):
@@ -1109,7 +1469,21 @@ def bpe_encode_ids(
     Returns (id, token_ids array<int>, n_ids, n_oov, n_tokens).
     Symbols missing from ``vocab`` become ``unk_id`` (or stay null
     when it is None — count them via ``n_oov``); a vocab trained on
-    the same corpus by construction has ``n_oov = 0``."""
+    the same corpus by construction has ``n_oov = 0``. Tokenizer-
+    scale tables (> ``_BPE_MAX_LITERAL_MERGES``) encode AND id-map in
+    one Arrow pass — a 32k-entry map literal would pay the measured
+    ~1s-per-1k-cells F.lit tax on top of the replace chain's
+    stack-depth ceiling."""
+    if len(merges) > _BPE_MAX_LITERAL_MERGES:
+        return _arrow_bpe_encode(
+            docs,
+            merges,
+            text_col=text_col,
+            id_col=id_col,
+            level=level,
+            vocab=vocab,
+            unk_id=unk_id,
+        )
     enc = bpe_apply(
         docs, merges, text_col=text_col, id_col=id_col, level=level
     )

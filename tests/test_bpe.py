@@ -6,6 +6,7 @@ and the registered wrapper's schema."""
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -435,3 +436,154 @@ def test_sequence_packing_over_real_ids(spark):
         want[doc_id] = (shard, off // 8, len(seqs[doc_id]), off)
         streams[shard] = off + len(seqs[doc_id])
     assert packed == want
+
+
+# ---------------------------------------------------------------------------
+# Round 12: sampled driver-side trainer (bpe_train_sampled) — the 32k-merge
+# path. Parity with the exact distributed loop when the sample covers the
+# corpus; bounded-sample determinism; tokenizer-scale merge counts.
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.operators.curation import (  # noqa: E402
+    bpe_train_sampled,
+)
+
+
+@pytest.mark.parametrize("level", ["word", "char"])
+def test_sampled_trainer_matches_exact_loop(spark, level):
+    """With sample_docs ≥ corpus size the heap trainer must reproduce
+    bpe_train EXACTLY — same pairs, ranks, occurrence counts and
+    tie-breaks — at both symbol levels (this is the property that
+    licenses swapping the trainer under the unchanged encode chain)."""
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the hat",
+        "a cat and a hat and a mat",
+        "low lower lowest low low",
+        "newer lower fewer",
+    ]
+    df = _df(spark, texts)
+    want = bpe_train(df, n_merges=12, level=level)
+    got = bpe_train_sampled(
+        df, n_merges=12, sample_docs=100, level=level
+    )
+    assert got == want
+
+
+def test_sampled_trainer_marker_guard(spark):
+    with pytest.raises(ValueError, match="reserved marker"):
+        bpe_train_sampled(_df(spark, ["bad ‹text›"]), n_merges=2)
+
+
+def test_sampled_trainer_sample_is_md5_bounded(spark):
+    """A sample smaller than the corpus trains on exactly the
+    md5-ordered prefix — deterministic across runs and sessions, the
+    train_opq_rotation sampling discipline."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        _py_bpe_sequences,
+        _py_bpe_train,
+    )
+
+    texts = [f"doc {i} alpha beta gamma delta epsilon {i}" for i in range(20)]
+    df = _df(spark, texts)
+    got = bpe_train_sampled(df, n_merges=6, sample_docs=7, level="char")
+    import hashlib
+
+    prefix = sorted(texts, key=lambda t: hashlib.md5(t.encode()).hexdigest())[
+        :7
+    ]
+    want = _py_bpe_train(_py_bpe_sequences(prefix, "char"), 6, "char")
+    assert got == want
+    assert got == bpe_train_sampled(df, n_merges=6, sample_docs=7, level="char")
+
+
+def test_sampled_trainer_tokenizer_scale(spark):
+    """1k+ merges train in seconds (the whole point): a synthetic
+    2k-word corpus admits >1000 char-level merges, the trained table
+    feeds the unchanged zero-shuffle encode, and encoding the sample
+    corpus with its own vocab has zero OOV."""
+    import random
+    import time
+
+    from py_data_pipeline_app_spark.operators.curation import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randint(5, 12)))
+        for _ in range(2000)
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(40)) for _ in range(300)
+    ]
+    df = _df(spark, texts)
+    t0 = time.time()
+    merges = bpe_train_sampled(
+        df, n_merges=1500, sample_docs=300, level="char"
+    )
+    took = time.time() - t0
+    assert len(merges) == 1500
+    # driver-side training, not job-per-merge: seconds, not minutes
+    assert took < 30, f"sampled trainer took {took:.1f}s"
+    assert [m[0] for m in merges] == list(range(1, 1501))
+    small = _df(spark, texts[:20])
+    vocab = [
+        (r.symbol, r.token_id)
+        for r in bpe_vocab(df, merges, level="char").collect()
+    ]
+    enc = bpe_encode_ids(small, merges, vocab, level="char")
+    assert enc.agg(F.sum("n_oov")).first()[0] == 0
+
+
+@pytest.mark.parametrize("level", ["word", "char"])
+def test_arrow_encode_matches_literal_chain(spark, level):
+    """The two encode paths must be ROW-IDENTICAL — including the
+    literal chain's empty-text split quirk (symbols=[""]) and null
+    text — so the dispatch threshold is invisible to consumers; and
+    the Arrow plan must stay Exchange-free (zero shuffle)."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        _arrow_bpe_encode,
+        bpe_apply,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "low lower lowest low low",
+        "",
+        "   ",
+        None,
+        "one",
+        "a a a a b a a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    train = _df(spark, [t for t in texts if t])
+    merges = bpe_train(train, n_merges=6, level=level)
+    lit_rows = sorted(
+        map(tuple, bpe_apply(df, merges, level=level).collect())
+    )
+    arrow = _arrow_bpe_encode(
+        df, merges, text_col="text", id_col="doc_id", level=level
+    )
+    assert sorted(map(tuple, arrow.collect())) == lit_rows
+    assert "Exchange" not in (
+        arrow._jdf.queryExecution().executedPlan().toString()
+    )
+    # id path parity too (unk + n_oov bookkeeping)
+    vocab = [
+        (r.symbol, r.token_id)
+        for r in bpe_vocab(train, merges, level=level).collect()
+    ]
+    lit_ids = sorted(
+        map(tuple, bpe_encode_ids(df, merges, vocab, level=level, unk_id=0).collect())
+    )
+    arrow_ids = _arrow_bpe_encode(
+        df, merges, text_col="text", id_col="doc_id", level=level,
+        vocab=vocab, unk_id=0,
+    )
+    assert sorted(map(tuple, arrow_ids.collect())) == lit_ids
