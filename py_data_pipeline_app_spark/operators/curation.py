@@ -595,8 +595,12 @@ def bigram_perplexity_buckets(
         .collect()
     )
     vocab = [r._tok for r in vocab_rows]
+    # the casts pin an empty vocab (corpus with no non-empty tokens) to
+    # map<string,string> — uncast, F.array() infers array<null> and the
+    # element_at below fails analysis instead of mapping all to <unk>
     vmap = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in vocab]), F.array(*[F.lit(t) for t in vocab])
+        F.array(*[F.lit(t) for t in vocab]).cast("array<string>"),
+        F.array(*[F.lit(t) for t in vocab]).cast("array<string>"),
     )
     # stage the token array AND the mapped array as their own
     # projections (lambda-capture staging rule) before slicing pairs
@@ -1487,9 +1491,11 @@ def bpe_encode_ids(
     enc = bpe_apply(
         docs, merges, text_col=text_col, id_col=id_col, level=level
     )
+    # cast-pinned like bigram_perplexity_buckets' vocab literal: an
+    # empty vocab must yield map<string,int>, not an analysis error
     vmap = F.map_from_arrays(
-        F.array(*[F.lit(s) for s, _ in vocab]),
-        F.array(*[F.lit(int(i)) for _, i in vocab]),
+        F.array(*[F.lit(s) for s, _ in vocab]).cast("array<string>"),
+        F.array(*[F.lit(int(i)) for _, i in vocab]).cast("array<int>"),
     )
     looked = enc.withColumn("_vmap", vmap).withColumn(
         "_ids",

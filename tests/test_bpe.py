@@ -394,6 +394,18 @@ def test_encode_ids_oov_null_vs_unk(spark):
     assert out2.n_oov == 1 and 9999 in out2.token_ids and None not in out2.token_ids
 
 
+def test_encode_ids_empty_vocab_all_oov(spark):
+    """An empty vocab list must keep the map literal typed
+    (map<string,int>, not map<null,null> which fails analysis at
+    element_at): every symbol is OOV, nulled or unk-mapped."""
+    docs, merges, _ = _trained(spark)
+    out = bpe_encode_ids(docs, merges, [], level="char").collect()[0]
+    assert out.n_oov == out.n_ids > 0
+    assert all(i is None for i in out.token_ids)
+    out2 = bpe_encode_ids(docs, merges, [], level="char", unk_id=0).collect()[0]
+    assert all(i == 0 for i in out2.token_ids)
+
+
 def test_encode_ids_plan_is_zero_shuffle(spark):
     """The 100-TB contract: the encode is ONE pure projection — no
     Exchange anywhere in the plan (no explode/join/re-agg path)."""

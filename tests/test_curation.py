@@ -362,3 +362,23 @@ def test_bigram_perplexity_unk_bounds_the_table(spark):
     }
     assert out[200].n_tokens == 8  # every token scored
     assert out[200].cross_entropy is not None
+
+
+def test_bigram_perplexity_empty_corpus_returns_empty(spark):
+    """A corpus with no non-empty tokens collects an EMPTY vocabulary —
+    the map literal must stay typed (map<string,string>, not the
+    map<null,null> an uncast F.array() infers, which fails analysis at
+    element_at) and the result is simply the empty frame."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_perplexity_buckets,
+    )
+
+    docs = local_rows_df(
+        spark, "doc_id long, text string", [(1, ""), (2, "   "), (3, None)]
+    )
+    out = bigram_perplexity_buckets(docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "cross_entropy", "bucket", "kept",
+    ]

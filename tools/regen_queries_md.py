@@ -93,11 +93,19 @@ def _latest_bench() -> tuple[int, float] | None:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        total = data.get("value")
+        # The driver wraps bench.py's JSON line: the total lives at
+        # parsed.value (top-level keys are n/rc/cpus/tail/parsed).
+        total = (data.get("parsed") or {}).get("value")
         if isinstance(total, (int, float)) and (
             best is None or int(m.group(1)) > best[0]
         ):
             best = (int(m.group(1)), float(total))
+    if best is None:
+        print(
+            "WARNING: no BENCH_r*.json parsed - README bench-band span "
+            "left stale",
+            file=sys.stderr,
+        )
     return best
 
 
