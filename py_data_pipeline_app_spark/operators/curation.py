@@ -541,6 +541,76 @@ def source_reputation(
     )
 
 
+def _bigram_map_stage(
+    docs: DataFrame, vocab: list[str], *, text_col: str, id_col: str | None
+) -> DataFrame:
+    """(id?, _m): the document's non-empty tokens mapped into
+    vocab ∪ {<unk>} — the shared front of training and scoring, so a
+    frozen model and a self-trained one see bit-identical symbol
+    streams. The vocab re-enters as a typed map literal (the
+    collect-once rule; the casts keep an EMPTY vocab analyzable —
+    map<string,string>, not map<null,null>). ``id_col=None`` drops the
+    id (training needs only the symbol stream)."""
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]).cast("array<string>"),
+        F.array(*[F.lit(t) for t in vocab]).cast("array<string>"),
+    )
+    ids = [F.col(id_col)] if id_col is not None else []
+    # stage the token array AND the mapped array as their own
+    # projections (lambda-capture staging rule) before slicing pairs
+    return (
+        docs.select(
+            *ids,
+            F.filter(tokens(text_col), lambda x: x != "").alias("_toks"),
+        )
+        .withColumn("_vmap", vmap)
+        .withColumn(
+            "_m",
+            F.transform(
+                F.col("_toks"),
+                lambda t: F.coalesce(
+                    F.element_at(F.col("_vmap"), t), F.lit("<unk>")
+                ),
+            ),
+        )
+        .select(*ids, "_m")
+        .filter(F.size("_m") > 0)
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bigram_pair_stream(staged: DataFrame, id_col: str | None) -> DataFrame:
+    """(id?, _p, _w): every adjacent symbol transition of the staged
+    corpus — exploded within a task, one row per transition."""
+    ids = [F.col(id_col)] if id_col is not None else []
+    pairs_col = F.zip_with(
+        F.slice(F.col("_m"), 1, F.size("_m") - 1),
+        F.slice(F.col("_m"), 2, F.size("_m") - 1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+    )
+    return staged.select(*ids, F.explode(pairs_col).alias("_pr")).select(
+        *ids, F.col("_pr.p").alias("_p"), F.col("_pr.w").alias("_w")
+    )
+
+
+def _bigram_top_vocab(
+    docs: DataFrame, *, text_col: str, vocab_size: int
+) -> list[str]:
+    """Top-``vocab_size`` tokens by count (token-asc tie-break),
+    collected once — executes as TakeOrderedAndProject, V rows to the
+    driver."""
+    rows = (
+        docs.select(F.explode(tokens(text_col)).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .collect()
+    )
+    return [r._tok for r in rows]
+
+
 def bigram_perplexity_buckets(
     docs: DataFrame,
     *,
@@ -550,6 +620,8 @@ def bigram_perplexity_buckets(
     lam: float = 0.7,
     head_cutoff: float = 3.0,
     tail_cutoff: float = 4.0,
+    bigram_lm: str | None = None,
+    lm_verify: bool = True,
 ) -> DataFrame:
     """:func:`perplexity_buckets` upgraded to an INTERPOLATED BIGRAM
     LM — one honest step from the unigram stand-in toward CCNet's
@@ -583,60 +655,46 @@ def bigram_perplexity_buckets(
     stream); bigram and unigram counts are keyed aggregations with
     map-side combine over bounded key spaces ((V+1)² and V+1); both
     LM tables BROADCAST into the scoring joins; only per-document
-    summaries shuffle. Self-trained only (the corpus-relative mode) —
-    persist the counts yourself for the fixed-reference setup."""
-    vocab_rows = (
-        docs.select(F.explode(tokens(text_col)).alias("_tok"))
-        .filter(F.col("_tok") != "")
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.col("_c").desc(), F.col("_tok"))
-        .limit(vocab_size)
-        .collect()
-    )
-    vocab = [r._tok for r in vocab_rows]
-    # the casts pin an empty vocab (corpus with no non-empty tokens) to
-    # map<string,string> — uncast, F.array() infers array<null> and the
-    # element_at below fails analysis instead of mapping all to <unk>
-    vmap = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in vocab]).cast("array<string>"),
-        F.array(*[F.lit(t) for t in vocab]).cast("array<string>"),
-    )
-    # stage the token array AND the mapped array as their own
-    # projections (lambda-capture staging rule) before slicing pairs
-    staged = (
-        docs.select(
-            F.col(id_col),
-            F.filter(tokens(text_col), lambda x: x != "").alias("_toks"),
+    summaries shuffle.
+
+    Pass ``bigram_lm`` (a directory written by :func:`bigram_lm_train`)
+    to score against a FROZEN model — the actual CCNet setup, where the
+    LM is trained once on a clean reference corpus and applied to every
+    new crawl batch: vocabulary, unigram and bigram counts all come
+    from the persisted tables (checksum-verified) and the scored
+    corpus contributes NOTHING to the model, so a document's score is
+    independent of what it arrives with. Symbols the frozen model never
+    saw (an ``<unk>`` when training had full-vocab coverage) score at
+    the add-one floor ln((1−λ)·1/total) — the same deliberate
+    rare-token penalty as the unigram filter's floor_logp. Without
+    ``bigram_lm`` the model is self-trained on ``docs``
+    (corpus-relative scoring, the original mode)."""
+    if bigram_lm is not None:
+        vocab, uni, bi = bigram_lm_frames(
+            docs.sparkSession, bigram_lm, verify=lm_verify
         )
-        .withColumn("_vmap", vmap)
-        .withColumn(
-            "_m",
-            F.transform(
-                F.col("_toks"),
-                lambda t: F.coalesce(
-                    F.element_at(F.col("_vmap"), t), F.lit("<unk>")
-                ),
-            ),
+        staged = _bigram_map_stage(
+            docs, vocab, text_col=text_col, id_col=id_col
         )
-        .select(F.col(id_col), "_m")
-        .filter(F.size("_m") > 0)
-        .localCheckpoint(eager=False)
-    )
-    uni = staged.select(F.explode("_m").alias("_tok")).groupBy("_tok").agg(
-        F.count(F.lit(1)).alias("_cu")
-    )
+        pair_stream = _bigram_pair_stream(staged, id_col)
+    else:
+        vocab = _bigram_top_vocab(
+            docs, text_col=text_col, vocab_size=vocab_size
+        )
+        staged = _bigram_map_stage(
+            docs, vocab, text_col=text_col, id_col=id_col
+        )
+        pair_stream = _bigram_pair_stream(staged, id_col)
+        uni = (
+            staged.select(F.explode("_m").alias("_tok"))
+            .groupBy("_tok")
+            .agg(F.count(F.lit(1)).alias("_cu"))
+        )
+        bi = pair_stream.groupBy("_p", "_w").agg(
+            F.count(F.lit(1)).alias("_cb")
+        )
     total = uni.agg(F.sum("_cu").alias("_t"))
     uni = uni.crossJoin(F.broadcast(total))
-    pairs_col = F.zip_with(
-        F.slice(F.col("_m"), 1, F.size("_m") - 1),
-        F.slice(F.col("_m"), 2, F.size("_m") - 1),
-        lambda a, b: F.struct(a.alias("p"), b.alias("w")),
-    )
-    pair_stream = staged.select(
-        F.col(id_col), F.explode(pairs_col).alias("_pr")
-    ).select(F.col(id_col), F.col("_pr.p").alias("_p"), F.col("_pr.w").alias("_w"))
-    bi = pair_stream.groupBy("_p", "_w").agg(F.count(F.lit(1)).alias("_cb"))
     ctx = bi.groupBy("_p").agg(F.sum("_cb").alias("_cp"))
     lam_lit, ulam = F.lit(float(lam)), F.lit(1.0 - float(lam))
     bi_lm = (
@@ -664,20 +722,40 @@ def bigram_perplexity_buckets(
             F.log(F.col("_cu").cast("double") / F.col("_t")), 6
         ).alias("_lp_uni"),
     )
+    # add-one floor for symbols ABSENT from the (frozen) unigram table —
+    # only reachable with bigram_lm, when the training corpus had
+    # full-vocab coverage and the scored batch maps a token to an <unk>
+    # the model never counted; self-trained scoring always hits uni_lm,
+    # so the floor changes nothing there (the 1-row frame broadcasts)
+    floor = total.select(
+        F.round(F.log(ulam * F.lit(1.0) / F.col("_t")), 6).alias("_fl_back"),
+        F.round(F.log(F.lit(1.0) / F.col("_t")), 6).alias("_fl_uni"),
+    )
     trans = (
         pair_stream.join(F.broadcast(bi_lm), ["_p", "_w"], "left")
         .join(
             F.broadcast(uni_lm.withColumnRenamed("_tok", "_w")), "_w", "left"
         )
+        .crossJoin(F.broadcast(floor))
         .select(
             F.col(id_col),
-            F.coalesce(F.col("_lp"), F.col("_lp_back")).alias("_score"),
+            F.coalesce(
+                F.col("_lp"), F.col("_lp_back"), F.col("_fl_back")
+            ).alias("_score"),
         )
     )
-    first = staged.select(
-        F.col(id_col), F.element_at(F.col("_m"), 1).alias("_w")
-    ).join(F.broadcast(uni_lm.withColumnRenamed("_tok", "_w")), "_w").select(
-        F.col(id_col), F.col("_lp_uni").alias("_score")
+    first = (
+        staged.select(
+            F.col(id_col), F.element_at(F.col("_m"), 1).alias("_w")
+        )
+        .join(
+            F.broadcast(uni_lm.withColumnRenamed("_tok", "_w")), "_w", "left"
+        )
+        .crossJoin(F.broadcast(floor))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_lp_uni"), F.col("_fl_uni")).alias("_score"),
+        )
     )
     agg = (
         trans.unionByName(first)
@@ -698,6 +776,124 @@ def bigram_perplexity_buckets(
         .alias("bucket"),
         (ce <= tail_cutoff).alias("kept"),
     )
+
+
+#: manifest + table names of a persisted bigram LM directory
+BIGRAM_LM_MANIFEST = "_MANIFEST"
+BIGRAM_LM_UNIGRAM = "unigram"
+BIGRAM_LM_BIGRAM = "bigram"
+
+
+def _count_table_checksum(df: DataFrame, cols: list[str]) -> str:
+    """Order-free content checksum of a count table: row count +
+    XOR-folded xxhash64 over the named columns — one aggregation job,
+    deterministic across sessions (xxhash64's seed is fixed)."""
+    row = df.select(
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return f"{row.n}:{(row.x or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def bigram_lm_train(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 32,
+) -> dict:
+    """Train the interpolated-bigram LM ONCE on a clean reference
+    corpus and persist it under ``path`` — the missing half of the
+    CCNet recipe (Wenzek et al. 2020: the LM is trained on Wikipedia
+    and applied to every crawl batch; without persistence the
+    streaming front door could only score corpus-relative). Layout:
+
+    - ``unigram/``  parquet (_tok, _cu) — vocab ∪ <unk> counts
+    - ``bigram/``   parquet (_p, _w, _cb) — observed transitions only
+    - ``_MANIFEST`` json: vocab (count-ranked), total, per-table
+      (rows, xxhash64-XOR) content checksums — written LAST, so its
+      presence is the commit point (the index builders' manifest
+      discipline); a crashed retrain leaves a checksum mismatch a
+      reader raises on, never a silently mixed model.
+
+    Counts are λ-free model state — the interpolation weight stays a
+    SCORING parameter (:func:`bigram_perplexity_buckets`'s ``lam``),
+    so one persisted model serves any weighting. Retraining overwrites
+    in place; for atomic swap under concurrent readers, train to a
+    fresh directory and flip the reference. Returns the manifest.
+
+    Scale shape: identical to self-trained scoring's training half —
+    one TakeOrdered for the vocab, two keyed map-side-combined
+    aggregations over bounded key spaces (V+1 and (V+1)²), two bounded
+    parquet writes, one checksum aggregation per table."""
+    from py_data_pipeline_app_spark import fsio
+
+    spark = docs.sparkSession
+    vocab = _bigram_top_vocab(docs, text_col=text_col, vocab_size=vocab_size)
+    if not vocab:
+        raise ValueError(
+            f"bigram_lm_train: corpus has no non-empty tokens ({text_col})"
+        )
+    staged = _bigram_map_stage(docs, vocab, text_col=text_col, id_col=None)
+    uni = (
+        staged.select(F.explode("_m").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    bi = _bigram_pair_stream(staged, None).groupBy("_p", "_w").agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    uni.write.mode("overwrite").parquet(f"{path}/{BIGRAM_LM_UNIGRAM}")
+    bi.write.mode("overwrite").parquet(f"{path}/{BIGRAM_LM_BIGRAM}")
+    uni_w = spark.read.parquet(f"{path}/{BIGRAM_LM_UNIGRAM}")
+    bi_w = spark.read.parquet(f"{path}/{BIGRAM_LM_BIGRAM}")
+    manifest = {
+        "version": 1,
+        "vocab_size": int(vocab_size),
+        "vocab": vocab,
+        "total": int(uni_w.agg(F.sum("_cu")).first()[0]),
+        "unigram_checksum": _count_table_checksum(uni_w, ["_tok", "_cu"]),
+        "bigram_checksum": _count_table_checksum(bi_w, ["_p", "_w", "_cb"]),
+    }
+    fsio.write_json(spark, f"{path}/{BIGRAM_LM_MANIFEST}", manifest)
+    return manifest
+
+
+def bigram_lm_frames(
+    spark, path: str, *, verify: bool = True
+) -> tuple[list[str], DataFrame, DataFrame]:
+    """Load a persisted bigram LM: (vocab, unigram frame, bigram
+    frame). ``verify=True`` (the default — batch scoring loads once)
+    recomputes both content checksums against the manifest and raises
+    on drift, the same reader guard the IVF-PQ codebooks carry; a
+    per-micro-batch caller (the streaming front door) passes
+    ``verify=False`` after trusting the first load rather than paying
+    two verification jobs per batch."""
+    from py_data_pipeline_app_spark import fsio
+
+    mpath = f"{path}/{BIGRAM_LM_MANIFEST}"
+    if not fsio.exists(spark, mpath):
+        raise ValueError(
+            f"no bigram LM manifest at {mpath} - train one with "
+            "bigram_lm_train (a missing manifest also means a crashed "
+            "train never committed)"
+        )
+    manifest = fsio.read_json(spark, mpath)
+    uni = spark.read.parquet(f"{path}/{BIGRAM_LM_UNIGRAM}")
+    bi = spark.read.parquet(f"{path}/{BIGRAM_LM_BIGRAM}")
+    if verify:
+        got_u = _count_table_checksum(uni, ["_tok", "_cu"])
+        got_b = _count_table_checksum(bi, ["_p", "_w", "_cb"])
+        if got_u != manifest["unigram_checksum"] or got_b != manifest[
+            "bigram_checksum"
+        ]:
+            raise ValueError(
+                f"bigram LM at {path} drifted from its manifest "
+                f"(unigram {got_u} vs {manifest['unigram_checksum']}, "
+                f"bigram {got_b} vs {manifest['bigram_checksum']}) - "
+                "retrain or restore the tables"
+            )
+    return list(manifest["vocab"]), uni, bi
 
 
 def unigram_lm(

@@ -3903,6 +3903,144 @@ def text_perplexity_bigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_perplexity_frozen_lm",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, list_filter({_SQL_WS}, x -> x <> '') AS ws
+        FROM documents
+      ) WHERE len(ws) > 0
+    ),
+    tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    sc AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    rawc AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(ws) AS tok FROM tr) GROUP BY tok
+    ),
+    vl AS (
+      SELECT list(tok) AS l
+      FROM (SELECT tok FROM rawc ORDER BY c DESC, tok LIMIT 32)
+    ),
+    mtr AS (
+      SELECT doc_id,
+             list_transform(ws, x -> CASE WHEN list_contains(vl.l, x)
+                                          THEN x ELSE '<unk>' END) AS mw
+      FROM tr CROSS JOIN vl
+    ),
+    msc AS (
+      SELECT doc_id,
+             list_transform(ws, x -> CASE WHEN list_contains(vl.l, x)
+                                          THEN x ELSE '<unk>' END) AS mw
+      FROM sc CROSS JOIN vl
+    ),
+    uni AS (
+      SELECT w, count(*) AS cu
+      FROM (SELECT unnest(mw) AS w FROM mtr) GROUP BY w
+    ),
+    tot AS (SELECT sum(cu) AS t FROM uni),
+    prs_tr AS (
+      SELECT u.p AS p, u.w AS w FROM (
+        SELECT unnest(list_transform(range(1, len(mw)),
+                                     j -> {{'p': mw[j], 'w': mw[j+1]}})) AS u
+        FROM mtr
+      )
+    ),
+    bi AS (SELECT p, w, count(*) AS cb FROM prs_tr GROUP BY p, w),
+    ctx AS (SELECT p, sum(cb) AS cp FROM bi GROUP BY p),
+    bilm AS (
+      SELECT b.p, b.w,
+             round(ln({_BIGRAM_LAM!r} * b.cb::DOUBLE / ctx.cp
+                      + {_BIGRAM_ULAM!r} * u.cu::DOUBLE / tot.t), 6) AS lp
+      FROM bi b JOIN ctx ON b.p = ctx.p JOIN uni u ON b.w = u.w CROSS JOIN tot
+    ),
+    unilm AS (
+      SELECT w,
+             round(ln({_BIGRAM_ULAM!r} * cu::DOUBLE / t), 6) AS lp_back,
+             round(ln(cu::DOUBLE / t), 6) AS lp_uni
+      FROM uni CROSS JOIN tot
+    ),
+    fl AS (
+      SELECT round(ln({_BIGRAM_ULAM!r} * 1.0 / t), 6) AS fl_back,
+             round(ln(1.0 / t), 6) AS fl_uni
+      FROM tot
+    ),
+    prs AS (
+      SELECT doc_id, u.p AS p, u.w AS w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(mw)),
+                                     j -> {{'p': mw[j], 'w': mw[j+1]}})) AS u
+        FROM msc
+      )
+    ),
+    trans AS (
+      SELECT prs.doc_id,
+             coalesce(bilm.lp, unilm.lp_back, fl.fl_back) AS s
+      FROM prs LEFT JOIN bilm ON prs.p = bilm.p AND prs.w = bilm.w
+               LEFT JOIN unilm ON prs.w = unilm.w
+               CROSS JOIN fl
+    ),
+    fst AS (
+      SELECT f.doc_id, coalesce(unilm.lp_uni, fl.fl_uni) AS s
+      FROM (SELECT doc_id, mw[1] AS w FROM msc) f
+           LEFT JOIN unilm ON f.w = unilm.w
+           CROSS JOIN fl
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(-(sum(s::DECIMAL(18,6))::DOUBLE) / count(*), 6) AS ce
+      FROM (SELECT * FROM trans UNION ALL SELECT * FROM fst) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, ce AS cross_entropy,
+           CASE WHEN ce <= 3.40 THEN 'head'
+                WHEN ce > 3.46 THEN 'tail'
+                ELSE 'middle' END AS bucket,
+           ce <= 3.46 AS kept
+    FROM agg
+    """,
+    retired=True,
+)
+def text_perplexity_frozen_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet filter as ACTUALLY deployed (operators/curation
+    bigram_lm_train + bigram_perplexity_buckets(bigram_lm=...)): the
+    interpolated-bigram LM is trained on one half of the corpus (even
+    doc_ids — standing in for the clean reference corpus), PERSISTED
+    with the (checksum, config) manifest, and the other half scores
+    against the FROZEN tables — the scored documents contribute
+    nothing to the model, so verdicts are batch-independent (the
+    property the streaming front door's ``bigram_lm`` gate rides on;
+    parity across arbitrary batch splits is pinned in
+    tests/test_curation.py). Frozen-only case exercised end-to-end:
+    symbols the model never counted score at the add-one floor
+    ln((1−λ)·1/total) instead of dropping. The oracle derives the
+    same counts on the even half and scores the odd half in one SQL
+    statement — a full round-trip through parquet persistence on the
+    Spark side against a pure derivation on DuckDB's. Cutoffs
+    3.40/3.46 sit at the odd half's ~25th/90th CE percentiles (the
+    CCNet calibrate-once protocol). Retired tier from birth (round-12
+    headroom went to the frozen-LM streaming gate's test surface);
+    this oracle value-checks on every pytest run."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_lm_frames,
+        bigram_lm_train,
+        bigram_perplexity_buckets,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    lm_dir = f"{_scratch_dir('text_perplexity_frozen_lm')}/lm"
+    bigram_lm_train(
+        docs.filter(F.col("doc_id") % 2 == 0), lm_dir, vocab_size=32
+    )
+    bigram_lm_frames(spark, lm_dir)  # deploy-time checksum verification
+    return bigram_perplexity_buckets(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        bigram_lm=lm_dir,
+        lam=_BIGRAM_LAM,
+        head_cutoff=3.40,
+        tail_cutoff=3.46,
+    )
+
+
 # Markup planted onto every 7th document (the sf corpora are plain
 # text): wrapper tags, a script block whose BODY contains a tag, and
 # double-escaped entities — exercising block removal, tag stripping,

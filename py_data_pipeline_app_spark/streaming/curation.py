@@ -69,12 +69,29 @@ def curation_fold(
     chunk_tokens: int = 10,
     quality_threshold: float = 0.0,
     allow_reorder: bool = False,
+    bigram_lm: str | None = None,
+    lm_lam: float = 0.7,
+    lm_tail_cutoff: float = 4.0,
 ) -> None:
     """Fold ONE doc(+embedding) micro-batch through span dedup →
     semantic verdict → quality gate → hash split, landing the curated
     rows under ``out/batch-{id}``. Exposed module-level (the stream's
     sink calls exactly this) so replay semantics are testable without
     a checkpoint dance.
+
+    ``bigram_lm`` (a directory trained by
+    ``operators.curation.bigram_lm_train``) adds the CCNet perplexity
+    gate: every batch scores against the FROZEN interpolated-bigram LM
+    (``lm_lam``, kept = cross-entropy ≤ ``lm_tail_cutoff``) and lands
+    an extra ``lm_kept`` flag folded into ``retained`` — because the
+    model is frozen, a document's verdict is independent of what batch
+    it arrives in (tested), which is exactly why the self-trained mode
+    could never sit in this gate. Rows with no non-empty tokens score
+    kept=TRUE (the embedding-less rows' honest-default precedent).
+    Checksum verification is SKIPPED on this per-batch hot path (two
+    verification jobs per micro-batch would tax every batch for a
+    train-once artifact) — verify the model once at deploy time with
+    ``bigram_lm_frames(path)``.
 
     The batch frame carries (id, text, source, embedding?) — the
     embedding column is nullable: docs without a vector pass the
@@ -98,7 +115,8 @@ def curation_fold(
     from a reordering feed.
 
     Landed columns: (id, source, split, sem_kept, good, n_tokens,
-    text_deduped, n_chunks, n_kept_chunks, retained) — ALL batch rows
+    text_deduped, n_chunks, n_kept_chunks, retained), plus ``lm_kept``
+    when the LM gate is on — ALL batch rows
     land with their flags, so drop-reason accounting
     (:func:`curation_accounting`) and the shard-ready retained subset
     (:func:`curated_corpus`) are both one filter away, and a takedown
@@ -217,6 +235,30 @@ def curation_fold(
         .drop("quality_z")
     )
     labeled = hash_split(labeled, id_col, SPLIT_WEIGHTS)
+    gate = F.col("sem_kept") & F.col("good")
+    if bigram_lm is not None:
+        from py_data_pipeline_app_spark.operators.curation import (
+            bigram_perplexity_buckets,
+        )
+
+        ppl = bigram_perplexity_buckets(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            lam=lm_lam,
+            tail_cutoff=lm_tail_cutoff,
+            bigram_lm=bigram_lm,
+            lm_verify=False,
+        ).select(F.col(id_col), F.col("kept").alias("_lm_kept"))
+        labeled = (
+            labeled.join(F.broadcast(ppl), id_col, "left")
+            # token-less rows produce no score row — kept by default
+            .withColumn(
+                "lm_kept", F.coalesce(F.col("_lm_kept"), F.lit(True))
+            )
+            .drop("_lm_kept")
+        )
+        gate = gate & F.col("lm_kept")
     out = labeled.join(
         rebuilt.select(
             F.col(id_col),
@@ -225,7 +267,7 @@ def curation_fold(
             F.col("n_kept").alias("n_kept_chunks"),
         ),
         id_col,
-    ).withColumn("retained", F.col("sem_kept") & F.col("good"))
+    ).withColumn("retained", gate)
     # idempotent landing: a replayed batch rewrites its own directory
     out.write.mode("overwrite").parquet(f"{out_path}/batch-{token}")
 
@@ -244,6 +286,9 @@ def start_curation_stream(
     chunk_tokens: int = 10,
     quality_threshold: float = 0.0,
     allow_reorder: bool = False,
+    bigram_lm: str | None = None,
+    lm_lam: float = 0.7,
+    lm_tail_cutoff: float = 4.0,
     compact_every: int | None = 16,
     shards_every: int | None = None,
     n_shards: int = 8,
@@ -303,6 +348,9 @@ def start_curation_stream(
             chunk_tokens=chunk_tokens,
             quality_threshold=quality_threshold,
             allow_reorder=allow_reorder,
+            bigram_lm=bigram_lm,
+            lm_lam=lm_lam,
+            lm_tail_cutoff=lm_tail_cutoff,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
@@ -396,11 +444,17 @@ def curated_corpus_current(
     state = semantic_index_state(
         spark, f"{state_root}/{SEMANTIC_SUBDIR}", id_col=id_col
     ).select(F.col(id_col), F.col("kept").alias("_kept_now"))
+    # fold-final gates re-enter the refreshed retained flag: quality
+    # always, the LM verdict when the stream ran with a bigram_lm gate
+    # (frozen model — a reorder can never flip it, only sem_kept moves)
+    gate = F.col("sem_kept") & F.col("good")
+    if "lm_kept" in rows.columns:
+        gate = gate & F.col("lm_kept")
     return (
         rows.join(state, id_col, "left")
         .withColumn("sem_kept", F.coalesce(F.col("_kept_now"), F.col("sem_kept")))
         .drop("_kept_now")
-        .withColumn("retained", F.col("sem_kept") & F.col("good"))
+        .withColumn("retained", gate)
         .filter(F.col("retained"))
     )
 
@@ -409,17 +463,33 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
     """Per (split, source) retention accounting over everything landed
     so far — the same shape the batch rollup
     (``training_set_curation_semantic``) reports, for parity checks
-    and mixture planning."""
+    and mixture planning. An LM-gated stream (``bigram_lm``) adds an
+    ``n_dropped_lm`` bucket (rows the semantic and quality gates
+    passed but the perplexity filter dropped) and folds the verdict
+    into ``n_retained``/``retained_tokens``; non-gated streams keep
+    the original 6-column schema."""
     rows = curated_batches(spark, out_path)
     kept_good = F.col("sem_kept") & F.col("good")
-    return rows.groupBy("split", "source").agg(
-        F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
+    aggs = [
         F.sum(F.when(~F.col("sem_kept"), 1).otherwise(0)).alias(
             "n_dropped_semantic"
         ),
         F.sum(
             F.when(F.col("sem_kept") & ~F.col("good"), 1).otherwise(0)
         ).alias("n_dropped_quality"),
+    ]
+    if "lm_kept" in rows.columns:
+        # LM-gated stream: retained carries the extra verdict; the LM
+        # drop bucket counts rows the first two gates passed
+        aggs.append(
+            F.sum(
+                F.when(kept_good & ~F.col("lm_kept"), 1).otherwise(0)
+            ).alias("n_dropped_lm")
+        )
+        kept_good = kept_good & F.col("lm_kept")
+    return rows.groupBy("split", "source").agg(
+        F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
+        *aggs,
         F.sum(F.when(kept_good, F.col("n_tokens")).otherwise(0)).alias(
             "retained_tokens"
         ),

@@ -364,6 +364,154 @@ def test_bigram_perplexity_unk_bounds_the_table(spark):
     assert out[200].cross_entropy is not None
 
 
+def _lm_docs(spark):
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    return local_rows_df(
+        spark,
+        "doc_id long, text string",
+        [(i, "the cat sat on the mat") for i in range(6)]
+        + [(10, "the dog sat on the rug"), (11, "mat the on sat cat the"),
+           (12, "zq zq zq zq"), (13, "")],
+    )
+
+
+def test_bigram_lm_frozen_matches_self_trained(spark, tmp_path):
+    """Scoring a corpus against a model trained ON that corpus must be
+    bit-identical to the self-trained mode — the persisted counts are
+    the same integers the in-flight derivation produces."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_lm_train,
+        bigram_perplexity_buckets,
+    )
+
+    docs = _lm_docs(spark)
+    path = str(tmp_path / "lm")
+    manifest = bigram_lm_train(docs, path)
+    assert manifest["total"] > 0 and manifest["vocab"]
+    self_trained = sorted(
+        map(tuple, bigram_perplexity_buckets(docs).collect())
+    )
+    frozen = sorted(
+        map(tuple, bigram_perplexity_buckets(docs, bigram_lm=path).collect())
+    )
+    assert frozen == self_trained
+
+
+def test_bigram_lm_scores_are_batch_independent(spark, tmp_path):
+    """The frozen model's whole point: a document's score cannot depend
+    on what batch it arrives with — scoring a feed in one piece equals
+    scoring it split into arbitrary micro-batches (the append-vs-
+    rebuild parity the streaming gate rides on). Self-trained scoring
+    provably lacks this property (asserted too)."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_lm_train,
+        bigram_perplexity_buckets,
+    )
+
+    path = str(tmp_path / "lm")
+    bigram_lm_train(_lm_docs(spark), path)
+    new = local_rows_df(
+        spark,
+        "doc_id long, text string",
+        [(20, "the cat sat"), (21, "completely novel words here"),
+         (22, "on the mat the cat sat"), (23, "zq the zq")],
+    )
+    whole = sorted(
+        map(tuple, bigram_perplexity_buckets(new, bigram_lm=path).collect())
+    )
+    parts = []
+    for lo, hi in ((20, 22), (22, 24)):
+        part = new.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        parts += map(
+            tuple, bigram_perplexity_buckets(part, bigram_lm=path).collect()
+        )
+    assert sorted(parts) == whole
+    # the self-trained control: per-part scoring diverges from whole
+    st_whole = sorted(map(tuple, bigram_perplexity_buckets(new).collect()))
+    st_parts = []
+    for lo, hi in ((20, 22), (22, 24)):
+        part = new.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        st_parts += map(tuple, bigram_perplexity_buckets(part).collect())
+    assert sorted(st_parts) != st_whole
+
+
+def test_bigram_lm_floor_for_unseen_unk(spark, tmp_path):
+    """A training corpus with FULL vocab coverage never counts <unk>;
+    a scored batch's OOV token must then hit the add-one floor
+    ln((1−λ)·1/total) (transitions) / ln(1/total) (first token), not a
+    null that silently drops the token from the sum."""
+    import math
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_lm_train,
+        bigram_perplexity_buckets,
+    )
+
+    train = local_rows_df(
+        spark, "doc_id long, text string", [(1, "a b a b")]
+    )
+    path = str(tmp_path / "lm")
+    manifest = bigram_lm_train(train, path, vocab_size=8)
+    assert manifest["total"] == 4  # a:2 b:2, no <unk> row anywhere
+    out = bigram_perplexity_buckets(
+        local_rows_df(spark, "doc_id long, text string", [(9, "a zzz")]),
+        bigram_lm=path,
+    ).collect()[0]
+    lp_first = round(math.log(2 / 4), 6)  # 'a' scores pure unigram
+    fl_back = round(math.log(0.3 * 1 / 4), 6)  # (a -> <unk>) floor
+    want = round(-(lp_first + fl_back) / 2, 6)
+    assert out.n_tokens == 2
+    assert out.cross_entropy == want, (out.cross_entropy, want)
+
+
+def test_bigram_lm_checksum_drift_raises(spark, tmp_path):
+    """A model whose tables drifted from the manifest (partial rewrite,
+    crashed retrain) must fail loudly at load — and verify=False (the
+    streaming hot path) trusts the manifest without the two jobs."""
+    import pytest as _pytest
+
+    from py_data_pipeline_app_spark.operators.curation import (
+        BIGRAM_LM_UNIGRAM,
+        bigram_lm_frames,
+        bigram_lm_train,
+    )
+
+    docs = _lm_docs(spark)
+    path = str(tmp_path / "lm")
+    bigram_lm_train(docs, path)
+    uni = spark.read.parquet(f"{path}/{BIGRAM_LM_UNIGRAM}")
+    doctored = uni.withColumn(
+        "_cu", F.col("_cu") + F.lit(1)
+    ).localCheckpoint()
+    doctored.write.mode("overwrite").parquet(f"{path}/{BIGRAM_LM_UNIGRAM}")
+    with _pytest.raises(ValueError, match="drifted"):
+        bigram_lm_frames(spark, path)
+    vocab, _, _ = bigram_lm_frames(spark, path, verify=False)
+    assert vocab  # manifest still readable on the trusting path
+
+
+def test_bigram_lm_train_empty_corpus_raises(spark, tmp_path):
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_lm_frames,
+        bigram_lm_train,
+    )
+    import pytest as _pytest
+
+    empty = local_rows_df(
+        spark, "doc_id long, text string", [(1, ""), (2, None)]
+    )
+    path = str(tmp_path / "lm")
+    with _pytest.raises(ValueError, match="no non-empty tokens"):
+        bigram_lm_train(empty, path)
+    # nothing committed: the manifest is the commit point
+    with _pytest.raises(ValueError, match="manifest"):
+        bigram_lm_frames(spark, path)
+
+
 def test_bigram_perplexity_empty_corpus_returns_empty(spark):
     """A corpus with no non-empty tokens collects an EMPTY vocabulary —
     the map literal must stay typed (map<string,string>, not the

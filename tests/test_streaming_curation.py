@@ -451,3 +451,82 @@ def test_reorder_shard_sink_reads_current_verdicts(spark, corpus, tmp_path):
         r.doc_id for r in curated_corpus_current(spark, out, state).collect()
     }
     assert got == want
+
+
+def test_lm_gate_in_front_door(spark, corpus, tmp_path):
+    """Round-12 verdict task 5: the frozen bigram LM as an optional
+    front-door gate — every fold scores against the model trained on
+    the SEED corpus, lands an ``lm_kept`` flag folded into
+    ``retained``, the accounting grows an ``n_dropped_lm`` bucket, and
+    ``curated_corpus_current`` honors the verdict (it is fold-final: a
+    reorder can never flip it). Verdicts are pinned to a one-shot
+    batch scoring of the whole feed — batch independence is the frozen
+    model's contract."""
+    from py_data_pipeline_app_spark.operators.curation import (
+        bigram_lm_train,
+        bigram_perplexity_buckets,
+    )
+    from py_data_pipeline_app_spark.streaming.curation import (
+        curated_corpus_current,
+    )
+
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    t0, t1 = n // 3, 2 * n // 3
+    seed = corpus.filter(F.col("doc_id") < t0)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    lm_path = str(tmp_path / "lm")
+    build_semantic_index(
+        seed.filter(F.col("embedding").isNotNull()).select(
+            "doc_id", "embedding"
+        ),
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=K,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    bigram_lm_train(seed, lm_path, vocab_size=64)
+
+    streamed_df = corpus.filter(F.col("doc_id") >= t0)
+    scores = bigram_perplexity_buckets(
+        streamed_df, bigram_lm=lm_path
+    ).collect()
+    ces = sorted(r.cross_entropy for r in scores)
+    cutoff = ces[len(ces) // 2]  # median: both verdicts occur
+    want_lm = {r.doc_id: bool(r.cross_entropy <= cutoff) for r in scores}
+    assert set(want_lm.values()) == {True, False}
+
+    for i, (lo, hi) in enumerate([(t0, t1), (t1, n)]):
+        batch = corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        curation_fold(
+            spark, state, out, batch, i,
+            bigram_lm=lm_path, lm_tail_cutoff=cutoff,
+        )
+
+    landed = curated_batches(spark, out)
+    assert "lm_kept" in landed.columns
+    rows = landed.collect()
+    # token-less rows (no score row) default kept=True
+    got_lm = {r.doc_id: r.lm_kept for r in rows}
+    assert got_lm == {
+        r.doc_id: want_lm.get(r.doc_id, True) for r in rows
+    }
+    assert all(
+        r.retained == (r.sem_kept and r.good and r.lm_kept) for r in rows
+    )
+
+    acct = curation_accounting(spark, out)
+    assert "n_dropped_lm" in acct.columns
+    tot = acct.agg(
+        F.sum("n_retained"), F.sum("n_dropped_semantic"),
+        F.sum("n_dropped_quality"), F.sum("n_dropped_lm"),
+    ).first()
+    assert sum(tot) == len(rows) and tot[3] > 0
+
+    cur = {
+        r.doc_id for r in curated_corpus_current(spark, out, state).collect()
+    }
+    assert cur == {r.doc_id for r in rows if r.retained}
