@@ -87,6 +87,7 @@ FAMILY = [
     "text_token_diversity",
     "text_perplexity_buckets",
     "text_perplexity_bigram",
+    "text_perplexity_frozen_lm",
     "text_html_strip",
     "source_reputation",
     "source_cap_sample",
@@ -138,6 +139,8 @@ FAMILY = [
     "churned_high_balance_customers",
     "salted_segment_revenue",
     "customer_spend_deciles",
+    "top_revenue_suppliers",
+    "promo_part_suppliers",
 ]
 
 
