@@ -348,3 +348,167 @@ def epoch_oversample(
     return docs.withColumn("_n", n_copies).filter(F.col("_n") > 0).select(
         "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("epoch_copy")
     ).drop("_n")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: Hashed-ngram feature space size. 1024 buckets keep the log-ratio
+#: table a trivially collectable literal while giving the estimator
+#: enough resolution for domain-level selection; Xie et al. use 10k
+#: buckets at full pretraining scale — the table is still only 10k
+#: longs, so raising it costs nothing but literal size.
+DSIR_BUCKETS = 1024
+
+
+def _dsir_grams(toks: Column) -> Column:
+    """Unigrams + adjacent bigrams (space-joined) of a staged token
+    array — the hashed-ngram feature set of DSIR. The caller MUST
+    stage ``toks`` as its own projection column first (it is
+    referenced three times here; the lambda-capture measured rule)."""
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    *,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight (Xie et al. 2023, Data
+    Selection via Importance Resampling): fit two bag-of-hashed-ngram
+    unigram models — p̂ over the rows matching the ``target`` predicate
+    (the distribution you WANT, e.g. a trusted high-quality slice) and
+    q̂ over the whole corpus — and score every document by
+    Σ_grams ln p̂(b(g)) − ln q̂(b(g)) over its unigrams+bigrams, each
+    hashed into ``n_buckets`` buckets (add-one smoothing). Documents
+    that look like the target score high; generic or anti-target text
+    scores negative. This is the published scalable alternative to
+    model-based quality scoring: two count tables instead of a
+    classifier, robust to any target you can name with a predicate.
+
+    Returns the input columns + ``dsir_weight_micro``: the weight in
+    exact 1e-6 units (each bucket's log-ratio is rounded to a micro
+    BIGINT engine-side, so per-doc sums are integer-exact and
+    value-hash cross-engine regardless of fold order — the decimal-sum
+    rule; Python-side ``round`` is never used, its HALF_EVEN differs
+    from both engines).
+
+    Scale shape: one gram-explode + ONE bounded-key groupBy (map-side
+    combine into ≤ n_buckets keys) to fit the counts; the ratio table
+    collects once (≤ n_buckets longs — the collect-tiny-tables rule)
+    and scoring is a pure zero-shuffle projection folding each row's
+    gram array through a map literal at scan cost. Two corpus scans
+    total, no joins, no windows. Grams absent from the fitted corpus
+    hit the add-one floor ratio (scoring NEW batches against a frozen
+    fit stays total).
+
+    ``score`` scores a DIFFERENT frame against the fit (the frozen-fit
+    batch-scoring mode: fit once on the reference corpus, score every
+    incoming crawl batch — the bigram-LM discipline); default scores
+    the fitted corpus itself. Unseen grams take the floor ratio."""
+    staged = docs.withColumn("_toks", tokens(F.col(text_col)))
+    grams = _dsir_grams(F.col("_toks"))
+    ex = staged.select(
+        target.alias("_is_t"), F.explode(grams).alias("_g")
+    )
+    counts = ex.groupBy(
+        hash_bucket(F.col("_g"), seed, n_buckets).alias("_b")
+    ).agg(
+        F.count(F.lit(1)).alias("_qc"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_pc"),
+    )
+    tot = counts.agg(
+        F.sum("_qc").alias("_qt"), F.sum("_pc").alias("_pt")
+    )
+
+    def _lr_micro(num: Column, den: Column) -> Column:
+        return F.round(
+            F.log(num.cast("double") / den.cast("double")) * 1_000_000, 0
+        ).cast("long")
+
+    bl = F.lit(n_buckets)
+    ratio_rows = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            (
+                _lr_micro(F.col("_pc") + 1, F.col("_pt") + bl)
+                - _lr_micro(F.col("_qc") + 1, F.col("_qt") + bl)
+            ).alias("_r"),
+            (
+                _lr_micro(F.lit(1), F.col("_pt") + bl)
+                - _lr_micro(F.lit(1), F.col("_qt") + bl)
+            ).alias("_floor"),
+        )
+        .collect()
+    )
+    to_score = docs if score is None else score
+    if not ratio_rows:
+        # degenerate fit corpus (no rows at all): keep the schema,
+        # never build an empty map literal (the map<null,null> lesson)
+        return to_score.select(
+            "*", F.lit(0).cast("long").alias("dsir_weight_micro")
+        )
+    floor_micro = int(ratio_rows[0]._floor)
+    entries = ",".join(
+        f"{int(r._b)}L,{int(r._r)}L" for r in sorted(ratio_rows, key=lambda r: r._b)
+    )
+    rmap = F.expr(f"map({entries})")
+    weight = F.aggregate(
+        F.col("_grams"),
+        F.lit(0).cast("long"),
+        lambda acc, gr: acc
+        + F.coalesce(
+            F.element_at(rmap, hash_bucket(gr, seed, n_buckets)),
+            F.lit(floor_micro),
+        ),
+    )
+    return (
+        to_score.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("_grams", _dsir_grams(F.col("_toks")))
+        .withColumn("dsir_weight_micro", weight)
+        .drop("_toks", "_grams")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    *,
+    budget: int,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``budget`` documents by DSIR importance weight (ties broken
+    by ``id_col`` ascending) — the deterministic selection variant:
+    DSIR proper resamples with Gumbel noise, which no two engines
+    reproduce; ranking by the same weights keeps the estimator and
+    makes membership a pure function of the corpus (the hash-rank
+    discipline every sampler here follows). Scale shape: the weight
+    projection (see :func:`dsir_weights`) + ONE TakeOrdered — partial
+    per-partition top-k, never a global sort."""
+    w = dsir_weights(
+        docs,
+        target,
+        n_buckets=n_buckets,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return w.orderBy(
+        F.col("dsir_weight_micro").desc(), F.col(id_col)
+    ).limit(int(budget))

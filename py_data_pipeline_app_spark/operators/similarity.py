@@ -1049,6 +1049,91 @@ def cluster_profile(
     )
 
 
+MAX_DECONTAMINATION_BENCHMARK = 4096
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag every corpus row whose
+    embedding sits within ``threshold`` cosine of ANY benchmark
+    vector. The n-gram passes (``benchmark_decontamination``,
+    ``cross_corpus_decontamination``) catch verbatim and token-level
+    paraphrase leakage; this is the third rung — a reworded eval
+    question shares no 5-gram and little trigram mass with its source
+    but its embedding barely moves, which is how modern decontamination
+    audits (e.g. the embedding-similarity checks in GPT-4/Llama eval
+    cards) define contamination.
+
+    Returns (id, nearest_benchmark_id, benchmark_cos, kept): the
+    nearest benchmark vector (9dp-rounded cosine, ties to the LOWEST
+    benchmark id), and kept = cos < threshold. Scoring a corpus row
+    needs the full benchmark sweep, so the max is as informative as
+    any single hit — and the argmax gives the audit trail (which eval
+    question leaked).
+
+    Scale shape: benchmark sets are small by nature (an eval suite is
+    10²-10⁴ rows) — the vectors collect ONCE and ride the plan as one
+    parsed matrix literal (:func:`float_matrix_lit`), so scoring is a
+    pure zero-shuffle projection at scan cost over a corpus of any
+    size: the corpus never shuffles and never crosses an Exchange
+    (the ``_assign_to_centroids`` plan shape). Guarded at
+    ``MAX_DECONTAMINATION_BENCHMARK`` rows — past that the literal
+    stops being free; block with :func:`hyperplane_lsh_near_dup_pairs`
+    over the union instead (tag sides, keep cross-side pairs).
+    """
+    rows = sorted(
+        benchmark.select(
+            F.col(id_col).alias("bid"), F.col(vec_col).alias("bvec")
+        ).collect(),
+        key=lambda r: r.bid,
+    )
+    if len(rows) > MAX_DECONTAMINATION_BENCHMARK:
+        raise ValueError(
+            f"benchmark set has {len(rows)} rows; the literal-fold plan is "
+            f"sized for <= {MAX_DECONTAMINATION_BENCHMARK}. For large "
+            "benchmark corpora block with hyperplane_lsh_near_dup_pairs "
+            "over the tagged union instead."
+        )
+    if not rows:
+        # nothing to leak against — everything is kept, with the same
+        # schema (the empty-map-literal lesson: degenerate inputs must
+        # not fail analysis)
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("nearest_benchmark_id"),
+            F.lit(None).cast("double").alias("benchmark_cos"),
+            F.lit(True).alias("kept"),
+        )
+    bids = F.lit([int(r.bid) for r in rows])
+    bvecs = float_matrix_lit([[float(x) for x in r.bvec] for r in rows])
+    vec = F.col(vec_col)
+    # argmax on the ROUNDED cosine (ties to lowest benchmark id via
+    # -position over the id-sorted literal) so both engines agree on
+    # the argmax itself, not just the winning score — the
+    # top_revenue_suppliers rule
+    scored = F.transform(
+        bvecs,
+        lambda bv, i: F.struct(
+            F.round(cosine(vec, bv), 9).alias("csim"), (-i).alias("neg_pos")
+        ),
+    )
+    best = F.array_max(scored)
+    return corpus.select(
+        F.col(id_col),
+        F.element_at(bids, (-best["neg_pos"] + 1).cast("int"))
+        .cast("long")
+        .alias("nearest_benchmark_id"),
+        best["csim"].alias("benchmark_cos"),
+        (best["csim"] < F.lit(float(threshold))).alias("kept"),
+    )
+
+
 def build_semantic_index(
     corpus: DataFrame,
     index_path: str,

@@ -1222,6 +1222,57 @@ def embedding_near_dup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benchmark_semantic_decontamination",
+    f"""
+    WITH pc AS (SELECT * FROM {_PLANTED_CORPUS_SQL} pc0),
+    b AS (SELECT vec_id AS bid, embedding AS bvec FROM pc WHERE vec_id < 16),
+    c AS (SELECT vec_id, embedding FROM pc WHERE vec_id >= 16)
+    SELECT vec_id, nearest_benchmark_id, benchmark_cos,
+           benchmark_cos < 0.9 AS kept
+    FROM (
+      SELECT c.vec_id, b.bid AS nearest_benchmark_id,
+             round({_sql_cos('c.embedding', 'b.bvec')}, 9) AS benchmark_cos,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY round({_sql_cos('c.embedding', 'b.bvec')}, 9) DESC,
+                        b.bid
+             ) AS rn
+      FROM c CROSS JOIN b
+    ) WHERE rn = 1
+    """,
+)
+def benchmark_semantic_decontamination_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination
+    (operators/similarity.embedding_decontamination): the third
+    decontamination rung after verbatim 5-grams
+    (benchmark_decontamination) and trigram Jaccard
+    (cross_corpus_decontamination) — a reworded eval question shares
+    no n-gram mass with its source but its embedding barely moves.
+    Every corpus vector gets its nearest benchmark vector (9dp cosine,
+    ties to the lowest benchmark id) and kept = cos < 0.9. Benchmark =
+    vec_ids < 16; the corpora have no natural high-cosine pairs, so
+    the query reuses the planted perturbed copies
+    (_with_planted_near_dups) — the planted twins of benchmark members
+    land ≈ 0.975 and are flagged, every other row (including planted
+    twins of NON-benchmark vectors) stays kept, so both branches are
+    value-checked. Scale shape: the benchmark set collects once and
+    rides the plan as a matrix literal; scoring is a zero-shuffle
+    projection at scan cost — the corpus never crosses an Exchange."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    planted = _with_planted_near_dups(load_table(spark, "embeddings", sf_dir))
+    return embedding_decontamination(
+        planted.filter(F.col("vec_id") >= 16),
+        planted.filter(F.col("vec_id") < 16),
+        threshold=0.9,
+    )
+
+
 def _semantic_dedup_oracle(
     n_centroids: int = 16, threshold: float = 0.9, cents_where: str = ""
 ) -> str:
@@ -3639,6 +3690,71 @@ def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return source_temperature_mix(docs, total_target=200)
+
+
+@register(
+    "dsir_importance_selection",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_WS} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               ws,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             )) AS gram
+      FROM toks
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             {sql_hash_bucket('gram', 'dsir', 1024)} AS b
+      FROM grams
+    ),
+    counts AS (
+      SELECT b, count(*) AS qc,
+             count(*) FILTER (WHERE lang = 'en') AS pc
+      FROM bk GROUP BY b
+    ),
+    tots AS (SELECT sum(qc) AS qt, sum(pc) AS pt FROM counts),
+    ratios AS (
+      SELECT b,
+             CAST(round(ln(CAST(pc + 1 AS DOUBLE)
+                           / CAST(pt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(qc + 1 AS DOUBLE)
+                           / CAST(qt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS r
+      FROM counts, tots
+    ),
+    w AS (
+      SELECT doc_id, CAST(sum(r) AS BIGINT) AS dsir_weight_micro
+      FROM bk JOIN ratios USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, w.dsir_weight_micro
+    FROM w JOIN documents d USING (doc_id)
+    ORDER BY w.dsir_weight_micro DESC, d.doc_id
+    LIMIT 100
+    """,
+)
+def dsir_importance_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023; operators/sampling.dsir_select): fit hashed-ngram
+    (unigram+bigram, 1024 buckets) bag models over the TARGET slice
+    (here lang='en' — in production a trusted high-quality corpus) and
+    over the raw corpus, score every document by its summed bucket
+    log-ratios, keep the top 100 (ties by doc_id). The published
+    scalable alternative to classifier-based quality selection. Each
+    bucket's log-ratio is rounded to micro BIGINT engine-side, so the
+    per-doc sum is integer-exact and order-free — the full selection
+    value-hashes. Scale shape: one bounded-key groupBy (≤ 1024 keys,
+    map-side combine) to fit, then scoring is a zero-shuffle map-
+    literal fold at scan cost + one TakeOrdered for the budget."""
+    from py_data_pipeline_app_spark.operators.sampling import dsir_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_select(docs, F.col("lang") == "en", budget=100).select(
+        "doc_id", "lang", "source", "dsir_weight_micro"
+    )
 
 
 @register(

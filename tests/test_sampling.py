@@ -312,3 +312,111 @@ def test_token_budget_mix_respects_quotas_and_flattens(spark):
     kept_tail = {d for d, s, *_ in got if s == "tail"}
     want_tail = set(order[: quotas["tail"] // 10])  # 10 tokens per doc
     assert kept_tail == want_tail
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+from py_data_pipeline_app_spark.functions.frames import local_rows_df  # noqa: E402
+from py_data_pipeline_app_spark.operators.sampling import (  # noqa: E402
+    dsir_select,
+    dsir_weights,
+)
+
+_DSIR_SCHEMA = "doc_id long, lang string, text string"
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    """Target slice talks about telescopes; the raw corpus is mostly
+    cooking. A held-out telescope doc should outscore a cooking doc."""
+    rows = [
+        (0, "tgt", "telescope mirror lens optics star telescope lens"),
+        (1, "tgt", "star optics mirror telescope focal lens star"),
+        (2, "raw", "flour butter sugar oven dough flour butter"),
+        (3, "raw", "oven sugar dough butter flour oven sugar"),
+        (4, "raw", "telescope optics star lens mirror focal optics"),
+        (5, "raw", "dough oven flour sugar butter dough oven"),
+    ]
+    return local_rows_df(spark, _DSIR_SCHEMA, rows)
+
+
+def test_dsir_target_affinity(dsir_docs):
+    w = dsir_weights(dsir_docs, F.col("lang") == "tgt")
+    got = {r.doc_id: r.dsir_weight_micro for r in w.collect()}
+    # the telescope doc outside the target slice outscores every
+    # cooking doc — the estimator generalizes past the literal slice
+    assert got[4] > max(got[2], got[3], got[5])
+    # and the cooking docs score negative (anti-target)
+    assert got[2] < 0 and got[5] < 0
+
+
+def test_dsir_weights_stable_under_repartition(dsir_docs):
+    a = dsir_weights(dsir_docs, F.col("lang") == "tgt").select(
+        "doc_id", "dsir_weight_micro"
+    )
+    b = dsir_weights(
+        dsir_docs.repartition(5, "text"), F.col("lang") == "tgt"
+    ).select("doc_id", "dsir_weight_micro")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dsir_select_is_topk_of_weights(dsir_docs):
+    sel = dsir_select(dsir_docs, F.col("lang") == "tgt", budget=3)
+    w = dsir_weights(dsir_docs, F.col("lang") == "tgt")
+    expect = [
+        r.doc_id
+        for r in sorted(
+            w.collect(), key=lambda r: (-r.dsir_weight_micro, r.doc_id)
+        )[:3]
+    ]
+    assert sorted(r.doc_id for r in sel.collect()) == sorted(expect)
+    assert sel.count() == 3
+
+
+def test_dsir_frozen_fit_scores_new_batch(spark, dsir_docs):
+    """score= scores a NEW frame against the frozen fit: seen docs get
+    the identical weight the in-corpus path gives; fully-unseen docs
+    hit the add-one floor (per-gram constant, so two different unseen
+    texts with the same gram count tie exactly)."""
+    seen = dsir_weights(dsir_docs, F.col("lang") == "tgt").collect()
+    seen_w = {r.doc_id: r.dsir_weight_micro for r in seen}
+    batch = local_rows_df(
+        spark,
+        _DSIR_SCHEMA,
+        [
+            (0, "tgt", "telescope mirror lens optics star telescope lens"),
+            (100, "raw", "zyx wvu tsr qpo nml kji hgf"),
+            (101, "raw", "abc def ghi jkl mno pqr stu"),
+        ],
+    )
+    scored = {
+        r.doc_id: r.dsir_weight_micro
+        for r in dsir_weights(
+            dsir_docs, F.col("lang") == "tgt", score=batch
+        ).collect()
+    }
+    assert scored[0] == seen_w[0]
+    # both unseen docs: 7 unigrams + 6 bigrams, all floor-valued
+    assert scored[100] == scored[101]
+
+
+def test_dsir_empty_corpus_keeps_schema(spark):
+    empty = local_rows_df(spark, _DSIR_SCHEMA, [])
+    out = dsir_weights(empty, F.col("lang") == "tgt")
+    assert out.columns == ["doc_id", "lang", "text", "dsir_weight_micro"]
+    assert out.count() == 0
+
+
+def test_dsir_scoring_is_zero_shuffle(dsir_docs):
+    """The fit pays its one bounded-key groupBy at build time; the
+    RETURNED scoring frame must be a pure projection — no Exchange."""
+    import contextlib
+    import io
+
+    out = dsir_weights(dsir_docs, F.col("lang") == "tgt")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    assert "Exchange" not in buf.getvalue()

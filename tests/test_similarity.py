@@ -888,3 +888,118 @@ def test_ivf_compact_recovery_consumes_manifested_deletes(spark, emb, tmp_path):
     assert sorted(
         map(tuple, ivf_topk_indexed(spark, index, queries, k=5, nprobe=3).collect())
     ) == want
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _unit(dim, axis):
+    v = [0.0] * dim
+    v[axis] = 1.0
+    return v
+
+
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    """4-dim toy space: benchmark on axes 0 and 1; corpus holds an
+    exact clone of benchmark 0, a near-clone of benchmark 1, and an
+    orthogonal axis-2 vector."""
+    bench = local_rows_df(
+        spark,
+        "vec_id long, embedding array<double>",
+        [(3, _unit(4, 0)), (7, _unit(4, 1))],
+    )
+    corpus = local_rows_df(
+        spark,
+        "vec_id long, embedding array<double>",
+        [
+            (100, _unit(4, 0)),                      # clone of bid 3
+            (101, [0.05, 1.0, 0.05, 0.0]),           # near bid 7
+            (102, _unit(4, 2)),                      # orthogonal
+        ],
+    )
+    return corpus, bench
+
+
+def test_decontamination_flags_clones_keeps_orthogonal(decon_frames):
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    corpus, bench = decon_frames
+    got = {
+        r.vec_id: r
+        for r in embedding_decontamination(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert not got[100].kept and got[100].nearest_benchmark_id == 3
+    assert got[100].benchmark_cos == 1.0
+    assert not got[101].kept and got[101].nearest_benchmark_id == 7
+    assert got[102].kept and got[102].benchmark_cos == 0.0
+
+
+def test_decontamination_ties_break_to_lowest_benchmark_id(spark):
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    # two IDENTICAL benchmark vectors: the argmax must name the lower
+    # id regardless of collection order (the oracle's ORDER BY bid)
+    bench = local_rows_df(
+        spark,
+        "vec_id long, embedding array<double>",
+        [(9, _unit(4, 0)), (2, _unit(4, 0))],
+    )
+    corpus = local_rows_df(
+        spark, "vec_id long, embedding array<double>", [(50, _unit(4, 0))]
+    )
+    row = embedding_decontamination(corpus, bench, threshold=0.9).collect()[0]
+    assert row.nearest_benchmark_id == 2 and not row.kept
+
+
+def test_decontamination_empty_benchmark_keeps_everything(decon_frames):
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    corpus, bench = decon_frames
+    out = embedding_decontamination(
+        corpus, bench.filter(F.col("vec_id") < 0), threshold=0.9
+    )
+    rows = out.collect()
+    assert len(rows) == 3 and all(r.kept for r in rows)
+    assert out.columns == [
+        "vec_id",
+        "nearest_benchmark_id",
+        "benchmark_cos",
+        "kept",
+    ]
+
+
+def test_decontamination_benchmark_size_guard(decon_frames, monkeypatch):
+    from py_data_pipeline_app_spark.operators import similarity as sim
+
+    corpus, bench = decon_frames
+    monkeypatch.setattr(sim, "MAX_DECONTAMINATION_BENCHMARK", 1)
+    with pytest.raises(ValueError, match="hyperplane_lsh"):
+        sim.embedding_decontamination(corpus, bench, threshold=0.9)
+
+
+def test_decontamination_is_zero_shuffle(decon_frames):
+    import contextlib
+    import io
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    corpus, bench = decon_frames
+    out = embedding_decontamination(corpus, bench, threshold=0.9)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
