@@ -102,6 +102,8 @@ ALIASES = {
     "benchmark_decontamination": "decontam",
     "benchmark_span_scrub": "span_scrub",
     "cross_corpus_decontamination": "xdecontam",
+    "benchmark_semantic_decontamination": "sem_decontam",
+    "dsir_importance_selection": "dsir",
     "sequence_packing": "seqpack",
     "training_set_curation_v2": "curation2",
     "training_set_curation_semantic": "curation_sem",

@@ -102,6 +102,8 @@ FAMILY = [
     "benchmark_decontamination",
     "benchmark_span_scrub",
     "cross_corpus_decontamination",
+    "benchmark_semantic_decontamination",
+    "dsir_importance_selection",
     "sequence_packing",
     "training_set_curation",
     "training_set_curation_leakage_safe",
