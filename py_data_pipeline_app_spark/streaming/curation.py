@@ -72,12 +72,27 @@ def curation_fold(
     bigram_lm: str | None = None,
     lm_lam: float = 0.7,
     lm_tail_cutoff: float = 4.0,
+    decon_benchmark: str | None = None,
+    decon_threshold: float = 0.9,
 ) -> None:
     """Fold ONE doc(+embedding) micro-batch through span dedup →
     semantic verdict → quality gate → hash split, landing the curated
     rows under ``out/batch-{id}``. Exposed module-level (the stream's
     sink calls exactly this) so replay semantics are testable without
     a checkpoint dance.
+
+    ``decon_benchmark`` (a parquet directory of benchmark rows under
+    the same ``id_col``/``vec_col`` names) adds the EMBEDDING-space
+    decontamination gate: every batch's embedded rows score against the frozen
+    benchmark set (``operators.similarity.embedding_decontamination``,
+    dropped at cosine ≥ ``decon_threshold``) and land a ``decon_kept``
+    flag folded into ``retained`` — never train on rows that are a
+    paraphrase of the eval suite. Rows without an embedding pass
+    kept=TRUE (the semantic gate's honest default). Per-batch cost is
+    one small parquet read + one zero-shuffle scoring projection — the
+    same cost class as the frozen-LM gate. Like that gate the verdict
+    is batch-independent (frozen benchmark), so it is fold-final: a
+    reorder can never flip it.
 
     ``bigram_lm`` (a directory trained by
     ``operators.curation.bigram_lm_train``) adds the CCNet perplexity
@@ -116,7 +131,8 @@ def curation_fold(
 
     Landed columns: (id, source, split, sem_kept, good, n_tokens,
     text_deduped, n_chunks, n_kept_chunks, retained), plus ``lm_kept``
-    when the LM gate is on — ALL batch rows
+    when the LM gate is on and ``decon_kept`` when the
+    decontamination gate is on — ALL batch rows
     land with their flags, so drop-reason accounting
     (:func:`curation_accounting`) and the shard-ready retained subset
     (:func:`curated_corpus`) are both one filter away, and a takedown
@@ -259,6 +275,28 @@ def curation_fold(
             .drop("_lm_kept")
         )
         gate = gate & F.col("lm_kept")
+    if decon_benchmark is not None:
+        from py_data_pipeline_app_spark.operators.similarity import (
+            embedding_decontamination,
+        )
+
+        decon = embedding_decontamination(
+            emb_rows,
+            spark.read.parquet(decon_benchmark),
+            threshold=decon_threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select(F.col(id_col), F.col("kept").alias("_decon_kept"))
+        labeled = (
+            labeled.join(F.broadcast(decon), id_col, "left")
+            # embedding-less rows cannot be checked — kept by default,
+            # the semantic gate's honest-default precedent
+            .withColumn(
+                "decon_kept", F.coalesce(F.col("_decon_kept"), F.lit(True))
+            )
+            .drop("_decon_kept")
+        )
+        gate = gate & F.col("decon_kept")
     out = labeled.join(
         rebuilt.select(
             F.col(id_col),
@@ -289,6 +327,8 @@ def start_curation_stream(
     bigram_lm: str | None = None,
     lm_lam: float = 0.7,
     lm_tail_cutoff: float = 4.0,
+    decon_benchmark: str | None = None,
+    decon_threshold: float = 0.9,
     compact_every: int | None = 16,
     shards_every: int | None = None,
     n_shards: int = 8,
@@ -351,6 +391,8 @@ def start_curation_stream(
             bigram_lm=bigram_lm,
             lm_lam=lm_lam,
             lm_tail_cutoff=lm_tail_cutoff,
+            decon_benchmark=decon_benchmark,
+            decon_threshold=decon_threshold,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
@@ -450,6 +492,9 @@ def curated_corpus_current(
     gate = F.col("sem_kept") & F.col("good")
     if "lm_kept" in rows.columns:
         gate = gate & F.col("lm_kept")
+    if "decon_kept" in rows.columns:
+        # frozen benchmark — fold-final like the LM verdict
+        gate = gate & F.col("decon_kept")
     return (
         rows.join(state, id_col, "left")
         .withColumn("sem_kept", F.coalesce(F.col("_kept_now"), F.col("sem_kept")))
@@ -465,9 +510,10 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
     (``training_set_curation_semantic``) reports, for parity checks
     and mixture planning. An LM-gated stream (``bigram_lm``) adds an
     ``n_dropped_lm`` bucket (rows the semantic and quality gates
-    passed but the perplexity filter dropped) and folds the verdict
-    into ``n_retained``/``retained_tokens``; non-gated streams keep
-    the original 6-column schema."""
+    passed but the perplexity filter dropped); a decontamination-gated
+    stream (``decon_benchmark``) adds ``n_dropped_decon`` the same
+    way. Gated verdicts fold into ``n_retained``/``retained_tokens``;
+    non-gated streams keep the original 6-column schema."""
     rows = curated_batches(spark, out_path)
     kept_good = F.col("sem_kept") & F.col("good")
     aggs = [
@@ -487,6 +533,15 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
             ).alias("n_dropped_lm")
         )
         kept_good = kept_good & F.col("lm_kept")
+    if "decon_kept" in rows.columns:
+        # decontamination-gated stream: bucket counts rows every
+        # earlier gate passed but the benchmark-similarity check caught
+        aggs.append(
+            F.sum(
+                F.when(kept_good & ~F.col("decon_kept"), 1).otherwise(0)
+            ).alias("n_dropped_decon")
+        )
+        kept_good = kept_good & F.col("decon_kept")
     return rows.groupBy("split", "source").agg(
         F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
         *aggs,

@@ -530,3 +530,79 @@ def test_lm_gate_in_front_door(spark, corpus, tmp_path):
         r.doc_id for r in curated_corpus_current(spark, out, state).collect()
     }
     assert cur == {r.doc_id for r in rows if r.retained}
+
+
+def test_decon_gate_in_front_door(spark, corpus, tmp_path):
+    """The embedding-space decontamination gate (round 12): folds score
+    every batch's embedded rows against a frozen benchmark parquet,
+    land a ``decon_kept`` flag folded into ``retained``, the
+    accounting grows an ``n_dropped_decon`` bucket, and
+    ``curated_corpus_current`` honors the verdict (fold-final — the
+    benchmark is frozen, a reorder can never flip it). Benchmark =
+    three streamed rows' own embeddings, so exactly those rows are
+    self-similar at cosine 1.0 and must drop; every other embedded row
+    sits far below 0.9 (the corpora have no natural high-cosine
+    pairs), and embedding-less rows default kept."""
+    from py_data_pipeline_app_spark.streaming.curation import (
+        curated_corpus_current,
+    )
+
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    t0, t1 = n // 3, 2 * n // 3
+    seed = corpus.filter(F.col("doc_id") < t0)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    bench_path = str(tmp_path / "benchmark")
+    build_semantic_index(
+        seed.filter(F.col("embedding").isNotNull()).select(
+            "doc_id", "embedding"
+        ),
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=K,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    streamed_df = corpus.filter(F.col("doc_id") >= t0)
+    leaked = [
+        r.doc_id
+        for r in streamed_df.filter(F.col("embedding").isNotNull())
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ]
+    streamed_df.filter(F.col("doc_id").isin(leaked)).select(
+        "doc_id", "embedding"
+    ).write.parquet(bench_path)
+
+    for i, (lo, hi) in enumerate([(t0, t1), (t1, n)]):
+        batch = corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        curation_fold(
+            spark, state, out, batch, i, decon_benchmark=bench_path
+        )
+
+    landed = curated_batches(spark, out)
+    assert "decon_kept" in landed.columns
+    rows = landed.collect()
+    assert {r.doc_id for r in rows if not r.decon_kept} == set(leaked)
+    assert all(
+        r.retained == (r.sem_kept and r.good and r.decon_kept)
+        for r in rows
+    )
+
+    acct = curation_accounting(spark, out)
+    assert "n_dropped_decon" in acct.columns
+    tot = acct.agg(
+        F.sum("n_retained"), F.sum("n_dropped_semantic"),
+        F.sum("n_dropped_quality"), F.sum("n_dropped_decon"),
+    ).first()
+    assert sum(tot) == len(rows) and tot[3] > 0
+
+    cur = {
+        r.doc_id for r in curated_corpus_current(spark, out, state).collect()
+    }
+    assert cur == {r.doc_id for r in rows if r.retained}
+    assert not cur & set(leaked)
