@@ -3758,6 +3758,79 @@ def dsir_importance_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_frozen_fit",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_WS} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               ws,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             )) AS gram
+      FROM toks
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             {sql_hash_bucket('gram', 'dsir', 1024)} AS b
+      FROM grams
+    ),
+    counts AS (
+      SELECT b, count(*) AS qc,
+             count(*) FILTER (WHERE lang = 'en') AS pc
+      FROM bk WHERE doc_id % 2 = 0 GROUP BY b
+    ),
+    tots AS (SELECT sum(qc) AS qt, sum(pc) AS pt FROM counts),
+    ratios AS (
+      SELECT b,
+             CAST(round(ln(CAST(pc + 1 AS DOUBLE)
+                           / CAST(pt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(qc + 1 AS DOUBLE)
+                           / CAST(qt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS r
+      FROM counts, tots
+    ),
+    fl AS (
+      SELECT CAST(round(ln(CAST(1 AS DOUBLE)
+                           / CAST(pt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(1 AS DOUBLE)
+                           / CAST(qt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS floor_r
+      FROM tots
+    ),
+    w AS (
+      SELECT bk.doc_id,
+             CAST(sum(COALESCE(ratios.r, fl.floor_r)) AS BIGINT)
+               AS dsir_weight_micro
+      FROM bk LEFT JOIN ratios USING (b) CROSS JOIN fl
+      WHERE bk.doc_id % 2 = 1 GROUP BY bk.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, w.dsir_weight_micro
+    FROM w JOIN documents d USING (doc_id)
+    """,
+    retired=True,
+)
+def dsir_frozen_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR frozen-fit batch scoring (retired tier from birth — the
+    driver row is dsir_importance_selection): fit the hashed-ngram
+    models ONCE on the even-doc_id half, score the odd half against
+    the frozen fit — the deployment shape (fit on the reference
+    corpus, score each incoming crawl batch), and the path that
+    exercises the add-one FLOOR ratio cross-engine: odd-half grams the
+    fit never counted take round(ln 1/(pt+B)) − round(ln 1/(qt+B))
+    micro, value-checked by the oracle's LEFT JOIN + COALESCE."""
+    from py_data_pipeline_app_spark.operators.sampling import dsir_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_weights(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        F.col("lang") == "en",
+        score=docs.filter(F.col("doc_id") % 2 == 1),
+    ).select("doc_id", "lang", "source", "dsir_weight_micro")
+
+
+@register(
     "source_token_budget_mix",
     f"""
     WITH d AS (
