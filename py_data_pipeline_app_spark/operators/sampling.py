@@ -500,7 +500,12 @@ def dsir_select(
     makes membership a pure function of the corpus (the hash-rank
     discipline every sampler here follows). Scale shape: the weight
     projection (see :func:`dsir_weights`) + ONE TakeOrdered — partial
-    per-partition top-k, never a global sort."""
+    per-partition top-k, never a global sort. TakeOrdered merges k
+    rows per partition ON THE DRIVER, so it is right up to ~10⁶-row
+    budgets; at trainer-scale budgets derive the weight CUTOFF once
+    instead (``approx_percentile`` over ``dsir_weights`` at
+    1 − budget/N) and keep rows by a plain ``filter`` — selection
+    back at scan cost, with only the boundary quantile approximate."""
     w = dsir_weights(
         docs,
         target,

@@ -420,3 +420,84 @@ def test_dsir_scoring_is_zero_shuffle(dsir_docs):
     with contextlib.redirect_stdout(buf):
         out.explain(mode="formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+# Pure-Python DSIR reference: same md5 bucketing, same add-one
+# smoothing, same micro rounding (Spark round() is HALF_UP on the
+# shortest-decimal repr — Python's round() is HALF_EVEN, so the
+# reference formats through repr-equivalent decimal rounding the way
+# both engines do; ln micro values land on .5 boundaries with
+# probability ~0, which the engines' green cross-checks already lean
+# on).
+def _py_dsir_weights(docs, target_langs, n_buckets=1024, seed="dsir"):
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    def bucket(gram):
+        h = hashlib.md5(f"{gram}:{seed}".encode()).hexdigest()[:15]
+        return int(h, 16) % n_buckets
+
+    def grams_of(text):
+        ws = text.strip().split() if text.strip() else [""]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def micro(x):
+        return int(
+            Decimal(repr(math.log(x) * 1_000_000)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    qc, pc = {}, {}
+    for _, lang, text in docs:
+        for g in grams_of(text):
+            b = bucket(g)
+            qc[b] = qc.get(b, 0) + 1
+            if lang in target_langs:
+                pc[b] = pc.get(b, 0) + 1
+    qt, pt = sum(qc.values()), sum(pc.values())
+    r = {
+        b: micro((pc.get(b, 0) + 1) / (pt + n_buckets))
+        - micro((qc[b] + 1) / (qt + n_buckets))
+        for b in qc
+    }
+    return {
+        doc_id: sum(r[bucket(g)] for g in grams_of(text))
+        for doc_id, _, text in docs
+    }
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x2FF
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["tgt", "raw"]),
+            st.lists(_WORD, min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dsir_matches_python_reference(spark, rows):
+    docs = [
+        (i, lang, " ".join(words)) for i, (lang, words) in enumerate(rows)
+    ]
+    df = local_rows_df(spark, _DSIR_SCHEMA, docs)
+    got = {
+        r.doc_id: r.dsir_weight_micro
+        for r in dsir_weights(df, F.col("lang") == "tgt").collect()
+    }
+    assert got == _py_dsir_weights(docs, {"tgt"})
