@@ -1,0 +1,242 @@
+"""100x scale rehearsal — the SECOND measured decade for the
+documents/embeddings families (sf10-equivalent: 500k documents / 200k
+embeddings manufactured from sf0.1, the same shard-isomorphic
+construction as tools/scale_rehearsal.py's 10x build).
+
+Two decades beat one: a family whose 10x ratio looks flat can still
+hide a quadratic term that only dominates at the next decade (the
+fixed-band LSH config is the canonical example — its random-collision
+candidate mass grows with N², which is exactly why it is EXCLUDED
+here and the corpus-sized `lsh_config_for` banding is measured
+instead; same for oracle-pinned k=16/k=128 SemDeDup vs the scaled-k
+variant). Every row in this artifact is the configuration the repo
+documents as the 100 TB path, at the scale where the wrong
+configuration would already be unusable.
+
+Construction deltas vs the 10x build:
+
+- documents x100: token-suffix copies exactly as the 10x build
+  ("t" -> "t" + f"x{k}"), 100 disjoint vocabulary shards.
+- embeddings x100: the 10x build's cyclic +7-rotation powers repeat
+  with period 64, so copies k and k+64 would be bit-identical vectors
+  (manufactured exact dups at cosine 1.0). Copies k >= 64 therefore
+  additionally flip the sign of every other coordinate — a diagonal
+  orthogonal matrix, so within-copy cosines stay bit-identical to
+  sf0.1 while cross-copy vectors decorrelate like generic rotations.
+
+Run:  python tools/scale_rehearsal_x100.py          # default subset
+      python tools/scale_rehearsal_x100.py name...  # chosen queries
+Writes BENCH_sf10.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_BASE = "/root/testdata/sf0.1"
+X100_DIR = "/tmp/sf10_rehearsal"
+SCALE = 100
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_sf10.json",
+)
+
+# documents/embeddings-family queries whose registered configuration
+# IS the documented scale path (pure projections, bounded-key aggs,
+# posting lists, persisted partition-pruned indexes)
+SUBSET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "chunk_dedup_rebuild",
+    "text_quality",
+    "text_lang_id",
+    "text_perplexity_frozen_lm",
+    "source_temperature_mix",
+    "source_cap_sample",
+    "dsir_importance_selection",
+    "benchmark_semantic_decontamination",
+    "similarity_topk",
+    "similarity_topk_ivf_indexed",
+    "similarity_topk_ivfpq",
+    "benchmark_decontamination",
+    "sequence_packing",
+]
+
+
+def build_x100(spark) -> None:
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(X100_DIR, "_SUCCESS_REHEARSAL100")
+    if os.path.exists(marker):
+        return
+    docs = spark.read.parquet(f"{SF_BASE}/documents.parquet")
+    n_docs = docs.count()
+    out = None
+    for k in range(SCALE):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+        if k > 0:
+            suffixed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit(f"x{k}")),
+                ),
+                " ",
+            )
+            c = c.withColumn("text", suffixed)
+        out = c if out is None else out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{X100_DIR}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SF_BASE}/embeddings.parquet")
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    eout = None
+    for k in range(SCALE):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_vec))
+        shift = (7 * k) % dim
+        if shift:
+            rotated = F.concat(
+                F.slice(F.col("embedding"), shift + 1, dim - shift),
+                F.slice(F.col("embedding"), 1, shift),
+            )
+            c = c.withColumn("embedding", rotated)
+        if k >= dim:
+            # second orbit of the rotation group: compose with the
+            # alternating-sign diagonal (orthogonal), else copy k and
+            # k-64 would be identical vectors (see module docstring)
+            c = c.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.when(i % 2 == 1, -x).otherwise(x),
+                ),
+            )
+        eout = c if eout is None else eout.unionByName(c)
+    eout.repartition(32).write.mode("overwrite").parquet(
+        f"{X100_DIR}/embeddings.parquet"
+    )
+    open(marker, "w").write("ok")
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from py_data_pipeline_app_spark.session import get_spark
+    from py_data_pipeline_app_spark.plans.queries import RETIRED_QUERIES
+
+    spark = get_spark("scale-rehearsal-x100")
+    names = sys.argv[1:] or SUBSET
+    build_x100(spark)
+    qs = {**RETIRED_QUERIES, **entry_mod.queries()}
+    spark.read.parquet(f"{SF_BASE}/documents.parquet").count()  # warmup
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        t_base = time_query(fn, spark, SF_BASE)
+        t_x100 = time_query(fn, spark, X100_DIR)
+        ratio = round(t_x100 / t_base, 2) if t_base > 0 else None
+        results[name] = {
+            "sf0.1_sec": t_base,
+            "x100_sec": t_x100,
+            "ratio": ratio,
+        }
+        flag = "  <-- SUPERLINEAR" if ratio and ratio > 120 else ""
+        print(
+            f"{name}: {t_base:.2f}s -> {t_x100:.2f}s (x{ratio}){flag}",
+            flush=True,
+        )
+
+    # the adaptive configurations that ARE the documented 100x path
+    # for the two families whose registered configs are oracle-pinned
+    followups: dict[str, dict] = {}
+    from py_data_pipeline_app_spark.operators.similarity import (
+        hyperplane_lsh_near_dup_pairs,
+        lsh_config_for,
+        semantic_dedup,
+    )
+    from py_data_pipeline_app_spark.plans.queries import (
+        _with_planted_near_dups,
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def lsh_scaled(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = 2 * emb.count()
+        n_planes, bands = lsh_config_for(n, 0.9, target_recall=0.75)
+        return hyperplane_lsh_near_dup_pairs(
+            _with_planted_near_dups(emb),
+            dim=64,
+            threshold=0.9,
+            n_planes=n_planes,
+            bands=bands,
+        )
+
+    t_base = time_query(lsh_scaled, spark, SF_BASE)
+    t_x100 = time_query(lsh_scaled, spark, X100_DIR)
+    followups["lsh_scaled"] = {
+        "what": "embedding_near_dup with lsh_config_for-sized bands — the "
+        "registered fixed 8-bit-band config admits ~1.6% of random pairs "
+        "(quadratic candidate mass) and is NOT the 100x path",
+        "sf0.1_sec": t_base,
+        "x100_sec": t_x100,
+        "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
+    }
+    print(f"followup lsh_scaled: {t_base:.2f}s -> {t_x100:.2f}s", flush=True)
+
+    def sem_scaled(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        k = max(16, emb.count() // 275)
+        return semantic_dedup(emb, n_centroids=k, threshold=0.9)
+
+    t_base = time_query(sem_scaled, spark, SF_BASE)
+    t_x100 = time_query(sem_scaled, spark, X100_DIR)
+    followups["semantic_scaled_k"] = {
+        "what": "semantic_dedup with n_centroids ~ N/275 (constant expected "
+        "cluster size) — within-cluster pair mass stays bounded as the "
+        "corpus grows; the registered k is oracle-pinned",
+        "sf0.1_sec": t_base,
+        "x100_sec": t_x100,
+        "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
+    }
+    print(
+        f"followup semantic scaled-k: {t_base:.2f}s -> {t_x100:.2f}s",
+        flush=True,
+    )
+
+    superlinear = [
+        n for n, r in results.items() if r["ratio"] and r["ratio"] > 120
+    ]
+    artifact = {
+        "metric": "scale_rehearsal_x100",
+        "base_sf": 0.1,
+        "scale_factor": SCALE,
+        "construction": "token-suffixed doc shards + dimension-rotated "
+        "(second orbit sign-flipped) embedding shards "
+        "(see tools/scale_rehearsal_x100.py docstring)",
+        "queries": results,
+        "followups": followups,
+        "superlinear": superlinear,
+    }
+    with open(OUT, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"\nwrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
