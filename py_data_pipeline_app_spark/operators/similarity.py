@@ -517,6 +517,114 @@ def _assign_to_centroids(
     )
 
 
+def _assign_to_centroids_2level(
+    corpus: DataFrame,
+    cents,
+    *,
+    n_coarse: int | None = None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Two-level (coarse→fine) variant of :func:`_assign_to_centroids`
+    — the fix the ×100 rehearsal measured the need for: with
+    k ∝ N/cluster_size (the scaled-k SemDeDup recipe), the flat
+    k-centroid fold is O(N·k) = O(N²/c) — at the 500k-embedding decade
+    it is the assignment, not the within-cluster pairs, that dominates
+    (BENCH_sf10.json ``semantic_scaled_k``). This is FAISS's IMI /
+    two-level-IVF move in DataFrame form: group the k centroids under
+    ``n_coarse ≈ √k`` coarse cells DRIVER-side (the centroid table is
+    k×dim and already collected — one numpy argmax, no jobs), then
+    each row folds over the n_coarse coarse vectors, picks its cell,
+    and folds only over that cell's member centroids via a nested
+    ragged literal — cost per row ~2√k instead of k, still ONE pure
+    zero-shuffle projection.
+
+    APPROXIMATE by construction: a row whose true nearest centroid
+    sits just across a coarse boundary lands in a neighboring cluster.
+    For SemDeDup that is benign in exactly the way that matters: a
+    near-dup PAIR (cos ≥ τ ⇒ nearly identical vectors) computes nearly
+    identical folds and co-locates with high probability (tested on
+    the planted pairs), so dedup recall survives even where absolute
+    assignment agreement does not. Not for use where the oracle pins
+    exact assignment — the value-hash surfaces keep the flat fold."""
+    import math
+
+    rows = _centroid_rows(cents)
+    k = len(rows)
+    if n_coarse is None:
+        n_coarse = max(1, int(k**0.5))
+    picks = rows[:n_coarse]  # md5-ordered sample ⇒ a random subset
+
+    # driver-side cosine in the EXACT sequential fold order the Spark
+    # :func:`cosine` fold uses (left-to-right double adds; literals
+    # round-trip via repr→parseDouble) — a numpy matmul here computes
+    # different last-ulp values, and near-tie centroids would then be
+    # grouped into a different cell than their own row's Spark-side
+    # coarse fold picks, silently breaking self-assignment
+    def _seq_cos(x: list[float], y: list[float]) -> float:
+        num = 0.0
+        for a, b in zip(x, y):
+            num += a * b
+        nx = 0.0
+        for a in x:
+            nx += a * a
+        ny = 0.0
+        for b in y:
+            ny += b * b
+        return num / (math.sqrt(nx) * math.sqrt(ny))
+
+    pick_vecs = [[float(x) for x in p.cvec] for p in picks]
+    cells: list[list] = [[] for _ in range(n_coarse)]
+    for r in rows:
+        rv = [float(x) for x in r.cvec]
+        best, best_j = None, 0
+        for j, pv in enumerate(pick_vecs):
+            c = _seq_cos(rv, pv)
+            if best is None or c > best:  # ties → lowest pick index
+                best, best_j = c, j
+        cells[best_j].append(r)
+    for j, cell in enumerate(cells):
+        if not cell:
+            # duplicate centroid vectors can strand a pick's own row in
+            # a lower-index cell; seed the empty cell with its pick so
+            # the ragged literal is never empty (assignment stays a
+            # valid centroid id either way)
+            cell.append(picks[j])
+
+    coarse_vecs = float_matrix_lit([[float(x) for x in p.cvec] for p in picks])
+    child_ids = F.lit(
+        [[int(r.centroid_id) for r in cell] for cell in cells]
+    )
+    child_vecs = float_matrix_lit(
+        [[[float(x) for x in r.cvec] for r in cell] for cell in cells]
+    )
+    vec = F.col(vec_col)
+    coarse_scored = F.transform(
+        coarse_vecs,
+        lambda cv, i: F.struct(
+            cosine(vec, cv).alias("csim"), (-i).alias("neg_pos")
+        ),
+    )
+    cpos = -F.array_max(coarse_scored)["neg_pos"] + 1  # 1-based cell
+    cell_vecs = F.element_at(child_vecs, cpos.cast("int"))
+    fine_scored = F.transform(
+        cell_vecs,
+        lambda cv, i: F.struct(
+            cosine(vec, cv).alias("csim"), (-i).alias("neg_pos")
+        ),
+    )
+    fpos = -F.array_max(fine_scored)["neg_pos"] + 1
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(
+            F.element_at(child_ids, cpos.cast("int")), fpos.cast("int")
+        )
+        .cast("int")
+        .alias("centroid_id"),
+    )
+
+
 def _query_probes(
     queries: DataFrame, cents, *, nprobe: int, query_id_col: str, vec_col: str
 ) -> DataFrame:
@@ -857,6 +965,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-prune, after
     Abbas et al. 2023's public recipe): assign every embedding to its
@@ -893,12 +1002,22 @@ def semantic_dedup(
     blocking — capping silently skips genuine comparisons and marks
     real near-duplicates kept. Setting it is an explicit recall trade
     for corpora whose k was left too small for their size; the honest
-    fix is scaling k."""
+    fix is scaling k.
+
+    ``two_level=True`` swaps the flat k-fold assignment for
+    :func:`_assign_to_centroids_2level` (~2√k per row instead of k) —
+    the measured necessity once k ∝ N makes the flat fold itself
+    O(N²/c) (the ×100 rehearsal's ``semantic_scaled_k`` row).
+    Assignment becomes approximate (near-dup PAIRS still co-locate —
+    nearly identical vectors compute nearly identical folds; tested on
+    the planted pairs), so the oracle-pinned registered query keeps
+    the exact default."""
     if cents is None:
         cents = _md5_sample_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
-    assigned = _assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+    assign = _assign_to_centroids_2level if two_level else _assign_to_centroids
+    assigned = assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     return _semantic_kept_flags(
         assigned,
         None,

@@ -219,6 +219,29 @@ def main() -> None:
         flush=True,
     )
 
+    def sem_scaled_2level(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        k = max(16, emb.count() // 275)
+        return semantic_dedup(
+            emb, n_centroids=k, threshold=0.9, two_level=True
+        )
+
+    t_base = time_query(sem_scaled_2level, spark, SF_BASE)
+    t_x100 = time_query(sem_scaled_2level, spark, X100_DIR)
+    followups["semantic_scaled_k_2level"] = {
+        "what": "scaled-k semantic_dedup with the two-level coarse->fine "
+        "assignment (~2*sqrt(k) per row instead of k) — the fix the flat "
+        "semantic_scaled_k row motivates: with k ~ N/275 the flat fold is "
+        "itself O(N^2/c)",
+        "sf0.1_sec": t_base,
+        "x100_sec": t_x100,
+        "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
+    }
+    print(
+        f"followup semantic scaled-k 2level: {t_base:.2f}s -> {t_x100:.2f}s",
+        flush=True,
+    )
+
     superlinear = [
         n for n, r in results.items() if r["ratio"] and r["ratio"] > 120
     ]
