@@ -1112,6 +1112,7 @@ def cluster_profile(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """Per-cluster CORPUS MAP: (centroid_id, n_members, member_share,
     exemplar_id, mean_norm) — the cluster-level statistics a curation
@@ -1130,12 +1131,18 @@ def cluster_profile(
     round-half-up form ``(2s + n) div (2n)`` (the daily_value_trend
     pattern — double-quotient rounding diverges at .5 boundaries,
     and share quotients like 62/1000 have exactly the short
-    expansions that hit them)."""
+    expansions that hit them).
+
+    ``two_level=True`` profiles a scaled-k clustering (k ∝ N) with the
+    √k coarse→fine assignment (:func:`_assign_to_centroids_2level`) —
+    the same cost argument as ``semantic_dedup(two_level=True)``; the
+    oracle-pinned registered query keeps the exact flat default."""
     if cents is None:
         cents = _md5_sample_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
-    assigned = _assign_to_centroids(
+    assign = _assign_to_centroids_2level if two_level else _assign_to_centroids
+    assigned = assign(
         corpus.select(F.col(id_col), F.col(vec_col)),
         _centroid_rows(cents),
         id_col=id_col,

@@ -1159,3 +1159,38 @@ def test_2level_assignment_is_zero_shuffle(spark, emb):
         out.explain(mode="formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_cluster_profile_two_level_is_total_and_consistent(spark, emb):
+    """two_level profiling partitions the corpus completely (shares sum
+    to 1e0 within integer-division slack) and agrees with a direct
+    two-level assignment's cluster sizes."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _assign_to_centroids_2level,
+        _centroid_rows,
+        _md5_sample_centroids,
+        cluster_profile,
+    )
+
+    cents = _centroid_rows(
+        _md5_sample_centroids(
+            emb, n_centroids=64, id_col="vec_id", vec_col="embedding"
+        )
+    )
+    prof = cluster_profile(emb, cents=spark.createDataFrame(
+        [(int(r.centroid_id), [float(x) for x in r.cvec]) for r in cents],
+        "centroid_id int, cvec array<double>",
+    ), two_level=True).collect()
+    n = emb.count()
+    assert sum(r.n_members for r in prof) == n
+    sizes = {
+        r.centroid_id: r.n_members
+        for r in _assign_to_centroids_2level(
+            emb, cents, id_col="vec_id", vec_col="embedding"
+        )
+        .groupBy("centroid_id")
+        .count()
+        .withColumnRenamed("count", "n_members")
+        .collect()
+    }
+    assert {r.centroid_id: r.n_members for r in prof} == sizes
