@@ -1210,8 +1210,8 @@ def embedding_decontamination(
     size: the corpus never shuffles and never crosses an Exchange
     (the ``_assign_to_centroids`` plan shape). Guarded at
     ``MAX_DECONTAMINATION_BENCHMARK`` rows — past that the literal
-    stops being free; block with :func:`hyperplane_lsh_near_dup_pairs`
-    over the union instead (tag sides, keep cross-side pairs).
+    stops being free; use :func:`embedding_decontamination_lsh`, the
+    banded variant with the same output shape.
     """
     rows = sorted(
         benchmark.select(
@@ -1222,9 +1222,9 @@ def embedding_decontamination(
     if len(rows) > MAX_DECONTAMINATION_BENCHMARK:
         raise ValueError(
             f"benchmark set has {len(rows)} rows; the literal-fold plan is "
-            f"sized for <= {MAX_DECONTAMINATION_BENCHMARK}. For large "
-            "benchmark corpora block with hyperplane_lsh_near_dup_pairs "
-            "over the tagged union instead."
+            f"sized for <= {MAX_DECONTAMINATION_BENCHMARK}. Use "
+            "embedding_decontamination_lsh (hyperplane_lsh banding over "
+            "the tagged union) for large benchmark corpora."
         )
     if not rows:
         # nothing to leak against — everything is kept, with the same
@@ -1257,6 +1257,91 @@ def embedding_decontamination(
         .alias("nearest_benchmark_id"),
         best["csim"].alias("benchmark_cos"),
         (best["csim"] < F.lit(float(threshold))).alias("kept"),
+    )
+
+
+def embedding_decontamination_lsh(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """The blocked variant of :func:`embedding_decontamination` for
+    benchmark sets past ``MAX_DECONTAMINATION_BENCHMARK`` (where the
+    matrix-literal sweep stops being free): tag both sides, run the
+    shared hyperplane-LSH banding over the union, and keep only
+    CROSS-side verified pairs — the recipe the exact variant's guard
+    names. Same output shape (id, nearest_benchmark_id, benchmark_cos,
+    kept), with one contract difference inherent to blocking: scores
+    exist only for FLAGGED rows (the banding surfaces pairs at
+    cos ≥ threshold; kept rows carry nulls — at scale nobody pays a
+    full benchmark sweep per clean row just to report how clean).
+    Recall follows the banding S-curve (:func:`lsh_recall_estimate`):
+    at contamination-grade cosines (≥ 0.9 with the default 8-bit
+    bands) a true hit collides in some band with probability ≈ 1.
+
+    Scale shape: cost ∝ corpus + benchmark + candidate pairs — never
+    |corpus|×|benchmark|; the per-corpus-row argmax window runs over
+    verified pairs only (candidate-sized, not corpus-sized)."""
+    ck = F.concat(F.lit("c:"), F.col(id_col).cast("string"))
+    bk = F.concat(F.lit("b:"), F.col(id_col).cast("string"))
+    tagged = (
+        corpus.select(ck.alias("_k"), F.col(vec_col))
+        .unionByName(benchmark.select(bk.alias("_k"), F.col(vec_col)))
+    )
+    pairs = hyperplane_lsh_near_dup_pairs(
+        tagged,
+        dim=dim,
+        threshold=threshold,
+        id_col="_k",
+        vec_col=vec_col,
+        n_planes=n_planes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    a_is_b = F.col("id_a").startswith("b:")
+    b_is_b = F.col("id_b").startswith("b:")
+    cross = pairs.filter(a_is_b != b_is_b).select(
+        F.when(a_is_b, F.col("id_b")).otherwise(F.col("id_a")).alias("_ck"),
+        F.substring(
+            F.when(a_is_b, F.col("id_a")).otherwise(F.col("id_b")), 3, 2_000_000
+        ).alias("_bid_str"),
+        F.col("cos_sim"),
+    )
+    w = Window.partitionBy("_ck").orderBy(
+        F.col("cos_sim").desc(), F.col("_bid_str")
+    )
+    best = (
+        cross.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_ck", "_bid_str", F.col("cos_sim").alias("benchmark_cos"))
+    )
+    # map tagged keys back to the caller's id TYPE via the original
+    # frames (a cast would hardcode one id type; strings must survive).
+    # `best` is flagged-row-sized — broadcast IT, the benchmark side is
+    # the one this variant exists to keep large
+    bid_map = benchmark.select(
+        F.col(id_col).cast("string").alias("_bid_str"),
+        F.col(id_col).alias("nearest_benchmark_id"),
+    ).distinct()
+    flagged = bid_map.join(F.broadcast(best), "_bid_str").select(
+        "_ck", "nearest_benchmark_id", "benchmark_cos"
+    )
+    return (
+        corpus.select(F.col(id_col), ck.alias("_ck"))
+        .join(flagged, "_ck", "left")
+        .select(
+            F.col(id_col),
+            "nearest_benchmark_id",
+            "benchmark_cos",
+            F.col("benchmark_cos").isNull().alias("kept"),
+        )
     )
 
 

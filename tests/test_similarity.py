@@ -1194,3 +1194,53 @@ def test_cluster_profile_two_level_is_total_and_consistent(spark, emb):
         .collect()
     }
     assert {r.centroid_id: r.n_members for r in prof} == sizes
+
+
+def test_decontamination_lsh_matches_exact_on_planted_hits(spark):
+    """The blocked variant flags the same rows the exact sweep flags
+    when hits sit at contamination-grade cosine (≈1 ⇒ identical sign
+    patterns ⇒ collide in every band), with the same nearest id and
+    9dp score; kept rows carry nulls by contract."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+        embedding_decontamination_lsh,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    bench_rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(5)]
+    bench = local_rows_df(
+        spark, "vec_id long, embedding array<double>", bench_rows
+    )
+    corpus_rows = [
+        (100, [x + 1e-6 for x in bench_rows[2][1]]),  # near bench 2
+        (101, [x * 2.0 for x in bench_rows[4][1]]),   # parallel to bench 4
+        (102, [rng.uniform(-1, 1) for _ in range(dim)]),  # clean
+        (103, [rng.uniform(-1, 1) for _ in range(dim)]),  # clean
+    ]
+    corpus = local_rows_df(
+        spark, "vec_id long, embedding array<double>", corpus_rows
+    )
+    got = {
+        r.vec_id: r
+        for r in embedding_decontamination_lsh(
+            corpus, bench, dim=dim, threshold=0.99
+        ).collect()
+    }
+    exact = {
+        r.vec_id: r
+        for r in embedding_decontamination(
+            corpus, bench, threshold=0.99
+        ).collect()
+    }
+    assert set(got) == set(exact) == {100, 101, 102, 103}
+    for v in (100, 101):
+        assert not got[v].kept and not exact[v].kept
+        assert got[v].nearest_benchmark_id == exact[v].nearest_benchmark_id
+        assert got[v].benchmark_cos == exact[v].benchmark_cos
+    for v in (102, 103):
+        assert got[v].kept
+        assert got[v].nearest_benchmark_id is None
+        assert got[v].benchmark_cos is None
