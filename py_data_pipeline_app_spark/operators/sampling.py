@@ -382,7 +382,6 @@ def dsir_weights(
     *,
     n_buckets: int = DSIR_BUCKETS,
     seed: str = "dsir",
-    id_col: str = "doc_id",
     text_col: str = "text",
     score: DataFrame | None = None,
 ) -> DataFrame:
@@ -511,7 +510,6 @@ def dsir_select(
         target,
         n_buckets=n_buckets,
         seed=seed,
-        id_col=id_col,
         text_col=text_col,
     )
     return w.orderBy(

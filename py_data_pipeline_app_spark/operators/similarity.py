@@ -553,6 +553,10 @@ def _assign_to_centroids_2level(
     k = len(rows)
     if n_coarse is None:
         n_coarse = max(1, int(k**0.5))
+    # clamp: an explicit n_coarse > k would size `cells` past the
+    # available picks and the empty-cell seeding below would index
+    # picks[] out of range
+    n_coarse = max(1, min(n_coarse, k))
     picks = rows[:n_coarse]  # md5-ordered sample ⇒ a random subset
 
     # driver-side cosine in the EXACT sequential fold order the Spark
@@ -1198,10 +1202,15 @@ def embedding_decontamination(
 
     Returns (id, nearest_benchmark_id, benchmark_cos, kept): the
     nearest benchmark vector (9dp-rounded cosine, ties to the LOWEST
-    benchmark id), and kept = cos < threshold. Scoring a corpus row
-    needs the full benchmark sweep, so the max is as informative as
-    any single hit — and the argmax gives the audit trail (which eval
-    question leaked).
+    benchmark id in its NATIVE order), and kept = cos < threshold.
+    Scoring a corpus row needs the full benchmark sweep, so the max is
+    as informative as any single hit — and the argmax gives the audit
+    trail (which eval question leaked). ``nearest_benchmark_id``
+    preserves the benchmark frame's own id type (string doc keys
+    included — the argmax fold is keyed by POSITION in the id-sorted
+    literal, and the winning position maps back through a same-typed
+    id literal), matching :func:`embedding_decontamination_lsh`'s
+    documented same-output-shape contract.
 
     Scale shape: benchmark sets are small by nature (an eval suite is
     10²-10⁴ rows) — the vectors collect ONCE and ride the plan as one
@@ -1226,17 +1235,19 @@ def embedding_decontamination(
             "embedding_decontamination_lsh (hyperplane_lsh banding over "
             "the tagged union) for large benchmark corpora."
         )
+    bid_type = benchmark.schema[id_col].dataType
     if not rows:
         # nothing to leak against — everything is kept, with the same
         # schema (the empty-map-literal lesson: degenerate inputs must
-        # not fail analysis)
+        # not fail analysis); the null id carries the BENCHMARK frame's
+        # id type, not a hardcoded long
         return corpus.select(
             F.col(id_col),
-            F.lit(None).cast("long").alias("nearest_benchmark_id"),
+            F.lit(None).cast(bid_type).alias("nearest_benchmark_id"),
             F.lit(None).cast("double").alias("benchmark_cos"),
             F.lit(True).alias("kept"),
         )
-    bids = F.lit([int(r.bid) for r in rows])
+    bids = F.lit([r.bid for r in rows])
     bvecs = float_matrix_lit([[float(x) for x in r.bvec] for r in rows])
     vec = F.col(vec_col)
     # argmax on the ROUNDED cosine (ties to lowest benchmark id via
@@ -1253,7 +1264,7 @@ def embedding_decontamination(
     return corpus.select(
         F.col(id_col),
         F.element_at(bids, (-best["neg_pos"] + 1).cast("int"))
-        .cast("long")
+        .cast(bid_type)
         .alias("nearest_benchmark_id"),
         best["csim"].alias("benchmark_cos"),
         (best["csim"] < F.lit(float(threshold))).alias("kept"),
@@ -1314,24 +1325,29 @@ def embedding_decontamination_lsh(
         ).alias("_bid_str"),
         F.col("cos_sim"),
     )
-    w = Window.partitionBy("_ck").orderBy(
-        F.col("cos_sim").desc(), F.col("_bid_str")
-    )
-    best = (
-        cross.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_ck", "_bid_str", F.col("cos_sim").alias("benchmark_cos"))
-    )
-    # map tagged keys back to the caller's id TYPE via the original
-    # frames (a cast would hardcode one id type; strings must survive).
-    # `best` is flagged-row-sized — broadcast IT, the benchmark side is
-    # the one this variant exists to keep large
+    # the caller's NATIVE-typed benchmark id joins in BEFORE the argmax
+    # window, for two contracts at once: the output id preserves the
+    # benchmark frame's own type (a cast would hardcode one; strings
+    # must survive), and the tie-break at an exact-9dp-equal cosine
+    # orders by the id's native collation — matching the exact sweep's
+    # lowest-id rule (string order would rank "10" < "2" for numeric
+    # ids and report a different nearest_benchmark_id per variant).
+    # Plain keyed join: candidates and the benchmark are BOTH unbounded
+    # at the scale this variant exists for, so neither side broadcasts.
     bid_map = benchmark.select(
         F.col(id_col).cast("string").alias("_bid_str"),
         F.col(id_col).alias("nearest_benchmark_id"),
     ).distinct()
-    flagged = bid_map.join(F.broadcast(best), "_bid_str").select(
-        "_ck", "nearest_benchmark_id", "benchmark_cos"
+    typed = cross.join(bid_map, "_bid_str")
+    w = Window.partitionBy("_ck").orderBy(
+        F.col("cos_sim").desc(), F.col("nearest_benchmark_id")
+    )
+    flagged = (
+        typed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "_ck", "nearest_benchmark_id", F.col("cos_sim").alias("benchmark_cos")
+        )
     )
     return (
         corpus.select(F.col(id_col), ck.alias("_ck"))

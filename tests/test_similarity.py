@@ -1244,3 +1244,104 @@ def test_decontamination_lsh_matches_exact_on_planted_hits(spark):
         assert got[v].kept
         assert got[v].nearest_benchmark_id is None
         assert got[v].benchmark_cos is None
+
+
+def test_decontamination_exact_tie_matches_across_variants(spark):
+    """An exact-9dp cosine tie between two benchmark vectors (identical
+    vectors, numeric ids 2 and 10) resolves to the same
+    nearest_benchmark_id in BOTH variants: the lowest id in the
+    benchmark's NATIVE order (2) — not string order, where "10" < "2"
+    (the round-12 parity nit)."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+        embedding_decontamination_lsh,
+    )
+
+    dim = 8
+    v = [0.3, -0.7, 0.2, 0.9, -0.1, 0.5, -0.4, 0.6]
+    bench = local_rows_df(
+        spark,
+        "vec_id long, embedding array<double>",
+        [(10, list(v)), (2, list(v))],
+    )
+    corpus = local_rows_df(
+        spark, "vec_id long, embedding array<double>", [(100, list(v))]
+    )
+    exact = embedding_decontamination(corpus, bench, threshold=0.99).first()
+    lsh = embedding_decontamination_lsh(
+        corpus, bench, dim=dim, threshold=0.99
+    ).first()
+    assert exact.nearest_benchmark_id == 2
+    assert lsh.nearest_benchmark_id == 2
+    assert not exact.kept and not lsh.kept
+    assert exact.benchmark_cos == lsh.benchmark_cos == 1.0
+
+
+def test_decontamination_preserves_string_benchmark_ids(spark):
+    """The matrix-literal sweep preserves a STRING benchmark id type —
+    the streaming decon gate's contract (the verdict fallback derives
+    its schema from the batch for exactly this reason) — and agrees
+    with the LSH variant, which always preserved the caller's type."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        embedding_decontamination,
+        embedding_decontamination_lsh,
+    )
+
+    dim = 8
+    va = [0.3, -0.7, 0.2, 0.9, -0.1, 0.5, -0.4, 0.6]
+    vb = [-0.6, 0.1, 0.8, -0.3, 0.4, -0.9, 0.2, 0.7]
+    bench = local_rows_df(
+        spark,
+        "vec_id string, embedding array<double>",
+        [("eval-b", list(vb)), ("eval-a", list(va))],
+    )
+    corpus = local_rows_df(
+        spark,
+        "vec_id string, embedding array<double>",
+        [("doc-1", [x + 1e-6 for x in va]), ("doc-2", [-x for x in vb])],
+    )
+    out = embedding_decontamination(corpus, bench, threshold=0.99)
+    assert dict(out.dtypes)["nearest_benchmark_id"] == "string"
+    got = {r.vec_id: r for r in out.collect()}
+    assert got["doc-1"].nearest_benchmark_id == "eval-a"
+    assert not got["doc-1"].kept
+    assert got["doc-2"].kept
+    lsh = {
+        r.vec_id: r
+        for r in embedding_decontamination_lsh(
+            corpus, bench, dim=dim, threshold=0.99
+        ).collect()
+    }
+    assert lsh["doc-1"].nearest_benchmark_id == "eval-a"
+    assert lsh["doc-1"].benchmark_cos == got["doc-1"].benchmark_cos
+
+    # empty benchmark: schema keeps the caller's id type too
+    empty = embedding_decontamination(
+        corpus, bench.limit(0), threshold=0.99
+    )
+    assert dict(empty.dtypes)["nearest_benchmark_id"] == "string"
+    assert all(r.kept for r in empty.collect())
+
+
+def test_two_level_assign_clamps_explicit_n_coarse(spark, emb):
+    """An explicit n_coarse above k must clamp, not IndexError in the
+    empty-cell seeding loop (the round-12 advice finding) — and still
+    assign every row to a valid centroid."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _assign_to_centroids_2level,
+        _centroid_rows,
+        _md5_sample_centroids,
+    )
+
+    cents = _centroid_rows(
+        _md5_sample_centroids(
+            emb, n_centroids=8, id_col="vec_id", vec_col="embedding"
+        )
+    )
+    out = _assign_to_centroids_2level(
+        emb, cents, n_coarse=64, id_col="vec_id", vec_col="embedding"
+    )
+    valid = {int(r.centroid_id) for r in cents}
+    assert out.count() == emb.count()
+    got = {r.centroid_id for r in out.select("centroid_id").distinct().collect()}
+    assert got <= valid
