@@ -234,13 +234,30 @@ def hyperplane_lsh_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
-    bands: int = 8,
+    n_planes: int | str = "auto",
+    bands: int | str = "auto",
+    n_rows: int | None = None,
+    target_recall: float = 0.75,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH near-dup: sign
     pattern of ``n_planes`` projections, banded into ``bands`` buckets;
     candidates = pairs sharing any band; verified with exact cosine.
+
+    The PRODUCTION default is ``n_planes="auto"``/``bands="auto"``:
+    the banding is sized for the CORPUS via :func:`lsh_config_for`
+    (band width holds expected bucket occupancy constant as N grows,
+    band count restores ``target_recall`` at the threshold regime) —
+    the round-12 ×100 rehearsal measured that ANY fixed config admits
+    a constant FRACTION of random pairs, i.e. quadratic candidate
+    mass, no matter how good the fraction looks at eval scale. Pass
+    ``n_rows`` (an upstream count the caller already has) to skip the
+    one count job auto-sizing otherwise runs. Explicit
+    ``(n_planes, bands)`` remain supported for EVAL and
+    oracle-replay use — a fixed config is bit-reproducible across
+    corpus sizes, which is why the registered queries pin one — but
+    they are not the 100 TB path; both must be given together (a
+    half-specified config has no defined width).
 
     ``dim`` is the embedding dimensionality, passed by the caller (a
     driver-side ``.first()`` probe here would put an action inside
@@ -278,10 +295,11 @@ def hyperplane_lsh_near_dup_pairs(
     candidates; asserted on planted dups in test_similarity). At
     threshold 0.4 no banding is scale-safe: every config's candidate
     set is a constant fraction of all pairs, because 0.4 is barely
-    above the random regime (p = 0.63 vs 0.5). The low-threshold
-    default here favors recall (32/8); flip to (32, 4) when your
-    threshold is ≥ 0.85 — candidates drop ~25× and recall rises with
-    the threshold instead of falling.
+    above the random regime (p = 0.63 vs 0.5). For explicit-config
+    eval runs: (32, 8) favors low-threshold recall; (32, 4) is the
+    high-threshold (≥ 0.85) eval shape — candidates drop ~25× and
+    recall rises with the threshold instead of falling. The auto
+    default sizes past both as the corpus grows.
 
     The 10× rehearsal (BENCH_sf1.json) confirms the decade behavior:
     at 20k vectors the recall config is ×16.6 (quadratic candidate
@@ -298,6 +316,18 @@ def hyperplane_lsh_near_dup_pairs(
     execution. Verification precomputes each vector's norm once (per
     row, not per candidate pair — identical fold arithmetic, so
     values are bit-equal to the inline form the oracle computes)."""
+    if n_planes == "auto" or bands == "auto":
+        if n_planes != "auto" or bands != "auto":
+            raise ValueError(
+                "n_planes and bands must be BOTH 'auto' (corpus-sized via "
+                "lsh_config_for) or both explicit - a half-specified "
+                "banding has no defined band width"
+            )
+        if n_rows is None:
+            n_rows = corpus.count()
+        n_planes, bands = lsh_config_for(
+            n_rows, threshold, target_recall=target_recall
+        )
     planes = _deterministic_hyperplanes(dim, n_planes)
     vec = F.col(vec_col)
     projs = F.transform(
@@ -627,6 +657,37 @@ def _assign_to_centroids_2level(
         .cast("int")
         .alias("centroid_id"),
     )
+
+
+def _assign_with_mode(
+    corpus: DataFrame, cents, mode: str, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """Dispatch a centroid assignment by its pinned mode name —
+    ``"flat"`` (:func:`_assign_to_centroids`, exact) or ``"two_level"``
+    (:func:`_assign_to_centroids_2level`, ~2√k/row, approximate). The
+    string form is what the semantic index config manifest persists:
+    append/reorder/read-back all resolve the SAME fold the base was
+    built with (assignment is a deterministic function of the frozen
+    centroids AND the fold — mixing folds would compare rows against
+    the wrong cluster's history)."""
+    if mode == "two_level":
+        return _assign_to_centroids_2level(
+            corpus, cents, id_col=id_col, vec_col=vec_col
+        )
+    if mode != "flat":
+        raise ValueError(f"unknown assign_mode {mode!r} (flat | two_level)")
+    return _assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+
+
+def _index_assign_mode(spark, index_path: str) -> str:
+    """The assignment mode pinned in a semantic index's config manifest.
+    Pre-round-13 indexes have no ``assign_mode`` column — they were all
+    built with the flat fold, so absence reads as ``"flat"`` (never a
+    guess: two_level indexes cannot predate the column)."""
+    cfg = spark.read.parquet(f"{index_path}/config")
+    if "assign_mode" not in cfg.columns:
+        return "flat"
+    return cfg.first().assign_mode or "flat"
 
 
 def _query_probes(
@@ -1279,8 +1340,9 @@ def embedding_decontamination_lsh(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
-    bands: int = 4,
+    n_planes: int | str = "auto",
+    bands: int | str = "auto",
+    n_rows: int | None = None,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """The blocked variant of :func:`embedding_decontamination` for
@@ -1294,8 +1356,14 @@ def embedding_decontamination_lsh(
     cos ≥ threshold; kept rows carry nulls — at scale nobody pays a
     full benchmark sweep per clean row just to report how clean).
     Recall follows the banding S-curve (:func:`lsh_recall_estimate`):
-    at contamination-grade cosines (≥ 0.9 with the default 8-bit
-    bands) a true hit collides in some band with probability ≈ 1.
+    at contamination-grade cosines (≥ 0.9) a true hit collides in
+    some band with probability ≈ 1.
+
+    Banding defaults to ``"auto"`` — sized for the TAGGED UNION
+    (corpus + benchmark) via :func:`lsh_config_for`, the production
+    path; pass ``n_rows`` if the caller already knows the combined
+    count, or an explicit ``(n_planes, bands)`` pair for
+    bit-reproducible eval runs (the parity tests pin one).
 
     Scale shape: cost ∝ corpus + benchmark + candidate pairs — never
     |corpus|×|benchmark|; the per-corpus-row argmax window runs over
@@ -1314,6 +1382,7 @@ def embedding_decontamination_lsh(
         vec_col=vec_col,
         n_planes=n_planes,
         bands=bands,
+        n_rows=n_rows,
         max_bucket_size=max_bucket_size,
     )
     a_is_b = F.col("id_a").startswith("b:")
@@ -1371,6 +1440,7 @@ def build_semantic_index(
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
     files_per_bucket: int | None = None,
+    two_level: bool = False,
 ) -> None:
     """Materialize a persisted SemDeDup index: the corpus with its
     cluster assignment AND its greedy ``kept`` verdict, written
@@ -1388,7 +1458,23 @@ def build_semantic_index(
     directory). Same append/tombstone guards as
     :func:`build_ivf_index`; deletes ride :func:`ivf_index_delete`
     (generic id-tombstones) and compaction rides the shared
-    crash-safe :func:`_compact_assigned_locked`."""
+    crash-safe :func:`_compact_assigned_locked`.
+
+    ``two_level=True`` builds the index with the √k coarse→fine
+    assignment (:func:`_assign_to_centroids_2level`) — the scaled-k
+    production path (k ∝ N makes the flat fold O(N²/c); the ×100
+    rehearsal measured 300 s → 120 s on the one-shot operator, and a
+    persisted 100 TB index lives in exactly that regime). The mode is
+    PINNED in the config manifest alongside the centroid checksum:
+    every later append, reorder recompute, and verdict read-back must
+    assign with the build's fold, or a row could silently land in —
+    and be compared against — a different cluster than its own build-
+    time assignment (the same discipline the centroid checksum
+    enforces for the centroid SET). :func:`semantic_index_append`
+    follows the pinned mode automatically and refuses an explicit
+    contradiction. Oracle-pinned surfaces keep the flat default —
+    two-level assignment is approximate by construction (near-dup
+    pairs still co-locate; see :func:`semantic_dedup`)."""
     spark = corpus.sparkSession
     fs, appends_path = _hadoop_fs(spark, f"{index_path}/{IVF_APPENDS_SUBDIR}")
     if fs.exists(appends_path):
@@ -1413,18 +1499,19 @@ def build_semantic_index(
         f"{index_path}/centroids"
     )
     checksum = _ivf_centroid_checksum(cent_rows)
+    mode = "two_level" if two_level else "flat"
     local_rows_df(
         spark,
-        "centroid_checksum string, threshold double",
-        [(checksum, float(threshold))],
+        "centroid_checksum string, threshold double, assign_mode string",
+        [(checksum, float(threshold), mode)],
     ).write.mode("overwrite").parquet(f"{index_path}/config")
     # localCheckpoint: the kept computation reads the assignment FOUR
     # times (pair generation + both vector sides + the verdict join) —
     # each re-running the k-wide argmax fold over the corpus. Pinning
     # it measured 8.1 s → 6.2 s at sf0.1/k=128; the build is already
     # eager (it writes), so no laziness is lost.
-    assigned = _assign_to_centroids(
-        corpus, cent_rows, id_col=id_col, vec_col=vec_col
+    assigned = _assign_with_mode(
+        corpus, cent_rows, mode, id_col=id_col, vec_col=vec_col
     ).localCheckpoint()
     rows = _semantic_kept_flags(
         assigned, None, threshold=threshold, id_col=id_col, vec_col=vec_col
@@ -1862,6 +1949,7 @@ def semantic_index_append(
     vec_col: str = "embedding",
     batch_token: str | None = None,
     allow_reorder: bool = False,
+    two_level: bool | None = None,
 ) -> str:
     """Fold a NEW embedding batch into a persisted
     :func:`build_semantic_index`: assign the batch against the
@@ -1908,7 +1996,17 @@ def semantic_index_append(
     delete behavior); appending an id already in the index is
     unsupported (the reader unions). Serialized by the shared atomic
     index lock; drift-checked against the config checksum. Returns
-    the batch token."""
+    the batch token.
+
+    The batch is assigned with the fold PINNED in the index config
+    (``assign_mode``: flat, or two_level for a scaled-k build) — the
+    parity contract requires every append to reproduce the build's
+    assignment function, so the mode is index state, not a call-site
+    choice. ``two_level`` defaults to None (follow the manifest);
+    passing an explicit value that CONTRADICTS the manifest raises
+    before any write — a caller who believes the index uses a
+    different fold than it does would otherwise get silently
+    mixed-mode clusters (the centroid-checksum refusal's twin)."""
     from py_data_pipeline_app_spark.operators.dedup_incremental import (
         _acquire_index_lock,
     )
@@ -1922,7 +2020,8 @@ def semantic_index_append(
         ):
             return batch_token  # reorder replay: already merged into base
         cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
-        cfg = spark.read.parquet(f"{index_path}/config").first()
+        cfg_df = spark.read.parquet(f"{index_path}/config")
+        cfg = cfg_df.first()
         if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
             raise ValueError(
                 f"semantic index at {index_path}: persisted centroids do not "
@@ -1931,13 +2030,32 @@ def semantic_index_append(
                 "clusters. Rebuild the index (delete the directory) instead."
             )
         threshold = float(cfg.threshold)
+        # mode from the SAME config read as the checksum — a second
+        # read here would add one action to every monotone append (the
+        # job-count-pinned hot path); legacy two-column configs
+        # (pre-round-13) were all built flat
+        mode = (
+            (cfg.assign_mode or "flat")
+            if "assign_mode" in cfg_df.columns
+            else "flat"
+        )
+        if two_level is not None and ("two_level" if two_level else "flat") != mode:
+            raise ValueError(
+                f"semantic index at {index_path} was built with "
+                f"assign_mode={mode!r}; an append requesting "
+                f"{'two_level' if two_level else 'flat'} assignment would "
+                "land batch rows in different clusters than the build's own "
+                "fold and silently break rebuild parity. Pass two_level=None "
+                "(follow the manifest) or rebuild the index in the other mode."
+            )
         token = batch_token or uuid.uuid4().hex[:12]
         # localCheckpoint: the assignment feeds three consumers (probed
         # cluster list, monotonicity guard, kept computation) — batch-
         # sized, so pinning it beats recomputing the argmax fold thrice
-        assigned = _assign_to_centroids(
+        assigned = _assign_with_mode(
             new_vectors.select(F.col(id_col), F.col(vec_col)),
             cent_rows,
+            mode,
             id_col=id_col,
             vec_col=vec_col,
         ).localCheckpoint()

@@ -58,7 +58,11 @@ def start_embedding_ingest_stream(
     from history — OR pass ``allow_reorder=True`` for a multi-producer
     feed with interleaved ids: out-of-order batches then take the
     recompute-mode append, re-verdicting only their clusters with
-    consumed-token replay protection; semantic kind only). All
+    consumed-token replay protection; semantic kind only). A semantic
+    index built with ``two_level=True`` (the scaled-k production
+    mode) needs no flag here: the append reads the assignment mode
+    pinned in the index's config manifest and replays the build's own
+    fold. All
     layouts auto-compact keep-newest every ``compact_every`` batches.
     ``availableNow`` drains the landing directory and terminates, so
     repeated calls with one checkpoint fold newly landed files

@@ -1345,3 +1345,63 @@ def test_two_level_assign_clamps_explicit_n_coarse(spark, emb):
     assert out.count() == emb.count()
     got = {r.centroid_id for r in out.select("centroid_id").distinct().collect()}
     assert got <= valid
+
+
+def test_auto_banding_is_production_default(spark):
+    """Round-13: n_planes/bands default to "auto" — the operator sizes
+    its banding for the corpus via lsh_config_for (the ×100-measured
+    scale path), so a user calling the production API at 10M rows no
+    longer inherits the eval config the repo's own artifact labels
+    "NOT the 100x path". End-to-end: the auto path at two corpus-size
+    regimes picks growing band widths (visible in the plan's slice
+    expressions), still finds planted dups at both, and a
+    half-specified config refuses."""
+    import contextlib
+    import io
+    import random
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        hyperplane_lsh_near_dup_pairs,
+        lsh_config_for,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(20):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + 1e-6 for x in v]))
+    df = local_rows_df(spark, "vec_id long, embedding array<double>", rows)
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+
+    def plan_of(q):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain(mode="extended")
+        return buf.getvalue()
+
+    # auto with no n_rows: one count job sizes the banding
+    small = hyperplane_lsh_near_dup_pairs(df, dim=16, threshold=0.999)
+    assert planted <= {(r.id_a, r.id_b) for r in small.collect()}
+
+    # auto with a caller-supplied corpus-scale n_rows: wider bands in
+    # the SAME operator call path (cosine ≈ 1 ⇒ identical sign
+    # patterns ⇒ still collide in every band regardless of width)
+    big = hyperplane_lsh_near_dup_pairs(
+        df, dim=16, threshold=0.999, n_rows=50_000_000
+    )
+    assert planted <= {(r.id_a, r.id_b) for r in big.collect()}
+
+    r_small = (
+        lambda c: c[0] // c[1]
+    )(lsh_config_for(len(rows), 0.999, target_recall=0.75))
+    r_big = (
+        lambda c: c[0] // c[1]
+    )(lsh_config_for(50_000_000, 0.999, target_recall=0.75))
+    assert r_big > r_small  # growing bit-width across the decades
+    # the resolved widths are really in the plans (slice(_, 1, r))
+    assert f", 1, {r_small})" in plan_of(small)
+    assert f", 1, {r_big})" in plan_of(big)
+
+    with pytest.raises(ValueError, match="BOTH 'auto'"):
+        hyperplane_lsh_near_dup_pairs(df, dim=16, threshold=0.999, n_planes=32)

@@ -167,7 +167,6 @@ def main() -> None:
     followups: dict[str, dict] = {}
     from py_data_pipeline_app_spark.operators.similarity import (
         hyperplane_lsh_near_dup_pairs,
-        lsh_config_for,
         semantic_dedup,
     )
     from py_data_pipeline_app_spark.plans.queries import (
@@ -178,21 +177,22 @@ def main() -> None:
     def lsh_scaled(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n = 2 * emb.count()
-        n_planes, bands = lsh_config_for(n, 0.9, target_recall=0.75)
+        # the round-13 PRODUCTION path: n_planes/bands default to
+        # "auto" and the operator sizes its own banding from n_rows
         return hyperplane_lsh_near_dup_pairs(
             _with_planted_near_dups(emb),
             dim=64,
             threshold=0.9,
-            n_planes=n_planes,
-            bands=bands,
+            n_rows=n,
         )
 
     t_base = time_query(lsh_scaled, spark, SF_BASE)
     t_x100 = time_query(lsh_scaled, spark, X100_DIR)
     followups["lsh_scaled"] = {
-        "what": "embedding_near_dup with lsh_config_for-sized bands — the "
+        "what": "embedding near-dup through the PRODUCTION auto-banding "
+        "default (n_planes/bands='auto' -> lsh_config_for) — the "
         "registered fixed 8-bit-band config admits ~1.6% of random pairs "
-        "(quadratic candidate mass) and is NOT the 100x path",
+        "(quadratic candidate mass) and is eval-only",
         "sf0.1_sec": t_base,
         "x100_sec": t_x100,
         "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
@@ -239,6 +239,49 @@ def main() -> None:
     }
     print(
         f"followup semantic scaled-k 2level: {t_base:.2f}s -> {t_x100:.2f}s",
+        flush=True,
+    )
+
+    import shutil
+    import time as _time
+
+    from py_data_pipeline_app_spark.operators.similarity import (
+        build_semantic_index,
+    )
+
+    def time_build_2level(sf_dir: str, runs: int = 2) -> float:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        k = max(16, emb.count() // 275)
+        best = float("inf")
+        for _ in range(runs):
+            dest = "/tmp/sem_index_2level_rehearsal"
+            shutil.rmtree(dest, ignore_errors=True)
+            t0 = _time.perf_counter()
+            build_semantic_index(
+                emb,
+                dest,
+                threshold=0.9,
+                n_centroids=k,
+                two_level=True,
+            )
+            best = min(best, _time.perf_counter() - t0)
+        shutil.rmtree("/tmp/sem_index_2level_rehearsal", ignore_errors=True)
+        return round(best, 3)
+
+    t_base = time_build_2level(SF_BASE)
+    t_x100 = time_build_2level(X100_DIR)
+    followups["semantic_index_build_2level"] = {
+        "what": "PERSISTED build_semantic_index at scaled-k with the pinned "
+        "two_level assignment mode (round 13) — the lifecycle a 100 TB "
+        "corpus actually uses; cost class must match the one-shot "
+        "semantic_scaled_k_2level row, not the flat fold's",
+        "sf0.1_sec": t_base,
+        "x100_sec": t_x100,
+        "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
+    }
+    print(
+        f"followup semantic index build 2level: {t_base:.2f}s -> "
+        f"{t_x100:.2f}s",
         flush=True,
     )
 
