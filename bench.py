@@ -106,7 +106,6 @@ ALIASES = {
     "dsir_importance_selection": "dsir",
     "sequence_packing": "seqpack",
     "training_set_curation_v2": "curation2",
-    "training_set_curation_semantic": "curation_sem",
     "split_leakage_audit": "leak_audit",
     "source_cap_sample": "src_cap",
     "source_temperature_mix": "src_temp",
@@ -125,6 +124,7 @@ ALIASES = {
     "scd2_state_history": "scd2",
     # multimodal:
     "media_payload_profile": "med_prof",
+    "training_set_curation_dsir": "cur_dsir",
     "media_feature_topk": "med_topk",
     "media_frame_sample": "med_frames",
     "media_metadata_filter": "med_meta",

@@ -416,7 +416,39 @@ def dsir_weights(
     ``score`` scores a DIFFERENT frame against the fit (the frozen-fit
     batch-scoring mode: fit once on the reference corpus, score every
     incoming crawl batch — the bigram-LM discipline); default scores
-    the fitted corpus itself. Unseen grams take the floor ratio."""
+    the fitted corpus itself. Unseen grams take the floor ratio. To
+    fit ONCE and score many batches across sessions, persist the fit
+    with :func:`dsir_fit_train` and score via
+    :func:`dsir_score_frozen` — identical arithmetic, so verdicts are
+    batch-independent either way."""
+    ratio_rows, floor_micro = _dsir_fit_rows(
+        docs, target, n_buckets=n_buckets, seed=seed, text_col=text_col
+    )
+    return _dsir_apply(
+        docs if score is None else score,
+        ratio_rows,
+        floor_micro,
+        n_buckets=n_buckets,
+        seed=seed,
+        text_col=text_col,
+    )
+
+
+def _dsir_fit_rows(
+    docs: DataFrame,
+    target: Column,
+    *,
+    n_buckets: int,
+    seed: str,
+    text_col: str,
+) -> tuple[list[tuple[int, int]], int]:
+    """Fit the two hashed-ngram bag models and return the collected
+    (bucket, log-ratio-micro) table plus the add-one floor ratio — the
+    ≤``n_buckets``-row model state shared by the in-session scorer
+    (:func:`dsir_weights`) and the persisted fit
+    (:func:`dsir_fit_train`). One gram-explode + one bounded-key
+    groupBy; the collect is ≤ n_buckets longs (the collect-tiny-tables
+    rule)."""
     staged = docs.withColumn("_toks", tokens(F.col(text_col)))
     grams = _dsir_grams(F.col("_toks"))
     ex = staged.select(
@@ -453,17 +485,34 @@ def dsir_weights(
         )
         .collect()
     )
-    to_score = docs if score is None else score
+    if not ratio_rows:
+        return [], 0
+    return (
+        sorted((int(r._b), int(r._r)) for r in ratio_rows),
+        int(ratio_rows[0]._floor),
+    )
+
+
+def _dsir_apply(
+    to_score: DataFrame,
+    ratio_rows: list[tuple[int, int]],
+    floor_micro: int,
+    *,
+    n_buckets: int,
+    seed: str,
+    text_col: str,
+) -> DataFrame:
+    """Score a frame against a fitted (bucket → log-ratio-micro) table:
+    a pure zero-shuffle projection folding each row's gram array
+    through a map literal at scan cost. Total on any input — grams
+    absent from the fit take the floor ratio."""
     if not ratio_rows:
         # degenerate fit corpus (no rows at all): keep the schema,
         # never build an empty map literal (the map<null,null> lesson)
         return to_score.select(
             "*", F.lit(0).cast("long").alias("dsir_weight_micro")
         )
-    floor_micro = int(ratio_rows[0]._floor)
-    entries = ",".join(
-        f"{int(r._b)}L,{int(r._r)}L" for r in sorted(ratio_rows, key=lambda r: r._b)
-    )
+    entries = ",".join(f"{int(b)}L,{int(r)}L" for b, r in ratio_rows)
     rmap = F.expr(f"map({entries})")
     weight = F.aggregate(
         F.col("_grams"),
@@ -471,7 +520,7 @@ def dsir_weights(
         lambda acc, gr: acc
         + F.coalesce(
             F.element_at(rmap, hash_bucket(gr, seed, n_buckets)),
-            F.lit(floor_micro),
+            F.lit(int(floor_micro)),
         ),
     )
     return (
@@ -479,6 +528,130 @@ def dsir_weights(
         .withColumn("_grams", _dsir_grams(F.col("_toks")))
         .withColumn("dsir_weight_micro", weight)
         .drop("_toks", "_grams")
+    )
+
+
+#: manifest + table names of a persisted DSIR fit directory
+DSIR_FIT_MANIFEST = "_MANIFEST"
+DSIR_FIT_RATIOS = "ratios"
+
+
+def dsir_fit_train(
+    docs: DataFrame,
+    target: Column,
+    path: str,
+    *,
+    n_buckets: int = DSIR_BUCKETS,
+    seed: str = "dsir",
+    text_col: str = "text",
+) -> dict:
+    """Fit the DSIR importance model ONCE on a reference corpus and
+    persist it under ``path`` — the deployment shape Xie et al. 2023
+    describe (fit on {target, raw} reference distributions, then score
+    every incoming crawl batch), and the artifact the streaming front
+    door's ``dsir_fit`` gate consumes. Layout (the ``bigram_lm_train``
+    manifest discipline, operators/curation.py):
+
+    - ``ratios/``   parquet (_b, _r) — ≤ n_buckets log-ratio-micro rows
+    - ``_MANIFEST`` json: n_buckets, seed, floor_micro, text_col, and
+      the ratio table's (rows, xxhash64-XOR) content checksum —
+      written LAST, so its presence is the commit point; a crashed
+      retrain reads as missing (or checksum-mismatched) rather than a
+      silently mixed model.
+
+    Because the fit is frozen, a document's weight — and any
+    threshold verdict derived from it — is independent of the batch
+    it arrives in (whole-vs-split parity, tested). Retraining
+    overwrites in place; for atomic swap under concurrent readers,
+    train to a fresh directory and flip the reference. Returns the
+    manifest."""
+    from py_data_pipeline_app_spark import fsio
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.curation import (
+        _count_table_checksum,
+    )
+
+    spark = docs.sparkSession
+    ratio_rows, floor_micro = _dsir_fit_rows(
+        docs, target, n_buckets=n_buckets, seed=seed, text_col=text_col
+    )
+    if not ratio_rows:
+        raise ValueError(
+            f"dsir_fit_train: fit corpus has no non-empty tokens ({text_col})"
+        )
+    local_rows_df(spark, "_b long, _r long", ratio_rows).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{DSIR_FIT_RATIOS}")
+    written = spark.read.parquet(f"{path}/{DSIR_FIT_RATIOS}")
+    manifest = {
+        "version": 1,
+        "n_buckets": int(n_buckets),
+        "seed": seed,
+        "text_col": text_col,
+        "floor_micro": int(floor_micro),
+        "ratio_checksum": _count_table_checksum(written, ["_b", "_r"]),
+    }
+    fsio.write_json(spark, f"{path}/{DSIR_FIT_MANIFEST}", manifest)
+    return manifest
+
+
+def dsir_fit_frames(
+    spark, path: str, *, verify: bool = True
+) -> tuple[dict, list[tuple[int, int]]]:
+    """Load a persisted DSIR fit: (manifest, ratio rows). ``verify``
+    recomputes the ratio-table checksum against the manifest and
+    raises on drift (the bigram-LM reader guard); per-micro-batch
+    callers pass ``verify=False`` after trusting the first load."""
+    from py_data_pipeline_app_spark import fsio
+    from py_data_pipeline_app_spark.operators.curation import (
+        _count_table_checksum,
+    )
+
+    mpath = f"{path}/{DSIR_FIT_MANIFEST}"
+    if not fsio.exists(spark, mpath):
+        raise ValueError(
+            f"no DSIR fit manifest at {mpath} - train one with "
+            "dsir_fit_train (a missing manifest also means a crashed "
+            "train never committed)"
+        )
+    manifest = fsio.read_json(spark, mpath)
+    ratios = spark.read.parquet(f"{path}/{DSIR_FIT_RATIOS}")
+    if verify:
+        got = _count_table_checksum(ratios, ["_b", "_r"])
+        if got != manifest["ratio_checksum"]:
+            raise ValueError(
+                f"DSIR fit at {path} drifted from its manifest "
+                f"({got} vs {manifest['ratio_checksum']}) - retrain or "
+                "restore the ratio table"
+            )
+    rows = sorted((int(r._b), int(r._r)) for r in ratios.collect())
+    return manifest, rows
+
+
+def dsir_score_frozen(
+    docs: DataFrame,
+    fit_path: str,
+    *,
+    text_col: str | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Score a frame against a PERSISTED DSIR fit
+    (:func:`dsir_fit_train`): input columns + ``dsir_weight_micro``,
+    bit-identical to what ``dsir_weights(fit_corpus, target,
+    score=docs)`` computes in-session with the same fit inputs (the
+    arithmetic is the shared :func:`_dsir_apply`). ``text_col``
+    defaults to the column the fit was trained on. One ≤n_buckets
+    parquet read + a zero-shuffle scoring projection — the per-batch
+    cost class of the frozen-LM gate."""
+    spark = docs.sparkSession
+    manifest, ratio_rows = dsir_fit_frames(spark, fit_path, verify=verify)
+    return _dsir_apply(
+        docs,
+        ratio_rows,
+        int(manifest["floor_micro"]),
+        n_buckets=int(manifest["n_buckets"]),
+        seed=manifest["seed"],
+        text_col=text_col or manifest.get("text_col", "text"),
     )
 
 
@@ -491,6 +664,7 @@ def dsir_select(
     seed: str = "dsir",
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "topk",
 ) -> DataFrame:
     """Top-``budget`` documents by DSIR importance weight (ties broken
     by ``id_col`` ascending) — the deterministic selection variant:
@@ -500,11 +674,22 @@ def dsir_select(
     discipline every sampler here follows). Scale shape: the weight
     projection (see :func:`dsir_weights`) + ONE TakeOrdered — partial
     per-partition top-k, never a global sort. TakeOrdered merges k
-    rows per partition ON THE DRIVER, so it is right up to ~10⁶-row
-    budgets; at trainer-scale budgets derive the weight CUTOFF once
-    instead (``approx_percentile`` over ``dsir_weights`` at
-    1 − budget/N) and keep rows by a plain ``filter`` — selection
-    back at scan cost, with only the boundary quantile approximate."""
+    rows per partition ON THE DRIVER, so the default is right up to
+    ~10⁶-row budgets.
+
+    ``mode="cutoff"`` is the trainer-scale path (10⁸⁺-doc budgets,
+    where a driver-side merge of k rows per partition is itself the
+    bottleneck): derive the weight threshold ONCE via
+    ``approx_percentile`` at quantile 1 − budget/N and keep rows by a
+    plain ``filter`` — selection back at scan cost, zero shuffle,
+    nothing budget-sized ever on the driver. Two documented
+    approximations, both confined to the BOUNDARY: the quantile is
+    approximate (Spark's Greenwald-Khanna sketch), and every row TIED
+    with the threshold weight is kept (a filter has no per-row
+    tie-break), so the result holds ≈``budget`` rows rather than
+    exactly ``budget`` — away from the boundary weight the two modes
+    select identically (tested). A corpus at or under budget returns
+    whole."""
     w = dsir_weights(
         docs,
         target,
@@ -512,6 +697,22 @@ def dsir_select(
         seed=seed,
         text_col=text_col,
     )
-    return w.orderBy(
-        F.col("dsir_weight_micro").desc(), F.col(id_col)
-    ).limit(int(budget))
+    if mode == "topk":
+        return w.orderBy(
+            F.col("dsir_weight_micro").desc(), F.col(id_col)
+        ).limit(int(budget))
+    if mode != "cutoff":
+        raise ValueError(f"mode must be 'topk' or 'cutoff', got {mode!r}")
+    n = w.count()
+    if n <= budget:
+        return w
+    # threshold = the budget-th weight from the top = ascending rank
+    # n − budget + 1; Spark's percentile sketch returns the value at
+    # rank ceil(p·n), so aim mid-interval — p = (n − budget + ½)/n —
+    # rather than 1 − budget/n, whose ceil lands one rank LOW and
+    # admits budget+1 rows on fully-distinct weights
+    frac = (float(n) - float(budget) + 0.5) / float(n)
+    cut = w.agg(
+        F.expr(f"approx_percentile(dsir_weight_micro, {frac!r})").alias("_c")
+    ).first()._c
+    return w.filter(F.col("dsir_weight_micro") >= F.lit(int(cut)))

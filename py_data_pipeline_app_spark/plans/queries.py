@@ -3831,6 +3831,104 @@ def dsir_frozen_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_set_curation_dsir",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, {_SQL_WS} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               ws,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+             )) AS gram
+      FROM toks
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             {sql_hash_bucket('gram', 'dsir', 1024)} AS b
+      FROM grams
+    ),
+    counts AS (
+      SELECT b, count(*) AS qc,
+             count(*) FILTER (WHERE lang = 'en') AS pc
+      FROM bk WHERE doc_id % 2 = 0 GROUP BY b
+    ),
+    tots AS (SELECT sum(qc) AS qt, sum(pc) AS pt FROM counts),
+    ratios AS (
+      SELECT b,
+             CAST(round(ln(CAST(pc + 1 AS DOUBLE)
+                           / CAST(pt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(qc + 1 AS DOUBLE)
+                           / CAST(qt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS r
+      FROM counts, tots
+    ),
+    fl AS (
+      SELECT CAST(round(ln(CAST(1 AS DOUBLE)
+                           / CAST(pt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(1 AS DOUBLE)
+                           / CAST(qt + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS floor_r
+      FROM tots
+    ),
+    w AS (
+      SELECT bk.doc_id,
+             CAST(sum(COALESCE(ratios.r, fl.floor_r)) AS BIGINT) AS wmi
+      FROM bk LEFT JOIN ratios USING (b) CROSS JOIN fl
+      GROUP BY bk.doc_id
+    )
+    SELECT t.source,
+           COALESCE(w.wmi, 0) >= 0 AS dsir_kept,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(t.ws)) AS BIGINT) AS total_tokens
+    FROM toks t LEFT JOIN w USING (doc_id)
+    GROUP BY t.source, dsir_kept
+    """,
+)
+def training_set_curation_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-fit DSIR gate end-to-end (round 13;
+    operators/sampling.dsir_fit_train → dsir_score_frozen — the
+    artifact/scorer pair the streaming front door's ``dsir_fit`` gate
+    runs): fit the hashed-ngram importance model on the even-doc_id
+    half with target lang='en', persist it (ratio table + checksummed
+    manifest, commit-point-last — the bigram_lm_train discipline),
+    score the WHOLE corpus against the frozen artifact, gate at
+    weight ≥ 0, and roll up (source, dsir_kept) cohorts with doc and
+    token counts — the accounting shape a curation planner reads
+    before committing a mixture. A green row checks the full
+    train→persist→load→score→gate loop cross-engine: the oracle
+    refits the same counts in SQL, so any drift in the persisted
+    artifact's arithmetic (bucketing, add-one floors, micro rounding)
+    breaks the value hash. Scale shape: fit = one gram explode + one
+    ≤1024-key groupBy; scoring = zero-shuffle map-literal fold; the
+    rollup is a bounded-key agg. Registered in the slot
+    ``media_payload_profile`` vacated (retired round 13, still
+    value-checked in tests/test_retired.py)."""
+    from py_data_pipeline_app_spark.functions.text import tokens as _toks
+    from py_data_pipeline_app_spark.operators.sampling import (
+        dsir_fit_train,
+        dsir_score_frozen,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    fit = _scratch_dir("dsir_fit_gate")
+    dsir_fit_train(
+        docs.filter(F.col("doc_id") % 2 == 0), F.col("lang") == "en", fit
+    )
+    scored = dsir_score_frozen(docs, fit)
+    return (
+        scored.withColumn("dsir_kept", F.col("dsir_weight_micro") >= 0)
+        .withColumn("n_tokens", F.size(_toks("text")))
+        .groupBy("source", "dsir_kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "source_token_budget_mix",
     f"""
     WITH d AS (
@@ -5465,9 +5563,19 @@ def dedup_canonical_by_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS retained_tokens
     FROM labeled GROUP BY split, source
     """,
+    retired=True,
 )
 def training_set_curation_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The EMBEDDING-side curation composition (the v2 pipeline's text
+    """Retired round 13 (last verified green r11 — the rotation rule:
+    a retirement must come from the half whose prefix slot the
+    newcomer takes) to seat ``training_set_curation_dsir`` at the
+    100-row cap; near-twin of ``training_set_curation_v2`` per the
+    round-12 verdict's retirement order, and its semantic-gate
+    composition is ALSO exercised end-to-end by the streaming front
+    door's parity tests (tests/test_streaming_curation.py). Full
+    oracle keeps running in tests/test_retired.py.
+
+    The EMBEDDING-side curation composition (the v2 pipeline's text
     passes have a semantic sibling now that round 9 gave SemDeDup its
     full lifecycle): semantic near-dup verdicts over the embedding
     table (zero-shuffle assignment, within-cluster pairs only) join

@@ -74,12 +74,30 @@ def curation_fold(
     lm_tail_cutoff: float = 4.0,
     decon_benchmark: str | None = None,
     decon_threshold: float = 0.9,
+    dsir_fit: str | None = None,
+    dsir_min_micro: int = 0,
 ) -> None:
     """Fold ONE doc(+embedding) micro-batch through span dedup →
     semantic verdict → quality gate → hash split, landing the curated
     rows under ``out/batch-{id}``. Exposed module-level (the stream's
     sink calls exactly this) so replay semantics are testable without
     a checkpoint dance.
+
+    ``dsir_fit`` (a directory trained by
+    ``operators.sampling.dsir_fit_train``) adds the DSIR importance
+    gate: every batch scores against the FROZEN hashed-ngram
+    importance model (Xie et al. 2023) and lands a ``dsir_kept`` flag
+    (weight ≥ ``dsir_min_micro``, in the fit's exact 1e-6 log-ratio
+    units) folded into ``retained`` — target-unlike rows drop at
+    ingest instead of surviving to a batch selection pass. Like the
+    LM and decon gates the model is frozen, so the verdict is
+    batch-independent (whole-vs-split parity tested) and fold-final:
+    a reorder can never flip it. Token-less rows score exactly 0 (an
+    empty gram fold), so they pass iff ``dsir_min_micro ≤ 0`` — set
+    the threshold knowing 0 is the neutral score, not a missing one.
+    Per-batch cost is one ≤n_buckets parquet read + a zero-shuffle
+    scoring projection (checksum verification skipped on this hot
+    path — verify once at deploy time with ``dsir_fit_frames``).
 
     ``decon_benchmark`` (a parquet directory of benchmark rows under
     the same ``id_col``/``vec_col`` names) adds the EMBEDDING-space
@@ -131,8 +149,8 @@ def curation_fold(
 
     Landed columns: (id, source, split, sem_kept, good, n_tokens,
     text_deduped, n_chunks, n_kept_chunks, retained), plus ``lm_kept``
-    when the LM gate is on and ``decon_kept`` when the
-    decontamination gate is on — ALL batch rows
+    when the LM gate is on, ``decon_kept`` when the decontamination
+    gate is on, and ``dsir_kept`` when the DSIR gate is on — ALL batch rows
     land with their flags, so drop-reason accounting
     (:func:`curation_accounting`) and the shard-ready retained subset
     (:func:`curated_corpus`) are both one filter away, and a takedown
@@ -305,6 +323,32 @@ def curation_fold(
             .drop("_decon_kept")
         )
         gate = gate & F.col("decon_kept")
+    if dsir_fit is not None:
+        from py_data_pipeline_app_spark.operators.sampling import (
+            dsir_score_frozen,
+        )
+
+        dw = dsir_score_frozen(
+            batch_df.select(F.col(id_col), F.col(text_col)),
+            dsir_fit,
+            text_col=text_col,
+            verify=False,
+        ).select(
+            F.col(id_col),
+            (
+                F.col("dsir_weight_micro") >= F.lit(int(dsir_min_micro))
+            ).alias("_dsir_kept"),
+        )
+        labeled = (
+            labeled.join(F.broadcast(dw), id_col, "left")
+            # the scorer is total (empty text folds to 0), so the
+            # coalesce is schema insurance, not a semantic default
+            .withColumn(
+                "dsir_kept", F.coalesce(F.col("_dsir_kept"), F.lit(True))
+            )
+            .drop("_dsir_kept")
+        )
+        gate = gate & F.col("dsir_kept")
     out = labeled.join(
         rebuilt.select(
             F.col(id_col),
@@ -337,6 +381,8 @@ def start_curation_stream(
     lm_tail_cutoff: float = 4.0,
     decon_benchmark: str | None = None,
     decon_threshold: float = 0.9,
+    dsir_fit: str | None = None,
+    dsir_min_micro: int = 0,
     compact_every: int | None = 16,
     shards_every: int | None = None,
     n_shards: int = 8,
@@ -401,6 +447,8 @@ def start_curation_stream(
             lm_tail_cutoff=lm_tail_cutoff,
             decon_benchmark=decon_benchmark,
             decon_threshold=decon_threshold,
+            dsir_fit=dsir_fit,
+            dsir_min_micro=dsir_min_micro,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
@@ -503,6 +551,9 @@ def curated_corpus_current(
     if "decon_kept" in rows.columns:
         # frozen benchmark — fold-final like the LM verdict
         gate = gate & F.col("decon_kept")
+    if "dsir_kept" in rows.columns:
+        # frozen importance fit — fold-final like the LM verdict
+        gate = gate & F.col("dsir_kept")
     return (
         rows.join(state, id_col, "left")
         .withColumn("sem_kept", F.coalesce(F.col("_kept_now"), F.col("sem_kept")))
@@ -520,7 +571,8 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
     ``n_dropped_lm`` bucket (rows the semantic and quality gates
     passed but the perplexity filter dropped); a decontamination-gated
     stream (``decon_benchmark``) adds ``n_dropped_decon`` the same
-    way. Gated verdicts fold into ``n_retained``/``retained_tokens``;
+    way, and a DSIR-gated stream (``dsir_fit``) adds
+    ``n_dropped_dsir``. Gated verdicts fold into ``n_retained``/``retained_tokens``;
     non-gated streams keep the original 6-column schema."""
     rows = curated_batches(spark, out_path)
     kept_good = F.col("sem_kept") & F.col("good")
@@ -550,6 +602,15 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
             ).alias("n_dropped_decon")
         )
         kept_good = kept_good & F.col("decon_kept")
+    if "dsir_kept" in rows.columns:
+        # DSIR-gated stream: rows every earlier gate passed but the
+        # frozen importance fit scored below the threshold
+        aggs.append(
+            F.sum(
+                F.when(kept_good & ~F.col("dsir_kept"), 1).otherwise(0)
+            ).alias("n_dropped_dsir")
+        )
+        kept_good = kept_good & F.col("dsir_kept")
     return rows.groupBy("split", "source").agg(
         F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
         *aggs,

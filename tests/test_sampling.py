@@ -501,3 +501,101 @@ def test_dsir_matches_python_reference(spark, rows):
         for r in dsir_weights(df, F.col("lang") == "tgt").collect()
     }
     assert got == _py_dsir_weights(docs, {"tgt"})
+
+
+def test_dsir_cutoff_mode_agrees_away_from_boundary(spark, dsir_docs):
+    """mode="cutoff" (the trainer-scale path: approx_percentile weight
+    threshold + plain filter, nothing budget-sized on the driver) must
+    select the same ids as TakeOrdered top-k when the boundary weight
+    separates cleanly — on this fixture the telescope docs outscore
+    the cooking docs by a wide margin. The returned plan must stay a
+    zero-shuffle projection+filter (the threshold rides as a literal)."""
+    import contextlib
+    import io
+
+    budget = 3
+    topk = dsir_select(dsir_docs, F.col("lang") == "tgt", budget=budget)
+    cutoff = dsir_select(
+        dsir_docs, F.col("lang") == "tgt", budget=budget, mode="cutoff"
+    )
+    assert sorted(r.doc_id for r in cutoff.collect()) == sorted(
+        r.doc_id for r in topk.collect()
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cutoff.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    # corpus at/under budget returns whole
+    assert (
+        dsir_select(
+            dsir_docs, F.col("lang") == "tgt", budget=100, mode="cutoff"
+        ).count()
+        == dsir_docs.count()
+    )
+    with pytest.raises(ValueError, match="topk.*cutoff|cutoff"):
+        dsir_select(dsir_docs, F.col("lang") == "tgt", budget=3, mode="bogus")
+
+
+def test_dsir_fit_train_roundtrip_matches_in_session(spark, dsir_docs, tmp_path):
+    """Persisted-fit scoring is bit-identical to the in-session
+    frozen-fit mode (shared _dsir_apply arithmetic), across a NEW
+    batch with unseen grams (floor-ratio path included)."""
+    from py_data_pipeline_app_spark.operators.sampling import (
+        dsir_fit_train,
+        dsir_score_frozen,
+    )
+
+    fit = str(tmp_path / "dsir_fit")
+    manifest = dsir_fit_train(dsir_docs, F.col("lang") == "tgt", fit)
+    assert manifest["floor_micro"] != 0
+    batch = local_rows_df(
+        spark,
+        _DSIR_SCHEMA,
+        [
+            (100, "raw", "telescope lens optics star"),
+            (101, "raw", "flour oven dough sugar"),
+            (102, "raw", "zebra quark umbrella xylophone"),  # unseen grams
+        ],
+    )
+    want = {
+        r.doc_id: r.dsir_weight_micro
+        for r in dsir_weights(
+            dsir_docs, F.col("lang") == "tgt", score=batch
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.dsir_weight_micro
+        for r in dsir_score_frozen(batch, fit).collect()
+    }
+    assert got == want
+    # the telescope-y doc outscores the cooking doc against this fit
+    assert got[100] > got[101]
+
+
+def test_dsir_fit_manifest_guards(spark, dsir_docs, tmp_path):
+    """Missing manifest (crashed train) and ratio-table drift both
+    raise; verify=False skips the checksum job (the per-batch path)."""
+    from py_data_pipeline_app_spark.operators.sampling import (
+        DSIR_FIT_RATIOS,
+        dsir_fit_train,
+        dsir_score_frozen,
+    )
+
+    fit = str(tmp_path / "fit_guards")
+    with pytest.raises(ValueError, match="no DSIR fit manifest"):
+        dsir_score_frozen(dsir_docs, fit)
+    dsir_fit_train(dsir_docs, F.col("lang") == "tgt", fit)
+    # corrupt the ratio table under the committed manifest
+    local_rows_df(spark, "_b long, _r long", [(0, 123456)]).write.mode(
+        "overwrite"
+    ).parquet(f"{fit}/{DSIR_FIT_RATIOS}")
+    with pytest.raises(ValueError, match="drifted"):
+        dsir_score_frozen(dsir_docs, fit)
+    # the hot path trusts the first load - no checksum job, no raise
+    dsir_score_frozen(dsir_docs, fit, verify=False).collect()
+
+    empty = dsir_docs.filter(F.col("text") == "")
+    with pytest.raises(ValueError, match="no non-empty tokens"):
+        dsir_fit_train(empty, F.col("lang") == "tgt", str(tmp_path / "e"))

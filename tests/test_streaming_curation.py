@@ -667,3 +667,100 @@ def test_reorder_feed_through_two_level_index(spark, corpus, tmp_path):
         if r.doc_id in got
     }
     assert landed_low == {i: got[i] for i in landed_low}
+
+
+def test_dsir_gate_in_front_door(spark, tmp_path):
+    """The DSIR importance gate (round 13): folds score every batch
+    against a PERSISTED frozen fit (dsir_fit_train), land a
+    ``dsir_kept`` flag folded into ``retained``, accounting grows an
+    ``n_dropped_dsir`` bucket, and ``curated_corpus_current`` honors
+    the verdict (fold-final — the fit is frozen). A fit targeting the
+    telescope reference slice must drop the cooking (anti-target)
+    rows of the feed; whole-vs-split parity: the landed per-batch
+    verdicts equal one dsir_score_frozen pass over the whole feed."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.operators.sampling import (
+        dsir_fit_train,
+        dsir_score_frozen,
+    )
+    from py_data_pipeline_app_spark.streaming.curation import (
+        curated_corpus_current,
+    )
+
+    ref = local_rows_df(
+        spark,
+        "doc_id long, source string, text string",
+        [
+            (0, "wiki", "telescope mirror lens optics star telescope lens"),
+            (1, "wiki", "star optics mirror telescope focal lens star"),
+            (2, "crawl", "flour butter sugar oven dough flour butter"),
+            (3, "crawl", "oven sugar dough butter flour oven sugar"),
+        ],
+    )
+    fit = str(tmp_path / "dsir_fit")
+    dsir_fit_train(ref, F.col("source") == "wiki", fit)
+
+    feed_rows = [
+        (10, "telescope optics star lens mirror telescope", "a", None),
+        (11, "flour oven dough butter sugar flour", "a", None),
+        (12, "mirror lens star telescope optics focal", "b", None),
+        (13, "sugar butter oven flour dough oven", "b", None),
+    ]
+    feed = local_rows_df(
+        spark,
+        "doc_id long, text string, source string, embedding array<float>",
+        feed_rows,
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    # the front door needs a pre-built semantic index; an all-null
+    # embedding feed just never appends to it
+    seed_emb = local_rows_df(
+        spark,
+        "doc_id long, embedding array<float>",
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+    )
+    build_semantic_index(
+        seed_emb,
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=2,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    curation_fold(
+        spark, state, out, feed.filter(F.col("doc_id") < 12), 0,
+        dsir_fit=fit, dsir_min_micro=0,
+    )
+    curation_fold(
+        spark, state, out, feed.filter(F.col("doc_id") >= 12), 1,
+        dsir_fit=fit, dsir_min_micro=0,
+    )
+
+    landed = curated_batches(spark, out)
+    assert "dsir_kept" in landed.columns
+    rows = landed.collect()
+    assert {r.doc_id for r in rows if not r.dsir_kept} == {11, 13}
+    assert all(
+        r.retained == (r.sem_kept and r.good and r.dsir_kept) for r in rows
+    )
+    # whole-vs-split parity against one frozen-fit pass over the feed
+    whole = {
+        r.doc_id: r.dsir_weight_micro >= 0
+        for r in dsir_score_frozen(feed, fit).collect()
+    }
+    assert {r.doc_id: r.dsir_kept for r in rows} == whole
+
+    acct = curation_accounting(spark, out)
+    assert "n_dropped_dsir" in acct.columns
+    tot = acct.agg(
+        F.sum("n_retained"), F.sum("n_dropped_semantic"),
+        F.sum("n_dropped_quality"), F.sum("n_dropped_dsir"),
+    ).first()
+    assert sum(tot) == len(rows)
+
+    cur = {
+        r.doc_id for r in curated_corpus_current(spark, out, state).collect()
+    }
+    assert cur == {r.doc_id for r in rows if r.retained}
+    assert not cur & {11, 13}
