@@ -268,6 +268,40 @@ def main() -> None:
         shutil.rmtree("/tmp/sem_index_2level_rehearsal", ignore_errors=True)
         return round(best, 3)
 
+    def dhash_near_dup(spark, sf_dir):
+        from py_data_pipeline_app_spark.operators.media import (
+            dhash_near_dup_pairs,
+            media_dhash,
+            media_from_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        media = media_from_documents(docs).filter(
+            # every 3rd derived asset is an image; the fake decoder
+            # makes the hash total on any payload
+            F.col("kind") == "image"
+        )
+        hashes = media_dhash(media)
+        return dhash_near_dup_pairs(hashes, max_hamming=6)
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    t_base = time_query(dhash_near_dup, spark, SF_BASE)
+    t_x100 = time_query(dhash_near_dup, spark, X100_DIR)
+    followups["dhash_near_dup"] = {
+        "what": "image perceptual-hash near-dup (round 13): mapInPandas "
+        "dHash per asset + 8-band byte blocking + xor/bit_count verify - "
+        "the posting-list cost class (rows + candidate pairs), measured "
+        "through the Arrow boundary at both decades",
+        "sf0.1_sec": t_base,
+        "x100_sec": t_x100,
+        "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
+    }
+    print(
+        f"followup dhash_near_dup: {t_base:.2f}s -> {t_x100:.2f}s",
+        flush=True,
+    )
+
     t_base = time_build_2level(SF_BASE)
     t_x100 = time_build_2level(X100_DIR)
     followups["semantic_index_build_2level"] = {
