@@ -737,38 +737,57 @@ DHASH_DECODERS = {
 
 
 def media_dhash(
-    media: DataFrame, *, decoder: str = "payload_gray"
+    media: DataFrame, *, decoder: str = "payload_gray", axes: str = "horizontal"
 ) -> DataFrame:
-    """(media_id, dhash): 64-bit perceptual difference-hash per asset
-    via ``mapInPandas`` — the image-dedup signature the near-dup
+    """(media_id, dhash[, dhash_v]): perceptual difference-hash per
+    asset via ``mapInPandas`` — the image-dedup signature the near-dup
     blocking consumes. A pure Arrow-batched map (decode is a C
     library behind Python, the sanctioned boundary — the
     extract_features plumbing verbatim); no shuffle, schema declared
     up front. Filter to ``kind='image'`` first when the table is
-    mixed-modality; the hash itself is total on any payload."""
+    mixed-modality; the hash itself is total on any payload.
+
+    ``axes="both"`` adds the VERTICAL gradient hash (``dhash_v``, the
+    transposed 9×8 grid through the same bit arithmetic) — 128 signal
+    bits total, the standard two-axis dHash. This is the CORPUS-SCALE
+    signature: :func:`dhash_near_dup_pairs` bands a two-axis hash
+    into 16-bit buckets (occupancy N/65536 instead of the 64-bit
+    hash's N/256), which the ×100 rehearsal measured as the
+    difference between bounded and quadratic candidate mass — the
+    `lsh_config_for` lesson replayed in hamming space, except here
+    bucket width is bits-budgeted, so scale buys it with a wider
+    hash rather than a recall trade."""
     if decoder not in DHASH_DECODERS:
         raise ValueError(
             f"Unknown decoder {decoder!r}; have {sorted(DHASH_DECODERS)}"
         )
+    if axes not in ("horizontal", "both"):
+        raise ValueError(f"axes must be 'horizontal' or 'both', got {axes!r}")
     decode = DHASH_DECODERS[decoder]
+    both = axes == "both"
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "dhash": [
-                        _dhash_bits(_downsample_gray(decode(p or b"")))
-                        for p in pdf["payload"]
-                    ],
-                }
-            )
+            grays = [decode(p or b"") for p in pdf["payload"]]
+            cols = {
+                "media_id": pdf["media_id"],
+                "dhash": [
+                    _dhash_bits(_downsample_gray(g)) for g in grays
+                ],
+            }
+            if both:
+                # vertical gradients: downsample to (9, 8), transpose
+                # into the (8, 9) shape the shared bit extractor pins
+                cols["dhash_v"] = [
+                    _dhash_bits(_downsample_gray(g, rows=9, cols=8).T)
+                    for g in grays
+                ]
+            yield pd.DataFrame(cols)
 
-    return media.select("media_id", "payload").mapInPandas(
-        gen, schema="media_id long, dhash long"
-    )
+    schema = "media_id long, dhash long" + (", dhash_v long" if both else "")
+    return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
 
 
 def dhash_near_dup_pairs(
@@ -788,34 +807,55 @@ def dhash_near_dup_pairs(
     codegen). Returns (id_a, id_b, hamming).
 
     Recall is GUARANTEED, not probabilistic, in the regime that
-    matters: two hashes within hamming ``h < bands`` differ in at
+    matters: two signatures within hamming ``h < bands`` differ in at
     most h of their ``bands`` disjoint segments, so by pigeonhole
     they MATCH in at least one band and always co-block (asserted in
-    tests). Default (8 bands / 8-bit segments, max_hamming 6) covers
-    the resized/re-encoded duplicate regime the property test plants;
-    random 64-bit hashes share a given byte band with p ≈ 1/256, so
-    expected candidate mass stays ~N²·bands/256 ÷ (corpus spread) —
-    bucket-capped like every other banding here. Scale shape is
-    exactly :func:`~py_data_pipeline_app_spark.operators.dedup`'s
-    posting-list discipline: cost ∝ rows + candidate pairs."""
+    tests — spread AND in-band flips).
+
+    A TWO-AXIS signature (``media_dhash(axes="both")`` — a ``dhash_v``
+    column) is detected automatically: the 128 bits split into
+    ``bands`` disjoint segments drawn half from each hash (bands=8 →
+    16-bit buckets), the pigeonhole guarantee now covering COMBINED
+    hamming < bands, and verification sums both axes' bit_counts.
+    This is the corpus-scale configuration: random signatures share a
+    16-bit bucket with p ≈ 1/65536 vs the single-axis byte bucket's
+    1/256 — at the ×100 rehearsal decade the byte buckets' constant
+    collision FRACTION is already quadratic candidate mass (the
+    measured `lsh_config_for` lesson, replayed in hamming space),
+    while two-axis buckets keep occupancy ~N/65536. Wider buckets in
+    hamming space must be bought with MORE SIGNAL BITS, not fewer
+    bands — fewer bands would shrink the guaranteed-recall radius —
+    which is why the scale path is a wider hash, not a tuning knob.
+    Single-axis byte banding remains the eval default (tiny corpora,
+    and the 64-bit hash is what third-party dHash tools emit).
+    Everything else is the shared posting-list discipline: grouped
+    chunk-capped expansion, never a bucket self-join, cost ∝ rows +
+    candidate pairs. Returns (id_a, id_b, hamming)."""
     from py_data_pipeline_app_spark.operators.dedup import (
         _bucket_member_pairs,
     )
 
-    if not 64 % bands == 0:
-        raise ValueError(f"bands must divide 64, got {bands}")
-    seg = 64 // bands
+    hash_cols = [hash_col] + (
+        ["dhash_v"] if "dhash_v" in hashes.columns else []
+    )
+    per_hash = bands // len(hash_cols)
+    if bands % len(hash_cols) or 64 % per_hash:
+        raise ValueError(
+            f"bands must split evenly over {len(hash_cols)} hash column(s) "
+            f"into widths dividing 64, got bands={bands}"
+        )
+    seg = 64 // per_hash
     mask = (1 << seg) - 1
-    h = F.col(hash_col)
     band_keys = F.array(
         *[
             F.struct(
-                F.lit(i).alias("band"),
-                F.expr(
-                    f"shiftrightunsigned({hash_col}, {i * seg})"
-                ).bitwiseAND(F.lit(mask)).alias("bucket"),
+                F.lit(hi * per_hash + i).alias("band"),
+                F.expr(f"shiftrightunsigned({hc}, {i * seg})")
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
             )
-            for i in range(bands)
+            for hi, hc in enumerate(hash_cols)
+            for i in range(per_hash)
         ]
     )
     blocked = hashes.select(
@@ -829,18 +869,24 @@ def dhash_near_dup_pairs(
         .distinct()
     )
     ha = hashes.select(
-        F.col(id_col).alias("id_a"), h.alias("_ha")
+        F.col(id_col).alias("id_a"),
+        *[F.col(hc).alias(f"_ha{j}") for j, hc in enumerate(hash_cols)],
     )
     hb = hashes.select(
-        F.col(id_col).alias("id_b"), h.alias("_hb")
+        F.col(id_col).alias("id_b"),
+        *[F.col(hc).alias(f"_hb{j}") for j, hc in enumerate(hash_cols)],
     )
+    ham = None
+    for j in range(len(hash_cols)):
+        term = F.expr(f"bit_count(_ha{j} ^ _hb{j})")
+        ham = term if ham is None else ham + term
     return (
         cands.join(ha, "id_a")
         .join(hb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.expr("bit_count(_ha ^ _hb)").cast("int").alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -640,3 +640,63 @@ def test_dhash_robust_to_pixel_noise_in_container():
     assert h0 not in (0, -1)
     ham = bin((h0 ^ h1) & (2**64 - 1)).count("1")
     assert ham < 8, ham
+
+
+def test_dhash_two_axis_scale_path(spark):
+    """axes="both" (the corpus-scale signature): 128 bits banded into
+    8×16-bit buckets — combined-hamming pigeonhole guarantee holds
+    (≤7 flips spread across BOTH hashes still co-block), verification
+    sums both axes, identical payloads pair at hamming 0 through the
+    mapInPandas path, and a true box-resize preserves both hashes."""
+    import numpy as np
+
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    # resize invariance for the vertical hash too
+    y, x = np.mgrid[0:72, 0:81]
+    big = np.sin(x / 81 * 6.0) * 40 + (y / 72) * 90 + (x / 81) * 30
+    small = big.reshape(24, 3, 27, 3).mean(axis=(1, 3))
+    hv_big = M._dhash_bits(M._downsample_gray(big, rows=9, cols=8).T)
+    hv_small = M._dhash_bits(M._downsample_gray(small, rows=9, cols=8).T)
+    assert hv_big == hv_small
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base_h, base_v = 0x123456789ABCDEF0, 0x0FEDCBA987654321
+    # 7 combined flips spread across both hashes and many segments
+    h2 = base_h
+    for i in range(4):
+        h2 ^= 1 << (i * 16)
+    v2 = base_v
+    for i in range(3):
+        v2 ^= 1 << (i * 16 + 7)
+    far_v = base_v ^ ((1 << 40) - 1)
+    rows = [
+        (1, signed(base_h), signed(base_v)),
+        (2, signed(h2), signed(v2)),        # combined hamming 7
+        (3, signed(base_h), signed(far_v)), # shares h segments, verified out
+    ]
+    hashes = local_rows_df(
+        spark, "media_id long, dhash long, dhash_v long", rows
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.dhash_near_dup_pairs(hashes, max_hamming=7).collect()
+    }
+    assert got[(1, 2)] == 7
+    assert (1, 3) not in got
+
+    # end-to-end through the Arrow path: identical payloads, both axes
+    feed = spark.createDataFrame(
+        [(1, b"same-bytes-here"), (2, b"same-bytes-here"), (3, b"other!bytes")],
+        "media_id long, payload binary",
+    )
+    hx = M.media_dhash(feed, axes="both")
+    assert set(hx.columns) == {"media_id", "dhash", "dhash_v"}
+    pairs = M.dhash_near_dup_pairs(hx, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
+
+    with pytest.raises(ValueError, match="bands"):
+        M.dhash_near_dup_pairs(hashes, bands=6)
