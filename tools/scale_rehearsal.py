@@ -290,7 +290,6 @@ def main() -> None:
     if not sys.argv[1:] or "embedding_near_dup" in sys.argv[1:]:
         from py_data_pipeline_app_spark.operators.similarity import (
             hyperplane_lsh_near_dup_pairs,
-            lsh_config_for,
         )
         from py_data_pipeline_app_spark.plans.queries import (
             _with_planted_near_dups,
@@ -299,21 +298,22 @@ def main() -> None:
         def scaled(spark, sf_dir):
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             n = 2 * emb.count()  # planted corpus doubles the rows
-            n_planes, bands = lsh_config_for(n, 0.9, target_recall=0.75)
+            # round 13: the production default IS the auto path —
+            # n_planes/bands resolve via lsh_config_for from n_rows
             return hyperplane_lsh_near_dup_pairs(
                 _with_planted_near_dups(emb),
                 dim=64,
                 threshold=0.9,
-                n_planes=n_planes,
-                bands=bands,
+                n_rows=n,
             )
 
         t_base = time_query(scaled, spark, SF_BASE)
         t_x10 = time_query(scaled, spark, X10_DIR)
         followup = {
-            "what": "embedding_near_dup with lsh_config_for-sized bands "
-            "(constant bucket occupancy) instead of the fixed registered "
-            "config — candidates track true pairs, not N^2",
+            "what": "embedding near-dup through the PRODUCTION auto-banding "
+            "default (n_planes/bands='auto' -> lsh_config_for, constant "
+            "bucket occupancy) — candidates track true pairs, not N^2; the "
+            "fixed registered config is eval/oracle-replay-only",
             "sf0.1_sec": t_base,
             "x10_sec": t_x10,
             "ratio": round(t_x10 / t_base, 2) if t_base > 0 else None,
