@@ -109,6 +109,7 @@ FAMILY = [
     "training_set_curation_leakage_safe",
     "training_set_curation_v2",
     "training_set_curation_semantic",
+    "training_set_curation_dsir",
     "split_leakage_audit",
     "dataset_split_profile",
     "stratified_lang_rebalance",
@@ -362,16 +363,35 @@ def main() -> None:
             flush=True,
         )
 
+    # Named-query invocations MERGE into the existing artifact (update
+    # the named rows, keep everything else including followups) — a
+    # full refresh is ~55 min, far too much to re-pay for one new
+    # registration's ×10 datapoint.
+    prior = {}
+    if sys.argv[1:] and os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                loaded = json.load(f)
+            if loaded.get("metric") == "scale_rehearsal_x10":
+                prior = loaded
+        except (OSError, ValueError):
+            pass
+    merged = dict(prior.get("queries") or {})
+    merged.update(results)
     artifact = {
         "metric": "scale_rehearsal_x10",
         "base_sf": 0.1,
         "scale_factor": SCALE,
         "construction": "token-suffixed doc shards + dimension-rotated embedding shards (see tools/scale_rehearsal.py docstring)",
-        "queries": results,
+        "queries": merged,
         "superlinear": sorted(
-            n for n, r in results.items() if r["ratio"] and r["ratio"] > 12
+            n for n, r in merged.items() if r["ratio"] and r["ratio"] > 12
         ),
     }
+    if followup is None:
+        followup = prior.get("followup_lsh_scaled")
+    if followup_sem is None:
+        followup_sem = prior.get("followup_semantic_scaled")
     if followup is not None:
         artifact["followup_lsh_scaled"] = followup
     if followup_sem is not None:
