@@ -19,14 +19,16 @@ least-recently-verified first: a query's priority is the most recent
 round whose ``CORRECTNESS_r*.json`` contains a fully-green row for it
 (never-verified or previously-failing queries sort first; ties break
 on registration order). With N registered queries and a cap of C the
-structural bound is N <= 2C (100 at C=50; N=100 as of round 12 after
-DSIR selection and embedding decontamination took the last two slots
-— the registry is AT the cap, so each future registration retires one
-near-twin from the prior round's verified half first; the README
-names the retirement order) and each query is unverified for at most
-one consecutive round. Retirements must come from the PRIOR round's
-verified half: only those free prefix slots for never-verified
-newcomers.
+structural bound is N <= 2C (100 at C=50; the registry is AT the cap,
+so each new registration first retires one near-twin — round 13
+seated training_set_curation_dsir by retiring
+training_set_curation_semantic; the README names the next candidate)
+and each query is unverified for at most one consecutive round.
+Retirements must come from the LEAST-recently-verified half (the one
+whose gate-prefix slot the newcomer takes): retiring a
+freshly-verified row instead pushes a stale row past the prefix and
+breaches the staleness bound — tests/test_registry.py's
+test_no_registered_query_is_stale enforces exactly this.
 The ordering is a pure function of the committed CORRECTNESS files,
 so it is deterministic for the driver and reproducible for the judge.
 """

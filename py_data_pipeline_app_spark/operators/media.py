@@ -890,3 +890,57 @@ def dhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def media_dhash_canonicals(
+    media: DataFrame,
+    *,
+    decoder: str = "payload_gray",
+    axes: str = "both",
+    max_hamming: int = 6,
+    bands: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """One-call multimodal dedup: perceptual hash → banded near-dup
+    pairs → connected components → keep ONE canonical asset per
+    duplicate cluster, by FIDELITY — the selection policy an image
+    corpus wants (a resized/re-encoded family should keep its
+    highest-resolution member, not an arbitrary lowest-id one).
+    Returns (media_id, component_id, canonical_id, fidelity,
+    is_canonical); assets in no pair are their own singleton
+    canonical.
+
+    Fidelity is ``meta.width × meta.height`` where the typed metadata
+    carries dimensions, else the payload byte length (time media /
+    dimensionless assets) — 6dp-stable numerics, ties to the LOWEST
+    id. The cluster resolution is
+    :func:`~py_data_pipeline_app_spark.operators.dedup.cluster_canonicals`
+    verbatim (min-label propagation + one map-side
+    ``min(struct(-score, id))`` per component), so the multimodal path
+    inherits the text stack's measured scale shape: pairs are banded
+    and chunk-capped, components converge in O(cluster diameter)
+    rounds, and the canonical pick never windows over the
+    mostly-singleton corpus."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        cluster_canonicals,
+    )
+
+    hashes = media_dhash(media, decoder=decoder, axes=axes)
+    pairs = dhash_near_dup_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    fidelity = F.coalesce(
+        (F.col("meta.width") * F.col("meta.height")).cast("double"),
+        F.octet_length("payload").cast("double"),
+    )
+    scores = media.select(F.col("media_id"), fidelity.alias("fidelity"))
+    return cluster_canonicals(
+        media.select("media_id"),
+        pairs,
+        scores,
+        id_col="media_id",
+        score_col="fidelity",
+    )

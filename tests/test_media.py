@@ -700,3 +700,42 @@ def test_dhash_two_axis_scale_path(spark):
 
     with pytest.raises(ValueError, match="bands"):
         M.dhash_near_dup_pairs(hashes, bands=6)
+
+
+def test_media_dhash_canonicals_keeps_highest_fidelity(spark):
+    """The composed multimodal dedup: planted duplicate payloads (same
+    bytes ⇒ hamming 0) cluster together and the HIGHEST-RESOLUTION
+    member survives as canonical (ties lowest id); non-dup assets are
+    their own singleton canonicals."""
+    from py_data_pipeline_app_spark import schemas
+
+    rows = [
+        # duplicate family: same payload, three resolutions
+        (1, "image", b"family-one-bytes", "image/png", (64, 64, None, None)),
+        (2, "image", b"family-one-bytes", "image/png", (256, 256, None, None)),
+        (3, "image", b"family-one-bytes", "image/png", (128, 128, None, None)),
+        # singleton
+        (9, "image", b"unrelated-payload!!", "image/png", (512, 512, None, None)),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA)
+    got = {r.media_id: r for r in M.media_dhash_canonicals(df).collect()}
+    assert got[1].component_id == got[2].component_id == got[3].component_id
+    for mid in (1, 2, 3):
+        assert got[mid].canonical_id == 2  # 256x256 wins
+    assert got[2].is_canonical and not got[1].is_canonical
+    assert got[9].canonical_id == 9 and got[9].is_canonical
+    # fidelity falls back to payload bytes where dimensions are null —
+    # a duplicate audio family (identical payloads; the cyclic fake
+    # also tiles, so a 3x repeat hashes identically, which is exactly
+    # the planted-duplicate property) keeps the LONGER clip
+    audio = spark.createDataFrame(
+        [
+            (21, "audio", b"same-clip", "audio/wav", (None, None, 100, 16000)),
+            (22, "audio", b"same-clip" * 3, "audio/wav", (None, None, 100, 16000)),
+        ],
+        schemas.MEDIA,
+    )
+    g2 = {r.media_id: r for r in M.media_dhash_canonicals(audio).collect()}
+    assert g2[21].component_id == g2[22].component_id
+    assert g2[22].is_canonical and not g2[21].is_canonical  # 27 bytes > 9
+    assert g2[22].fidelity == 27.0
