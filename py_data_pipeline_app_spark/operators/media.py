@@ -617,49 +617,51 @@ def _sample_frames_decoded(
 # ---------------------------------------------------------------------------
 
 
+def _overlap_matrix(n_pixels: int, n_cells: int):
+    """Integer pixel↔cell overlap matrix (n_cells, n_pixels), scaled
+    by ``n_cells`` so every entry is exact: entry (c, p) is
+    ``n_cells ×`` the length of the intersection of pixel interval
+    [p, p+1) with cell interval [c·n/n_cells, (c+1)·n/n_cells).
+    Scaling clears the only fraction in the geometry, so the matrix —
+    and any weighted sum of integer pixel values through it — is
+    exact integer arithmetic, replayable verbatim by a SQL oracle."""
+    import numpy as np
+
+    p = np.arange(n_pixels, dtype=np.int64)
+    c = np.arange(n_cells, dtype=np.int64)[:, None]
+    ov = np.minimum((p + 1) * n_cells, (c + 1) * n_pixels) - np.maximum(
+        p * n_cells, c * n_pixels
+    )
+    return np.maximum(ov, 0)
+
+
 def _downsample_gray(arr, rows: int = 8, cols: int = 9):
     """Box-mean downsample of a 2-D grayscale array to (rows, cols) —
     the scale-normalization half of dHash, PIL-free by design (the
     `_rgb_histogram` discipline: decode and arithmetic split, so the
     arithmetic is executable and pinned in environments without the
-    codec). Box means over fractional cell boundaries are computed by
-    prefix sums (an integral image), so a W×H and a 2W×2H rendering of
-    the same image produce near-identical grids — which is exactly why
-    dHash survives resizing."""
+    codec). Fractional cell boundaries are handled by EXACT integer
+    overlap weights (:func:`_overlap_matrix`): each cell mean is
+    ``(OY · A · OXᵀ) / (h·w)`` where the overlap matrices are scaled
+    integers, so for integer-valued pixels every scaled cell sum is an
+    exact int64 (all partial sums are non-negative integers < 2⁵³ —
+    order-independent in IEEE float64) and, because every cell has
+    equal area, the dHash comparisons of adjacent cells reduce to
+    exact INTEGER comparisons. That makes the hash bit-deterministic
+    across engines (ties are exact zeros, never float-noise coin
+    flips) and lets the DuckDB gate oracle replay the full pipeline in
+    integer SQL. Box means over a W×H and a 2W×2H rendering of the
+    same image remain near-identical — which is why dHash survives
+    resizing."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.float64)
     if a.ndim != 2:
         raise ValueError(f"expected 2-D grayscale array, got shape {a.shape}")
     h, w = a.shape
-    # integral image with a zero row/col prefix
-    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
-    ii[1:, 1:] = np.cumsum(np.cumsum(a, axis=0), axis=1)
-    ys = np.linspace(0, h, rows + 1)
-    xs = np.linspace(0, w, cols + 1)
-
-    def box(y0, y1, x0, x1):
-        # fractional-boundary box sum via bilinear interpolation of the
-        # integral image (exact for piecewise-constant pixels)
-        def at(y, x):
-            yi, xi = int(y), int(x)
-            fy, fx = y - yi, x - xi
-            yi2, xi2 = min(yi + 1, h), min(xi + 1, w)
-            return (
-                ii[yi, xi] * (1 - fy) * (1 - fx)
-                + ii[yi2, xi] * fy * (1 - fx)
-                + ii[yi, xi2] * (1 - fy) * fx
-                + ii[yi2, xi2] * fy * fx
-            )
-
-        return at(y1, x1) - at(y0, x1) - at(y1, x0) + at(y0, x0)
-
-    out = np.empty((rows, cols), dtype=np.float64)
-    for r in range(rows):
-        for c in range(cols):
-            area = (ys[r + 1] - ys[r]) * (xs[c + 1] - xs[c])
-            out[r, c] = box(ys[r], ys[r + 1], xs[c], xs[c + 1]) / area
-    return out
+    oy = _overlap_matrix(h, rows).astype(np.float64)
+    ox = _overlap_matrix(w, cols).astype(np.float64)
+    return (oy @ a @ ox.T) / (h * w)
 
 
 def _dhash_bits(grid) -> int:
@@ -737,7 +739,7 @@ DHASH_DECODERS = {
 
 
 def media_dhash(
-    media: DataFrame, *, decoder: str = "payload_gray", axes: str = "horizontal"
+    media: DataFrame, *, decoder: str = "payload_gray", axes: str = "both"
 ) -> DataFrame:
     """(media_id, dhash[, dhash_v]): perceptual difference-hash per
     asset via ``mapInPandas`` — the image-dedup signature the near-dup
@@ -747,16 +749,20 @@ def media_dhash(
     up front. Filter to ``kind='image'`` first when the table is
     mixed-modality; the hash itself is total on any payload.
 
-    ``axes="both"`` adds the VERTICAL gradient hash (``dhash_v``, the
-    transposed 9×8 grid through the same bit arithmetic) — 128 signal
-    bits total, the standard two-axis dHash. This is the CORPUS-SCALE
-    signature: :func:`dhash_near_dup_pairs` bands a two-axis hash
-    into 16-bit buckets (occupancy N/65536 instead of the 64-bit
-    hash's N/256), which the ×100 rehearsal measured as the
-    difference between bounded and quadratic candidate mass — the
-    `lsh_config_for` lesson replayed in hamming space, except here
-    bucket width is bits-budgeted, so scale buys it with a wider
-    hash rather than a recall trade."""
+    ``axes="both"`` — the DEFAULT — adds the VERTICAL gradient hash
+    (``dhash_v``, the transposed 9×8 grid through the same bit
+    arithmetic): 128 signal bits total, the standard two-axis dHash.
+    This is the CORPUS-SCALE signature and therefore the production
+    default (measured rule: scale configs are defaults, fixed/eval
+    configs are opt-in — the `lsh_config_for` lesson):
+    :func:`dhash_near_dup_pairs` bands a two-axis hash into 16-bit
+    buckets (occupancy N/65536 instead of the 64-bit hash's N/256),
+    which the ×100 rehearsal measured as the difference between
+    bounded and quadratic candidate mass (28.8 s vs 150.3 s,
+    BENCH_sf10). ``axes="horizontal"`` keeps the classic 64-bit
+    single-axis hash for evals and third-party interop (it is what
+    external dHash tools emit); scale buys wider buckets with MORE
+    signal bits, never with fewer bands."""
     if decoder not in DHASH_DECODERS:
         raise ValueError(
             f"Unknown decoder {decoder!r}; have {sorted(DHASH_DECODERS)}"
@@ -788,6 +794,73 @@ def media_dhash(
 
     schema = "media_id long, dhash long" + (", dhash_v long" if both else "")
     return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
+
+
+def _dhash_hash_cols(hashes: DataFrame, hash_col: str = "dhash") -> list[str]:
+    """The signature columns present on a dHash frame: the horizontal
+    hash always, plus ``dhash_v`` when the frame carries the two-axis
+    signature (the production default)."""
+    return [hash_col] + (["dhash_v"] if "dhash_v" in hashes.columns else [])
+
+
+def dhash_band_buckets(
+    hashes: DataFrame,
+    *,
+    bands: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(id, band, bucket) rows from a dHash signature frame: the
+    signature's 64 (single-axis) or 128 (two-axis) bits split into
+    ``bands`` disjoint segments — drawn half from each hash column for
+    a two-axis frame — each segment becoming a band's bucket key. One
+    Generate (explode of a ``bands``-element literal-shaped array),
+    pure bit arithmetic (shiftrightunsigned + mask), no shuffle.
+    Shared by the batch pairs path (:func:`dhash_near_dup_pairs`) and
+    the incremental index fold
+    (:func:`~py_data_pipeline_app_spark.operators.media_dedup_incremental.incremental_dhash_fold`)
+    so both sides bucket identically BY CONSTRUCTION — the
+    dedup.band_buckets discipline in hamming space."""
+    hash_cols = _dhash_hash_cols(hashes, hash_col)
+    per_hash = bands // len(hash_cols)
+    if bands % len(hash_cols) or per_hash == 0 or 64 % per_hash:
+        raise ValueError(
+            f"bands must split evenly over {len(hash_cols)} hash column(s) "
+            f"into widths dividing 64, got bands={bands}"
+        )
+    seg = 64 // per_hash
+    mask = (1 << seg) - 1
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(hi * per_hash + i).alias("band"),
+                F.expr(f"shiftrightunsigned({hc}, {i * seg})")
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for hi, hc in enumerate(hash_cols)
+            for i in range(per_hash)
+        ]
+    )
+    return hashes.select(
+        F.col(id_col), F.explode(band_keys).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def dhash_hamming(
+    hash_cols: Iterable[str], a_prefix: str = "_ha", b_prefix: str = "_hb"
+) -> Column:
+    """Exact hamming distance between two signatures spread over
+    ``hash_cols``-indexed column pairs (``{a_prefix}{j}`` vs
+    ``{b_prefix}{j}``): one XOR + bit_count per axis, summed — pure
+    codegen, no Python."""
+    ham = None
+    for j, _ in enumerate(hash_cols):
+        term = F.expr(f"bit_count({a_prefix}{j} ^ {b_prefix}{j})")
+        ham = term if ham is None else ham + term
+    return ham
 
 
 def dhash_near_dup_pairs(
@@ -826,8 +899,11 @@ def dhash_near_dup_pairs(
     hamming space must be bought with MORE SIGNAL BITS, not fewer
     bands — fewer bands would shrink the guaranteed-recall radius —
     which is why the scale path is a wider hash, not a tuning knob.
-    Single-axis byte banding remains the eval default (tiny corpora,
-    and the 64-bit hash is what third-party dHash tools emit).
+    Single-axis byte banding remains available for eval/interop
+    feeds (tiny corpora, and the 64-bit hash is what third-party
+    dHash tools emit) but is OPT-IN: the signature producer
+    (:func:`media_dhash`) defaults to two-axis, so this function
+    composes to 16-bit buckets by default.
     Everything else is the shared posting-list discipline: grouped
     chunk-capped expansion, never a bucket self-join, cost ∝ rows +
     candidate pairs. Returns (id_a, id_b, hamming)."""
@@ -835,32 +911,10 @@ def dhash_near_dup_pairs(
         _bucket_member_pairs,
     )
 
-    hash_cols = [hash_col] + (
-        ["dhash_v"] if "dhash_v" in hashes.columns else []
+    hash_cols = _dhash_hash_cols(hashes, hash_col)
+    blocked = dhash_band_buckets(
+        hashes, bands=bands, id_col=id_col, hash_col=hash_col
     )
-    per_hash = bands // len(hash_cols)
-    if bands % len(hash_cols) or 64 % per_hash:
-        raise ValueError(
-            f"bands must split evenly over {len(hash_cols)} hash column(s) "
-            f"into widths dividing 64, got bands={bands}"
-        )
-    seg = 64 // per_hash
-    mask = (1 << seg) - 1
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(hi * per_hash + i).alias("band"),
-                F.expr(f"shiftrightunsigned({hc}, {i * seg})")
-                .bitwiseAND(F.lit(mask))
-                .alias("bucket"),
-            )
-            for hi, hc in enumerate(hash_cols)
-            for i in range(per_hash)
-        ]
-    )
-    blocked = hashes.select(
-        F.col(id_col), F.explode(band_keys).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     cands = (
         _bucket_member_pairs(
             blocked, ["band", "bucket"], id_col, max_bucket_size=max_bucket_size
@@ -876,17 +930,13 @@ def dhash_near_dup_pairs(
         F.col(id_col).alias("id_b"),
         *[F.col(hc).alias(f"_hb{j}") for j, hc in enumerate(hash_cols)],
     )
-    ham = None
-    for j in range(len(hash_cols)):
-        term = F.expr(f"bit_count(_ha{j} ^ _hb{j})")
-        ham = term if ham is None else ham + term
     return (
         cands.join(ha, "id_a")
         .join(hb, "id_b")
         .select(
             "id_a",
             "id_b",
-            ham.cast("int").alias("hamming"),
+            dhash_hamming(hash_cols).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -3153,10 +3153,18 @@ def media_resize_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM media
     GROUP BY kind, mime
     """,
+    retired=True,
 )
 def media_payload_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload volume + exact-duplicate profile per (kind, mime): one
-    hash aggregation; only digests and counters cross the shuffle."""
+    hash aggregation; only digests and counters cross the shuffle.
+
+    RETIRED round 14 (registry at the 2×gate-cap ceiling; retired from
+    the least-recently-verified half per the README's rotation plan,
+    near-twin coverage: the payload md5/byte accounting stays exercised
+    by media_metadata_filter + this oracle in tests/test_retired.py) to
+    seat ``media_dhash_canonicals`` — the multimodal dedup family's
+    driver-gate row."""
     media = M.media_from_documents(load_table(spark, "documents", sf_dir))
     prof = M.payload_profile(media)
     return prof.select(
@@ -3168,6 +3176,227 @@ def media_payload_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_payloads",
         "n_dup_payloads",
     )
+
+
+def _dhash_overlap(n_pixels: int, n_cells: int) -> list[list[int]]:
+    """SQL-side mirror of operators.media._overlap_matrix: integer
+    pixel↔cell overlaps scaled by ``n_cells`` (entry [c][p]). The
+    constants are baked into the generated oracle below so DuckDB
+    replays the vertical-hash box means in EXACT integer arithmetic —
+    the same integers the Spark side's float64 matmul reproduces
+    exactly (all partial sums are integers < 2⁵³)."""
+    out = []
+    for c in range(n_cells):
+        row = []
+        for p in range(n_pixels):
+            v = min((p + 1) * n_cells, (c + 1) * n_pixels) - max(
+                p * n_cells, c * n_pixels
+            )
+            row.append(max(v, 0))
+        out.append(row)
+    return out
+
+
+def _dhash_hv_ctes() -> str:
+    """Generated CTE chain computing (media_id, fidelity, dhash,
+    dhash_v) from an ``img(media_id, payload_text, fidelity)`` CTE —
+    the DuckDB replay of the payload_gray fake decoder + exact
+    box-mean downsample + MSB-first gradient bits
+    (operators/media.py: _payload_gray → _downsample_gray →
+    _dhash_bits, axes="both"). Every step is integer arithmetic:
+    pixels are payload bytes tiled to 24×27; the horizontal 8×9 grid
+    is 3×3-aligned box sums; the vertical 9×8 grid has fractional
+    cell boundaries handled by the baked-in scaled overlap constants;
+    equal cell areas make each gradient bit an integer comparison.
+    Signed 64-bit packing matches Spark LongType two's complement
+    (the sign bit contributes -2⁶³)."""
+    # horizontal: 72 aligned 3x3 box sums, lambda form (affine in k)
+    hterms = " + ".join(
+        f"p[((k//9)*3+{dy})*27 + (k%9)*3+{dx} + 1]"
+        for dy in range(3)
+        for dx in range(3)
+    )
+    oy9 = _dhash_overlap(24, 9)  # [R][y], scaled by 9
+    ox8 = _dhash_overlap(27, 8)  # [C][x], scaled by 8
+    # factored vertical sums: per-pixel-row partial sums over x first
+    # (rs[y*8+C]), then the y-overlap fold (vc[R*8+C]) — 4-5 nonzero
+    # terms each instead of the naive 648-term cell expansion
+    rs_exprs = []
+    for y in range(24):
+        for c8 in range(8):
+            terms = [
+                f"{ox8[c8][x]}*p[{y * 27 + x + 1}]"
+                for x in range(27)
+                if ox8[c8][x] > 0
+            ]
+            rs_exprs.append(" + ".join(terms))
+    vc_exprs = []
+    for r9 in range(9):
+        for c8 in range(8):
+            terms = [
+                f"{oy9[r9][y]}*rs[{y * 8 + c8 + 1}]"
+                for y in range(24)
+                if oy9[r9][y] > 0
+            ]
+            vc_exprs.append(" + ".join(terms))
+
+    def bit_sum(cmp) -> str:
+        parts = []
+        for r in range(8):
+            for c in range(8):
+                i = r * 8 + c
+                lit = (
+                    "(-9223372036854775807 - 1)" if i == 0 else str(1 << (63 - i))
+                )
+                parts.append(
+                    f"CASE WHEN {cmp(r, c)} THEN {lit}::BIGINT"
+                    " ELSE 0::BIGINT END"
+                )
+        return " + ".join(parts)
+
+    hbits = bit_sum(lambda r, c: f"hc[{r * 9 + c + 1}] > hc[{r * 9 + c + 2}]")
+    # transposed 9x8 grid: bit (r, c) compares vc[c*8+r] vs vc[(c+1)*8+r]
+    vbits = bit_sum(
+        lambda r, c: f"vc[{c * 8 + r + 1}] > vc[{(c + 1) * 8 + r + 1}]"
+    )
+    return f"""
+    px AS (
+      SELECT media_id, fidelity,
+             CASE WHEN length(payload_text) = 0
+                  THEN list_transform(range(0, 648), i -> 0)
+                  ELSE list_transform(range(0, 648),
+                    i -> unicode(payload_text[
+                           CAST(i % length(payload_text) AS INT) + 1]))
+             END AS p
+      FROM img
+    ),
+    cells AS (
+      SELECT media_id, fidelity,
+             list_transform(range(0, 72), k -> {hterms}) AS hc,
+             [{', '.join(rs_exprs)}] AS rs
+      FROM px
+    ),
+    vcells AS (
+      SELECT media_id, fidelity, hc, [{', '.join(vc_exprs)}] AS vc
+      FROM cells
+    ),
+    hv AS (
+      SELECT media_id, fidelity,
+             {hbits} AS dhash,
+             {vbits} AS dhash_v
+      FROM vcells
+    )"""
+
+
+@register(
+    "media_dhash_canonicals",
+    f"""
+    WITH RECURSIVE media AS ({M.MEDIA_SQL}),
+    img0 AS (
+      SELECT media_id, payload_text, width, height
+      FROM media WHERE kind = 'image'
+    ),
+    img AS (
+      SELECT media_id, payload_text,
+             CAST(width * height AS DOUBLE) AS fidelity
+      FROM img0
+      UNION ALL
+      SELECT media_id + 10000000, payload_text,
+             CAST((width * 2) * height AS DOUBLE)
+      FROM img0 WHERE media_id % 7 = 0
+      UNION ALL
+      SELECT media_id + 20000000, payload_text,
+             CAST(width * height AS DOUBLE)
+      FROM img0 WHERE media_id % 11 = 0
+    ),
+    {_dhash_hv_ctes()},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM hv a JOIN hv b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash))
+            + bit_count(xor(a.dhash_v, b.dhash_v)) <= 6
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, m) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    comp AS (
+      SELECT node AS media_id, least(node, min(m)) AS component_id
+      FROM reach GROUP BY node
+    ),
+    member AS (
+      SELECT i.media_id,
+             coalesce(c.component_id, i.media_id) AS component_id,
+             i.fidelity
+      FROM img i LEFT JOIN comp c USING (media_id)
+    ),
+    canon AS (
+      SELECT component_id, media_id AS canonical_id FROM (
+        SELECT component_id, media_id,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY fidelity DESC, media_id) AS rn
+        FROM member
+      ) WHERE rn = 1
+    )
+    SELECT m.media_id, m.component_id, c.canonical_id, m.fidelity,
+           m.media_id = c.canonical_id AS is_canonical
+    FROM member m JOIN canon c USING (component_id)
+    """,
+)
+def media_dhash_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup family's driver-gate row (round 14; the
+    round-13 verdict's #1): perceptual dHash → banded near-dup pairs →
+    connected components → fidelity canonicals, end-to-end at the
+    PRODUCTION defaults (two-axis 128-bit signature, 16-bit band
+    buckets, combined-hamming ≤ 6 verify) over the deterministic
+    ``payload_gray`` decoder — pure integer arithmetic from payload
+    bytes, so DuckDB replays the full chain (tiled 24×27 grid, exact
+    box-mean downsample via baked-in integer overlap constants,
+    MSB-first gradient bits, brute-force hamming ≤ 6 pairs — equal to
+    the banded set by the pigeonhole recall GUARANTEE: combined
+    hamming 6 < 8 bands ⇒ co-block — then transitive closure by
+    recursive CTE and the fidelity argmax, ties to lowest id).
+
+    Because real corpus texts rarely collide within hamming 6, the
+    query PLANTS deterministic duplicate families so the clustering
+    stages are value-checked, not vacuously green (the
+    cross_corpus_decontamination carve-the-benchmark precedent):
+    every 7th image gets a doubled-width copy (the planted copy must
+    WIN the canonical pick), every 11th an identical-fidelity copy
+    (tie must break to the LOWEST id), and 77-multiples form 3-member
+    clusters (transitivity). Scale shape: hashing is a zero-shuffle
+    Arrow map; blocking is the shared grouped chunk-capped posting
+    expansion (never a bucket self-join); components converge in
+    O(cluster diameter) rounds; the canonical pick is one map-side
+    ``min(struct(-fidelity, id))`` per component."""
+    media = M.media_from_documents(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("kind") == "image")
+    width2 = F.col("meta").withField(
+        "width", (F.col("meta.width") * 2).cast("int")
+    )
+    p7 = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        "kind",
+        "payload",
+        "mime",
+        width2.alias("meta"),
+    )
+    p11 = media.filter(F.col("media_id") % 11 == 0).select(
+        (F.col("media_id") + 20_000_000).alias("media_id"),
+        "kind",
+        "payload",
+        "mime",
+        "meta",
+    )
+    feed = media.unionByName(p7).unionByName(p11)
+    return M.media_dhash_canonicals(feed)
 
 
 @register(
@@ -3903,7 +4132,7 @@ def training_set_curation_dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the value hash. Scale shape: fit = one gram explode + one
     ≤1024-key groupBy; scoring = zero-shuffle map-literal fold; the
     rollup is a bounded-key agg. Registered in the slot
-    ``media_payload_profile`` vacated (retired round 13, still
+    ``training_set_curation_semantic`` vacated (retired round 13, still
     value-checked in tests/test_retired.py)."""
     from py_data_pipeline_app_spark.functions.text import tokens as _toks
     from py_data_pipeline_app_spark.operators.sampling import (

@@ -610,7 +610,10 @@ def test_image_dhash_real_decode_resize_reencode_coblock(spark, tmp_path):
         (3, png_bytes(im.resize((32, 32), Image.BILINEAR))),  # resized
     ]
     media_df = local_rows_df(spark, "media_id long, payload binary", rows)
-    hashes = M.media_dhash(media_df, decoder="image_gray")
+    # single-axis explicitly: this test pins the REAL DECODE plumbing
+    # against the classic 64-bit dHash radius (the third-party-compat
+    # config); the production default is the two-axis signature
+    hashes = M.media_dhash(media_df, decoder="image_gray", axes="horizontal")
     pairs = {
         (r.id_a, r.id_b): r.hamming
         for r in M.dhash_near_dup_pairs(hashes, max_hamming=6).collect()
@@ -700,6 +703,31 @@ def test_dhash_two_axis_scale_path(spark):
 
     with pytest.raises(ValueError, match="bands"):
         M.dhash_near_dup_pairs(hashes, bands=6)
+
+
+def test_dhash_two_axis_is_production_default(spark):
+    """The corpus-scale config is the DEFAULT at every composition
+    level (the auto-banding rule applied to the dhash family): a bare
+    media_dhash() emits the two-axis 128-bit signature, and a bare
+    dhash_near_dup_pairs() over it therefore bands into 16-bit
+    buckets — the configuration the ×100 rehearsal measured as
+    bounded candidate mass. The 64-bit single-axis hash stays opt-in
+    (eval/third-party interop)."""
+    feed = spark.createDataFrame(
+        [(1, b"some-bytes-for-hashing")], "media_id long, payload binary"
+    )
+    hx = M.media_dhash(feed)
+    assert "dhash_v" in hx.columns  # two-axis by default
+    blocked = M.dhash_near_dup_pairs(hx, max_hamming=0)
+    assert blocked.count() == 0  # composes without config — 16-bit buckets
+    # and the one-call composed path defaults to the same signature
+    import inspect
+
+    assert inspect.signature(M.media_dhash).parameters["axes"].default == "both"
+    assert (
+        inspect.signature(M.media_dhash_canonicals).parameters["axes"].default
+        == "both"
+    )
 
 
 def test_media_dhash_canonicals_keeps_highest_fidelity(spark):

@@ -114,6 +114,7 @@ FAMILY = [
     "dataset_split_profile",
     "stratified_lang_rebalance",
     "media_payload_profile",
+    "media_dhash_canonicals",
     "media_feature_extract",
     "media_feature_topk",
     "media_frame_sample",

@@ -293,10 +293,11 @@ def main() -> None:
     t_x100 = time_query(_dhash_pipeline("horizontal"), spark, X100_DIR)
     followups["dhash_near_dup_byte_bands"] = {
         "what": "image perceptual-hash near-dup, SINGLE-AXIS 64-bit hash / "
-        "8-bit band buckets (round 13, eval config): byte buckets admit a "
+        "8-bit band buckets (OPT-IN eval/interop config since round 14 - "
+        "axes='both' is the production default): byte buckets admit a "
         "constant 1/256 of random pairs per band - quadratic candidate "
         "mass, the lsh_config_for lesson in hamming space; kept as the "
-        "contrast row for the two-axis path below",
+        "contrast row for the default two-axis path below",
         "sf0.1_sec": t_base,
         "x100_sec": t_x100,
         "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
@@ -310,7 +311,8 @@ def main() -> None:
     t_x100 = time_query(_dhash_pipeline("both"), spark, X100_DIR)
     followups["dhash_near_dup_2axis"] = {
         "what": "image perceptual-hash near-dup, TWO-AXIS 128-bit "
-        "signature / 16-bit band buckets (the documented corpus path): "
+        "signature / 16-bit band buckets (the PRODUCTION DEFAULT - "
+        "media_dhash defaults axes='both' since round 14): "
         "same pigeonhole guarantee (combined hamming < 8), bucket "
         "collision 1/65536 - candidate mass stays ~N/65536-occupancy "
         "bounded; wider buckets bought with more signal bits, never "
