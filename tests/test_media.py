@@ -767,3 +767,109 @@ def test_media_dhash_canonicals_keeps_highest_fidelity(spark):
     assert g2[21].component_id == g2[22].component_id
     assert g2[22].is_canonical and not g2[21].is_canonical  # 27 bytes > 9
     assert g2[22].fidelity == 27.0
+
+
+def test_video_frame_dhash_fake_path_and_clip_pairing(spark):
+    """Video near-dup (round-14 stretch): per-frame two-axis dHash
+    signatures through the mapInPandas plumbing, banded on
+    (frame_bucket, band) — a re-encoded clip twin (identical payload;
+    the tiled cyclic payload is the fake-decoder analog of a
+    re-encode) co-blocks and verifies across ≥2 time buckets, while an
+    unrelated clip never pairs and a single coincidental frame is
+    below the min_matching_buckets floor."""
+    from py_data_pipeline_app_spark import schemas
+
+    clip = bytes((x * 9) % 251 for x in range(648))
+    other = bytes((x * 31 + 7) % 241 for x in range(648))
+    rows = [
+        # 4000 ms -> 100 frames -> sampled 0,5,...,95 -> buckets 0..3
+        (1, "video", clip, "video/mp4", (None, None, 4000, None)),
+        (2, "video", clip * 3, "video/mp4", (None, None, 4000, None)),  # re-encode twin
+        (3, "video", other, "video/mp4", (None, None, 4000, None)),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA)
+    fh = M.video_frame_dhash(df)
+    per_clip = {r.media_id: r["count"] for r in fh.groupBy("media_id").count().collect()}
+    assert per_clip == {1: 20, 2: 20, 3: 20}
+    # identical clips produce identical per-frame signatures
+    h1 = {(r.frame_idx): (r.dhash, r.dhash_v) for r in fh.filter(F.col("media_id") == 1).collect()}
+    h2 = {(r.frame_idx): (r.dhash, r.dhash_v) for r in fh.filter(F.col("media_id") == 2).collect()}
+    assert h1 == h2
+    got = {(r.id_a, r.id_b): r.n_matching_buckets for r in M.video_near_dup_pairs(fh).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 4  # all 4 time buckets match
+    assert not any(3 in p for p in got)
+    # min_matching_buckets floors out sparse coincidence: demand more
+    # buckets than the clips have
+    none = M.video_near_dup_pairs(fh, min_matching_buckets=5).collect()
+    assert none == []
+
+
+def test_video_frame_dhash_survives_frame_timing_shift(spark):
+    """The reason blocking is on COARSE time buckets: a re-encoded
+    clip whose frames shift within the bucket window (here: the same
+    content sampled at offset frame indices, so ts_ms moves by one
+    sampling step) still co-blocks and verifies — frame-exact join
+    keys would miss it."""
+    import pandas as pd
+
+    clip = bytes((x * 9) % 251 for x in range(648))
+    rows = []
+    for i in range(0, 100, 5):
+        h = M._dhash_bits(M._downsample_gray(M._payload_frame_gray(clip, i)))
+        v = M._dhash_bits(
+            M._downsample_gray(M._payload_frame_gray(clip, i), rows=9, cols=8).T
+        )
+        rows.append((1, i, i * 40, h, v))
+        # the shifted twin: same frame content, timestamps one
+        # sampling step later (still inside the same 1000ms bucket
+        # for most frames)
+        rows.append((2, i + 1, i * 40 + 200, h, v))
+    fh = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, ts_ms long, dhash long, dhash_v long"
+    )
+    got = {(r.id_a, r.id_b): r.n_matching_buckets for r in M.video_near_dup_pairs(fh).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+
+
+def test_video_frame_dhash_real_decode_reencode_coblock(spark):
+    """Codec-gated (the _frames_histogram pattern): a synthetic clip
+    re-encoded at a different bitrate/codec pairs with its original
+    through the REAL PyAV per-frame decode — the arithmetic below the
+    decode is the same pinned grid/bits math the fake path exercises."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from py_data_pipeline_app_spark import schemas
+
+    def encode(codec: str, rate: int) -> bytes:
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as container:
+            stream = container.add_stream(codec, rate=5)
+            stream.width, stream.height = 64, 64
+            stream.pix_fmt = "yuv420p"
+            if rate:
+                stream.bit_rate = rate
+            y, x = np.mgrid[0:64, 0:64]
+            for t in range(10):
+                arr = np.where(
+                    ((y // 8) + t) % 2 == 0, x * 2.0, (63 - x) * 2.0
+                ).astype(np.uint8)
+                frame = av.VideoFrame.from_ndarray(
+                    np.stack([arr] * 3, axis=-1), format="rgb24"
+                )
+                for packet in stream.encode(frame):
+                    container.mux(packet)
+            for packet in stream.encode():
+                container.mux(packet)
+        return buf.getvalue()
+
+    rows = [
+        (1, "video", encode("h264", 400_000), "video/mp4", (None, None, 2000, None)),
+        (2, "video", encode("h264", 80_000), "video/mp4", (None, None, 2000, None)),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA)
+    fh = M.video_frame_dhash(df, decoder="av_frames", every=2, fps_ms=200)
+    got = M.video_near_dup_pairs(fh, min_matching_buckets=1).collect()
+    assert any((r.id_a, r.id_b) == (1, 2) for r in got), [tuple(r) for r in got]

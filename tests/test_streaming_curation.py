@@ -764,3 +764,95 @@ def test_dsir_gate_in_front_door(spark, tmp_path):
     }
     assert cur == {r.doc_id for r in rows if r.retained}
     assert not cur & {11, 13}
+
+
+def test_media_gate_in_front_door(spark, tmp_path):
+    """The image near-dup gate (round 14): batches carrying a nullable
+    ``payload`` column fold into the persisted dHash index
+    (media_index=), land an ``img_kept`` flag folded into ``retained``,
+    and the accounting grows ``n_dropped_img_dup``. Planted duplicates:
+    batch 2 carries a RESIZED copy of a batch-1 asset (in fake-decoder
+    space: the tiled payload, which renders the identical cyclic grid —
+    the test_media canonicals precedent) plus a within-batch duplicate
+    pair; the cross-batch copy and the higher-id within-batch copy
+    drop, first occurrences and payload-less rows pass."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+    from py_data_pipeline_app_spark.streaming.curation import (
+        curated_corpus_current,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    media_idx = str(tmp_path / "state" / "media_index")
+    seed_emb = local_rows_df(
+        spark,
+        "doc_id long, embedding array<float>",
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+    )
+    build_semantic_index(
+        seed_emb,
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=2,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+
+    feed_schema = (
+        "doc_id long, text string, source string, "
+        "embedding array<float>, payload binary"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (10, "a document with an original image", "a", None, b"asset-one-bytes!"),
+            (11, "a document with another image", "a", None, b"asset-two-unrelated-payload"),
+            (12, "a text-only document, no asset", "a", None, None),
+        ],
+        feed_schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            # RESIZED copy of asset 10 (tiled payload: identical grid)
+            (20, "same image re-encoded at higher resolution", "b", None, b"asset-one-bytes!" * 3),
+            # within-batch duplicate pair: 21 survives (lowest id), 22 drops
+            (21, "fresh asset, first occurrence", "b", None, b"asset-three-fresh-bytes"),
+            (22, "fresh asset, duplicate copy", "b", None, b"asset-three-fresh-bytes"),
+            (23, "another text-only document", "b", None, None),
+        ],
+        feed_schema,
+    )
+    curation_fold(spark, state, out, batch1, 0, media_index=media_idx)
+    curation_fold(spark, state, out, batch2, 1, media_index=media_idx)
+
+    landed = curated_batches(spark, out)
+    assert "img_kept" in landed.columns
+    rows = landed.collect()
+    flags = {r.doc_id: r.img_kept for r in rows}
+    assert flags == {
+        10: True, 11: True, 12: True,   # originals + payload-less
+        20: False,                       # cross-batch resized copy
+        21: True, 22: False,             # within-batch: lowest id wins
+        23: True,
+    }
+    assert all(
+        r.retained == (r.sem_kept and r.good and r.img_kept) for r in rows
+    )
+
+    acct = curation_accounting(spark, out)
+    assert "n_dropped_img_dup" in acct.columns
+    tot = acct.agg(
+        F.sum("n_retained"), F.sum("n_dropped_semantic"),
+        F.sum("n_dropped_quality"), F.sum("n_dropped_img_dup"),
+    ).first()
+    assert sum(tot) == len(rows)
+    # the dropped duplicates never reach the trainer feed
+    cur = {
+        r.doc_id for r in curated_corpus_current(spark, out, state).collect()
+    }
+    assert not cur & {20, 22}
+    # replayed batch token reproduces identical flags (exactly-once)
+    curation_fold(spark, state, out, batch2, 1, media_index=media_idx)
+    again = {
+        r.doc_id: r.img_kept for r in curated_batches(spark, out).collect()
+    }
+    assert again == flags

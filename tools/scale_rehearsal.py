@@ -264,6 +264,7 @@ def main() -> None:
 
     spark = get_spark("scale-rehearsal")
     names = sys.argv[1:] or FAMILY
+    load_before = round(os.getloadavg()[0], 2)
     build_x10(spark)
     from py_data_pipeline_app_spark.plans.queries import RETIRED_QUERIES
 
@@ -379,10 +380,26 @@ def main() -> None:
             pass
     merged = dict(prior.get("queries") or {})
     merged.update(results)
+    # Host-noise probe (round 14, the bench.py env contract): re-time
+    # the first three rehearsed queries at base scale and report drift
+    # vs their own start-of-run timings, so a noisy window is visible
+    # IN the artifact instead of needing an out-of-band A/B rerun.
+    ctl_names = [n for n in names if n in results][:3]
+    ctl_start = sum(results[n]["sf0.1_sec"] for n in ctl_names)
+    ctl_end = sum(time_query(qs[n], spark, SF_BASE) for n in ctl_names)
+    env = {
+        "load_before": load_before,
+        "load_after": round(os.getloadavg()[0], 2),
+        "ctl_queries": ctl_names,
+        "ctl_delta_pct": (
+            round(100.0 * (ctl_end / ctl_start - 1.0), 1) if ctl_start else None
+        ),
+    }
     artifact = {
         "metric": "scale_rehearsal_x10",
         "base_sf": 0.1,
         "scale_factor": SCALE,
+        "env": env,
         "construction": "token-suffixed doc shards + dimension-rotated embedding shards (see tools/scale_rehearsal.py docstring)",
         "queries": merged,
         "superlinear": sorted(

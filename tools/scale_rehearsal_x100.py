@@ -141,6 +141,7 @@ def main() -> None:
 
     spark = get_spark("scale-rehearsal-x100")
     names = sys.argv[1:] or SUBSET
+    load_before = round(os.getloadavg()[0], 2)
     build_x100(spark)
     qs = {**RETIRED_QUERIES, **entry_mod.queries()}
     spark.read.parquet(f"{SF_BASE}/documents.parquet").count()  # warmup
@@ -249,25 +250,6 @@ def main() -> None:
         build_semantic_index,
     )
 
-    def time_build_2level(sf_dir: str, runs: int = 2) -> float:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        k = max(16, emb.count() // 275)
-        best = float("inf")
-        for _ in range(runs):
-            dest = "/tmp/sem_index_2level_rehearsal"
-            shutil.rmtree(dest, ignore_errors=True)
-            t0 = _time.perf_counter()
-            build_semantic_index(
-                emb,
-                dest,
-                threshold=0.9,
-                n_centroids=k,
-                two_level=True,
-            )
-            best = min(best, _time.perf_counter() - t0)
-        shutil.rmtree("/tmp/sem_index_2level_rehearsal", ignore_errors=True)
-        return round(best, 3)
-
     def _dhash_pipeline(axes):
         def run(spark, sf_dir):
             from py_data_pipeline_app_spark.operators.media import (
@@ -326,8 +308,46 @@ def main() -> None:
         flush=True,
     )
 
-    t_base = time_build_2level(SF_BASE)
-    t_x100 = time_build_2level(X100_DIR)
+    def time_build(sf_dir: str, *, two_level: bool, runs: int = 2) -> float:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        k = max(16, emb.count() // 275)
+        best = float("inf")
+        for _ in range(runs):
+            dest = "/tmp/sem_index_build_rehearsal"
+            shutil.rmtree(dest, ignore_errors=True)
+            t0 = _time.perf_counter()
+            build_semantic_index(
+                emb, dest, threshold=0.9, n_centroids=k, two_level=two_level
+            )
+            best = min(best, _time.perf_counter() - t0)
+        shutil.rmtree("/tmp/sem_index_build_rehearsal", ignore_errors=True)
+        return round(best, 3)
+
+    # flat-build CONTRAST at the same decade (round-14 verdict #6): the
+    # one-shot fold has its 270s-flat / 158s-two-level pair; this
+    # anchors the PERSISTED build row the same way. One run only — the
+    # flat fold at scaled-k is the measured-slow path by construction.
+    t_base = time_build(SF_BASE, two_level=False)
+    t_x100 = time_build(X100_DIR, two_level=False, runs=1)
+    followups["semantic_index_build_flat"] = {
+        "what": "PERSISTED build_semantic_index at scaled-k with the FLAT "
+        "k-per-row assignment — the contrast row anchoring "
+        "semantic_index_build_2level (same decade, same corpus): with "
+        "k ~ N/275 the flat fold is O(N^2/275), so the gap vs the "
+        "two-level row is the measured value of pinning "
+        "assign_mode='two_level' in the persisted lifecycle",
+        "sf0.1_sec": t_base,
+        "x100_sec": t_x100,
+        "ratio": round(t_x100 / t_base, 2) if t_base > 0 else None,
+    }
+    print(
+        f"followup semantic index build flat: {t_base:.2f}s -> "
+        f"{t_x100:.2f}s",
+        flush=True,
+    )
+
+    t_base = time_build(SF_BASE, two_level=True)
+    t_x100 = time_build(X100_DIR, two_level=True)
     followups["semantic_index_build_2level"] = {
         "what": "PERSISTED build_semantic_index at scaled-k with the pinned "
         "two_level assignment mode (round 13) — the lifecycle a 100 TB "
@@ -343,6 +363,81 @@ def main() -> None:
         flush=True,
     )
 
+    # round-14: the incremental dHash index at crawl cadence — build
+    # the index from ~99% of the corpus (one-time cost, reported for
+    # context), then time ONE fold of the ~1% holdout batch. The
+    # fold's claim is per-batch cost ∝ |batch| + |matching index rows|
+    # + one columnar scan of the history band table; the ratio row
+    # measures how that scan term actually grows at x100.
+    def _dhash_media(sf_dir):
+        from py_data_pipeline_app_spark.operators.media import (
+            media_from_documents,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return media_from_documents(docs).filter(
+            F.col("kind") == "image"
+        ).select("media_id", "payload")
+
+    def time_dhash_fold(sf_dir: str) -> tuple[float, float]:
+        from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+            incremental_dhash_fold,
+        )
+
+        media = _dhash_media(sf_dir)
+        hist = media.filter(F.col("media_id") % 97 != 0)
+        batch = media.filter(F.col("media_id") % 97 == 0)
+        dest = "/tmp/dhash_idx_rehearsal"
+        shutil.rmtree(dest, ignore_errors=True)
+        t0 = _time.perf_counter()
+        incremental_dhash_fold(
+            spark, dest, hist, batch_token="hist"
+        ).write.format("noop").mode("overwrite").save()
+        t_build = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        incremental_dhash_fold(
+            spark, dest, batch, batch_token="b1"
+        ).write.format("noop").mode("overwrite").save()
+        t_fold = _time.perf_counter() - t0
+        shutil.rmtree(dest, ignore_errors=True)
+        return round(t_build, 3), round(t_fold, 3)
+
+    build_base, fold_base = time_dhash_fold(SF_BASE)
+    build_x100, fold_x100 = time_dhash_fold(X100_DIR)
+    followups["dhash_incremental_fold"] = {
+        "what": "one ~1%-of-corpus batch folded into the persisted dHash "
+        "band index (round 14, production two-axis config) vs the "
+        "batch path's full rebuild (the dhash_near_dup_2axis row): "
+        "crawl cadence pays the small fold, not the rebuild; "
+        "*_build_sec is the one-time 99%-history seed, reported for "
+        "context, not part of the per-batch claim",
+        "sf0.1_sec": fold_base,
+        "x100_sec": fold_x100,
+        "ratio": round(fold_x100 / fold_base, 2) if fold_base > 0 else None,
+        "sf0.1_build_sec": build_base,
+        "x100_build_sec": build_x100,
+    }
+    print(
+        f"followup dhash incremental fold: {fold_base:.2f}s -> "
+        f"{fold_x100:.2f}s (build {build_base:.1f}s -> {build_x100:.1f}s)",
+        flush=True,
+    )
+
+    # host-noise probe (the bench.py env contract): re-time the first
+    # three rehearsed queries at base scale, report drift vs their own
+    # start-of-run timings
+    ctl_names = [n for n in names if n in results][:3]
+    ctl_start = sum(results[n]["sf0.1_sec"] for n in ctl_names)
+    ctl_end = sum(time_query(qs[n], spark, SF_BASE) for n in ctl_names)
+    env = {
+        "load_before": load_before,
+        "load_after": round(os.getloadavg()[0], 2),
+        "ctl_queries": ctl_names,
+        "ctl_delta_pct": (
+            round(100.0 * (ctl_end / ctl_start - 1.0), 1) if ctl_start else None
+        ),
+    }
+
     superlinear = [
         n for n, r in results.items() if r["ratio"] and r["ratio"] > 120
     ]
@@ -350,6 +445,7 @@ def main() -> None:
         "metric": "scale_rehearsal_x100",
         "base_sf": 0.1,
         "scale_factor": SCALE,
+        "env": env,
         "construction": "token-suffixed doc shards + dimension-rotated "
         "(second orbit sign-flipped) embedding shards "
         "(see tools/scale_rehearsal_x100.py docstring)",
