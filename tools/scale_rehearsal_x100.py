@@ -402,8 +402,8 @@ def main() -> None:
         shutil.rmtree(dest, ignore_errors=True)
         return round(t_build, 3), round(t_fold, 3)
 
-    build_base, fold_base = time_dhash_fold(SF_BASE)
-    build_x100, fold_x100 = time_dhash_fold(X100_DIR)
+    seed_base, fold_base = time_dhash_fold(SF_BASE)
+    seed_x100, fold_x100 = time_dhash_fold(X100_DIR)
     followups["dhash_incremental_fold"] = {
         "what": "one ~1%-of-corpus batch folded into the persisted dHash "
         "band index (round 14, production two-axis config) vs the "
@@ -414,12 +414,12 @@ def main() -> None:
         "sf0.1_sec": fold_base,
         "x100_sec": fold_x100,
         "ratio": round(fold_x100 / fold_base, 2) if fold_base > 0 else None,
-        "sf0.1_build_sec": build_base,
-        "x100_build_sec": build_x100,
+        "sf0.1_build_sec": seed_base,
+        "x100_build_sec": seed_x100,
     }
     print(
         f"followup dhash incremental fold: {fold_base:.2f}s -> "
-        f"{fold_x100:.2f}s (build {build_base:.1f}s -> {build_x100:.1f}s)",
+        f"{fold_x100:.2f}s (build {seed_base:.1f}s -> {seed_x100:.1f}s)",
         flush=True,
     )
 
