@@ -81,39 +81,42 @@ CONFIG_SUBDIR = "config"
 def _check_or_write_config(
     spark: SparkSession,
     index_path: str,
+    decoder: str,
     axes: str,
     bands: int,
     max_hamming: int,
 ) -> None:
-    """One index = one (axes, bands, max_hamming) configuration.
-    ``axes`` decides the signature schema AND the per-band segment
-    width, ``bands`` the bucket keys — band keys from different
-    configurations never match, so a drifted fold would silently emit
-    no cross-history pairs (the worst dedup failure mode: false
-    confidence); ``max_hamming`` decides which pairs folds emit, so
-    drift there would make the union-of-folds parity contract
-    meaningless. First fold persists the manifest; later folds fail
-    loudly on drift (the ``assign_mode`` / LSH-config discipline)."""
+    """One index = one (decoder, axes, bands, max_hamming)
+    configuration. ``decoder`` decides the hash SPACE itself (an image
+    grid and an audio spectrogram never hash alike), ``axes`` the
+    signature schema AND per-band segment width, ``bands`` the bucket
+    keys — band keys from different configurations never match, so a
+    drifted fold would silently emit no cross-history pairs (the worst
+    dedup failure mode: false confidence); ``max_hamming`` decides
+    which pairs folds emit, so drift there would make the
+    union-of-folds parity contract meaningless. First fold persists
+    the manifest; later folds fail loudly on drift (the
+    ``assign_mode`` / LSH-config discipline)."""
     path = f"{index_path}/{CONFIG_SUBDIR}"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
         row = spark.read.parquet(path).first()
-        have = (row.axes, row.bands, row.max_hamming)
-        want = (axes, bands, max_hamming)
+        have = (row.decoder, row.axes, row.bands, row.max_hamming)
+        want = (decoder, axes, bands, max_hamming)
         if have != want:
             raise ValueError(
-                f"dhash index at {index_path} was built with (axes, bands, "
-                f"max_hamming)={have}, fold requested {want}; band keys from "
-                "different configurations never match, so this fold would "
-                "silently miss every historical near-dup - rebuild the index "
-                "or match its configuration"
+                f"dhash index at {index_path} was built with (decoder, axes, "
+                f"bands, max_hamming)={have}, fold requested {want}; hashes "
+                "and band keys from different configurations never match, so "
+                "this fold would silently miss every historical near-dup - "
+                "rebuild the index or match its configuration"
             )
         return
     local_rows_df(
         spark,
-        "axes string, bands int, max_hamming int",
-        [(axes, bands, max_hamming)],
+        "decoder string, axes string, bands int, max_hamming int",
+        [(decoder, axes, bands, max_hamming)],
     ).write.mode("overwrite").parquet(path)
 
 
@@ -168,7 +171,9 @@ def incremental_dhash_fold(
     would make the probe shuffle-free on the history side at 100 TB."""
     fs, lock = _acquire_index_lock(spark, index_path, "dhash fold")
     try:
-        _check_or_write_config(spark, index_path, axes, bands, max_hamming)
+        _check_or_write_config(
+            spark, index_path, decoder, axes, bands, max_hamming
+        )
         new_hashes = media_dhash(
             new_media.select(F.col(id_col).alias("media_id"), "payload"),
             decoder=decoder,

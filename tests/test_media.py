@@ -873,3 +873,118 @@ def test_video_frame_dhash_real_decode_reencode_coblock(spark):
     fh = M.video_frame_dhash(df, decoder="av_frames", every=2, fps_ms=200)
     got = M.video_near_dup_pairs(fh, min_matching_buckets=1).collect()
     assert any((r.id_a, r.id_b) == (1, 2) for r in got), [tuple(r) for r in got]
+
+
+def _wav_pcm(samples, *, rate=16000, width=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        if width == 2:
+            wf.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+        else:
+            wf.writeframes(
+                ((np.asarray(samples) * 127) + 128).astype(np.uint8).tobytes()
+            )
+    return buf.getvalue()
+
+
+def _chirp(rate, secs=2.0, f0=200.0, f1=2800.0):
+    """Exponential sweep + second harmonic: energy moves through time
+    AND frequency, so every spectrogram cell carries a gradient — the
+    audio analog of the image tests' alternating-direction ramps (a
+    stationary pure tone is the flat image: no stable gradients for
+    ANY perceptual hash)."""
+    t = np.arange(int(rate * secs)) / rate
+    phase = (
+        2 * np.pi * f0
+        * (np.exp(t / secs * np.log(f1 / f0)) - 1) * secs / np.log(f1 / f0)
+    )
+    return 0.7 * np.sin(phase) + 0.25 * np.sin(2 * phase)
+
+
+def test_audio_wav_spectrogram_dhash_real_codec_robustness(spark):
+    """REAL audio near-dup, fully in-container (stdlib wave — no gate,
+    no fake twin): the wav_spectrogram decoder renders a log-energy
+    spectrogram through the shared dHash arithmetic, and the
+    fingerprint survives exactly the transforms an audio crawl dedup
+    needs — gain change (RMS normalization: measured 0 flips),
+    bit-depth re-encode (16→8-bit PCM: 1 flip), re-sampling (absolute-
+    Hz bands: 7 flips, inside the bands=8 co-block guarantee) — while
+    unrelated and time-reversed clips sit far outside the radius."""
+    rng = np.random.default_rng(7)
+    orig = _chirp(16000)
+    rows = [
+        (1, _wav_pcm(orig)),
+        (2, _wav_pcm(orig * 0.3)),                         # quiet
+        (3, _wav_pcm(orig, width=1)),                      # 8-bit re-encode
+        (4, _wav_pcm(_chirp(8000), rate=8000)),            # resampled
+        (5, _wav_pcm(np.clip(orig + rng.normal(0, 0.02, orig.size), -1, 1))),
+        (6, _wav_pcm(orig[::-1].copy())),                  # reversed
+        (7, _wav_pcm(np.sign(np.sin(2 * np.pi * 440 * np.arange(32000) / 16000)) * 0.5)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hx = {r.media_id: (r.dhash, r.dhash_v) for r in
+          M.media_dhash(df, decoder="wav_spectrogram").collect()}
+
+    def ham(a, b):
+        return bin((hx[a][0] ^ hx[b][0]) & (2**64 - 1)).count("1") + bin(
+            (hx[a][1] ^ hx[b][1]) & (2**64 - 1)
+        ).count("1")
+
+    assert ham(1, 2) <= 2, "volume change must be ~free (RMS normalized)"
+    assert ham(1, 3) <= 4, "bit-depth re-encode inside the radius"
+    assert ham(1, 4) <= 12, "re-sampling near the co-block boundary"
+    assert ham(1, 5) <= 14, "2% additive noise bounded"
+    assert ham(1, 6) >= 40 and ham(1, 7) >= 40, "unrelated clips far"
+    # the composed path: gain + bit-depth twins pair through the
+    # standard banding at the guaranteed radius; unrelated never does
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in M.dhash_near_dup_pairs(
+            M.media_dhash(
+                df.filter(F.col("media_id").isin(1, 2, 3, 6, 7)),
+                decoder="wav_spectrogram",
+            ),
+            max_hamming=7,
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(6 in p or 7 in p for p in pairs)
+
+
+def test_audio_dhash_composes_with_incremental_index(spark, tmp_path):
+    """The audio fingerprint rides the SAME persisted lifecycle as
+    images: fold batch 1 (original), fold batch 2 (gain-changed
+    re-encode) with decoder='wav_spectrogram' — the cross-batch pair
+    surfaces at fold 2 through the index's band probe."""
+    from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+        incremental_dhash_fold,
+    )
+
+    orig = _chirp(16000)
+    index = str(tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [(1, _wav_pcm(orig))], "media_id long, payload binary"
+    )
+    b2 = spark.createDataFrame(
+        [(2, _wav_pcm(orig * 0.4)), (3, _wav_pcm(orig[::-1].copy()))],
+        "media_id long, payload binary",
+    )
+    p1 = incremental_dhash_fold(
+        spark, index, b1, decoder="wav_spectrogram", max_hamming=7,
+        batch_token="a",
+    ).collect()
+    assert p1 == []
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in incremental_dhash_fold(
+            spark, index, b2, decoder="wav_spectrogram", max_hamming=7,
+            batch_token="b",
+        ).collect()
+    }
+    assert p2 == {(1, 2)}

@@ -137,15 +137,22 @@ def test_replayed_token_is_noop(spark, media_rows, tmp_path):
 
 
 def test_config_drift_fails_loudly(spark, media_rows, tmp_path):
-    """One index = one (axes, bands, max_hamming) configuration —
-    band keys from different configurations never match, so a drifted
-    fold must refuse instead of silently missing every historical
-    near-dup."""
+    """One index = one (decoder, axes, bands, max_hamming)
+    configuration — hashes and band keys from different configurations
+    never match, so a drifted fold must refuse instead of silently
+    missing every historical near-dup."""
     index = str(tmp_path / "idx")
     incremental_dhash_fold(spark, index, media_rows, batch_token="a")
     cfg = spark.read.parquet(f"{index}/config").first()
-    assert (cfg.axes, cfg.bands, cfg.max_hamming) == ("both", 8, 6)
-    for kwargs in ({"axes": "horizontal"}, {"bands": 4}, {"max_hamming": 2}):
+    assert (cfg.decoder, cfg.axes, cfg.bands, cfg.max_hamming) == (
+        "payload_gray", "both", 8, 6,
+    )
+    for kwargs in (
+        {"decoder": "wav_spectrogram"},
+        {"axes": "horizontal"},
+        {"bands": 4},
+        {"max_hamming": 2},
+    ):
         with pytest.raises(ValueError, match="configuration"):
             incremental_dhash_fold(
                 spark, index, media_rows, batch_token="b", **kwargs
