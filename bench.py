@@ -139,7 +139,7 @@ ALIASES = {
     # multimodal:
     "media_dhash_canonicals": "med_dhash",
     "training_set_curation_dsir": "cur_dsir",
-    "media_feature_topk": "med_topk",
+    "video_dhash_canonicals": "vid_dhash",
     "media_frame_sample": "med_frames",
     "media_metadata_filter": "med_meta",
     "media_feature_extract": "med_feat",

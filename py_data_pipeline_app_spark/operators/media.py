@@ -1246,6 +1246,62 @@ def video_near_dup_pairs(
     return matches
 
 
+def video_dhash_canonicals(
+    media: DataFrame,
+    *,
+    decoder: str = "payload_frames",
+    every: int = 5,
+    fps_ms: int = 40,
+    bucket_ms: int = 1000,
+    max_hamming: int = 6,
+    bands: int = 8,
+    min_matching_buckets: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """One-call VIDEO dedup: per-frame dHash signatures → time-bucketed
+    banded clip pairs → connected components → keep one canonical clip
+    per duplicate family, by FIDELITY — the
+    :func:`media_dhash_canonicals` composition on the video stack.
+    Fidelity prefers pixel count (meta.width × meta.height: a
+    re-encoded family keeps its highest-resolution member), falling
+    back to duration then payload bytes for dimensionless rows; ties
+    to the LOWEST id. Returns (media_id, component_id, canonical_id,
+    fidelity, is_canonical); clips in no pair are their own singleton
+    canonical. The cluster resolution is
+    :func:`~py_data_pipeline_app_spark.operators.dedup.cluster_canonicals`
+    verbatim, so the video path inherits the measured scale shape:
+    banded chunk-capped pairs, O(cluster diameter) component rounds,
+    one map-side ``min(struct(-score, id))`` per component."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        cluster_canonicals,
+    )
+
+    fh = video_frame_dhash(
+        media, decoder=decoder, every=every, fps_ms=fps_ms
+    )
+    pairs = video_near_dup_pairs(
+        fh,
+        bucket_ms=bucket_ms,
+        max_hamming=max_hamming,
+        bands=bands,
+        min_matching_buckets=min_matching_buckets,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    fidelity = F.coalesce(
+        (F.col("meta.width") * F.col("meta.height")).cast("double"),
+        F.col("meta.duration_ms").cast("double"),
+        F.octet_length("payload").cast("double"),
+    )
+    scores = media.select(F.col("media_id"), fidelity.alias("fidelity"))
+    return cluster_canonicals(
+        media.select("media_id"),
+        pairs,
+        scores,
+        id_col="media_id",
+        score_col="fidelity",
+    )
+
+
 def media_dhash_canonicals(
     media: DataFrame,
     *,

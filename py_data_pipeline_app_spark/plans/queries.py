@@ -3197,19 +3197,12 @@ def _dhash_overlap(n_pixels: int, n_cells: int) -> list[list[int]]:
     return out
 
 
-def _dhash_hv_ctes() -> str:
-    """Generated CTE chain computing (media_id, fidelity, dhash,
-    dhash_v) from an ``img(media_id, payload_text, fidelity)`` CTE —
-    the DuckDB replay of the payload_gray fake decoder + exact
-    box-mean downsample + MSB-first gradient bits
-    (operators/media.py: _payload_gray → _downsample_gray →
-    _dhash_bits, axes="both"). Every step is integer arithmetic:
-    pixels are payload bytes tiled to 24×27; the horizontal 8×9 grid
-    is 3×3-aligned box sums; the vertical 9×8 grid has fractional
-    cell boundaries handled by the baked-in scaled overlap constants;
-    equal cell areas make each gradient bit an integer comparison.
-    Signed 64-bit packing matches Spark LongType two's complement
-    (the sign bit contributes -2⁶³)."""
+def _dhash_cell_exprs() -> tuple[str, str, str, str, str]:
+    """The generated expression strings the dHash oracles share:
+    (hterms, rs_exprs, vc_exprs, hbits, vbits) — horizontal 3×3 box
+    sums as a lambda body, factored vertical scaled sums, and the two
+    signed-64-bit gradient-bit packers (the sign bit contributes
+    -2⁶³, matching Spark LongType two's complement)."""
     # horizontal: 72 aligned 3x3 box sums, lambda form (affine in k)
     hterms = " + ".join(
         f"p[((k//9)*3+{dy})*27 + (k%9)*3+{dx} + 1]"
@@ -3259,6 +3252,23 @@ def _dhash_hv_ctes() -> str:
     vbits = bit_sum(
         lambda r, c: f"vc[{c * 8 + r + 1}] > vc[{(c + 1) * 8 + r + 1}]"
     )
+    return hterms, ", ".join(rs_exprs), ", ".join(vc_exprs), hbits, vbits
+
+
+def _dhash_hv_ctes() -> str:
+    """Generated CTE chain computing (media_id, fidelity, dhash,
+    dhash_v) from an ``img(media_id, payload_text, fidelity)`` CTE —
+    the DuckDB replay of the payload_gray fake decoder + exact
+    box-mean downsample + MSB-first gradient bits
+    (operators/media.py: _payload_gray → _downsample_gray →
+    _dhash_bits, axes="both"). Every step is integer arithmetic:
+    pixels are payload bytes tiled to 24×27; the horizontal 8×9 grid
+    is 3×3-aligned box sums; the vertical 9×8 grid has fractional
+    cell boundaries handled by the baked-in scaled overlap constants;
+    equal cell areas make each gradient bit an integer comparison.
+    Signed 64-bit packing matches Spark LongType two's complement
+    (the sign bit contributes -2⁶³)."""
+    hterms, rs_exprs, vc_exprs, hbits, vbits = _dhash_cell_exprs()
     return f"""
     px AS (
       SELECT media_id, fidelity,
@@ -3273,11 +3283,11 @@ def _dhash_hv_ctes() -> str:
     cells AS (
       SELECT media_id, fidelity,
              list_transform(range(0, 72), k -> {hterms}) AS hc,
-             [{', '.join(rs_exprs)}] AS rs
+             [{rs_exprs}] AS rs
       FROM px
     ),
     vcells AS (
-      SELECT media_id, fidelity, hc, [{', '.join(vc_exprs)}] AS vc
+      SELECT media_id, fidelity, hc, [{vc_exprs}] AS vc
       FROM cells
     ),
     hv AS (
@@ -3399,6 +3409,170 @@ def media_dhash_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_dhash_canonicals(feed)
 
 
+def _video_dhash_ctes() -> str:
+    """Per-FRAME variant of :func:`_dhash_hv_ctes` for the video
+    oracle: a ``vid(media_id, payload_text, fidelity, duration_ms)``
+    CTE fans out to sampled frames (the `sample_frames` arithmetic:
+    n_frames = max(duration_ms//40, 1), every 25th index), each frame's
+    pixels the payload bytes cyclically OFFSET by the frame index
+    (operators/media.py _payload_frame_gray: px[i] = b[(frame_idx + i)
+    mod n]), then the same exact integer cell/bit machinery keyed by
+    (media_id, frame_bucket)."""
+    hterms, rs_exprs, vc_exprs, hbits, vbits = _dhash_cell_exprs()
+    return f"""
+    frames AS (
+      SELECT media_id, fidelity, payload_text,
+             unnest(range(0, greatest(CAST(duration_ms // 40 AS BIGINT), 1),
+                          25)) AS frame_idx
+      FROM vid
+    ),
+    px AS (
+      SELECT media_id, fidelity,
+             CAST((frame_idx * 40) // 1000 AS BIGINT) AS frame_bucket,
+             CASE WHEN length(payload_text) = 0
+                  THEN list_transform(range(0, 648), i -> 0)
+                  ELSE list_transform(range(0, 648),
+                    i -> unicode(payload_text[
+                           CAST((frame_idx + i) % length(payload_text)
+                                AS INT) + 1]))
+             END AS p
+      FROM frames
+    ),
+    cells AS (
+      SELECT media_id, fidelity, frame_bucket,
+             list_transform(range(0, 72), k -> {hterms}) AS hc,
+             [{rs_exprs}] AS rs
+      FROM px
+    ),
+    vcells AS (
+      SELECT media_id, fidelity, frame_bucket, hc, [{vc_exprs}] AS vc
+      FROM cells
+    ),
+    hv AS (
+      SELECT media_id, fidelity, frame_bucket,
+             {hbits} AS dhash,
+             {vbits} AS dhash_v
+      FROM vcells
+    )"""
+
+
+@register(
+    "video_dhash_canonicals",
+    f"""
+    WITH RECURSIVE media AS ({M.MEDIA_SQL}),
+    vid0 AS (
+      SELECT media_id, payload_text, width, height, duration_ms
+      FROM media WHERE kind = 'video'
+    ),
+    vid AS (
+      SELECT media_id, payload_text,
+             CAST(width * height AS DOUBLE) AS fidelity, duration_ms
+      FROM vid0
+      UNION ALL
+      SELECT media_id + 10000000, payload_text,
+             CAST((width * 2) * height AS DOUBLE), duration_ms
+      FROM vid0 WHERE media_id % 7 = 0
+      UNION ALL
+      SELECT media_id + 20000000, payload_text,
+             CAST(width * height AS DOUBLE), duration_ms
+      FROM vid0 WHERE media_id % 11 = 0
+    ),
+    {_video_dhash_ctes()},
+    fpair AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b, a.frame_bucket,
+             min(bit_count(xor(a.dhash, b.dhash))
+                 + bit_count(xor(a.dhash_v, b.dhash_v))) AS min_ham
+      FROM hv a JOIN hv b
+        ON a.media_id < b.media_id AND a.frame_bucket = b.frame_bucket
+      GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM fpair WHERE min_ham <= 6
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, m) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src
+    ),
+    comp AS (
+      SELECT node AS media_id, least(node, min(m)) AS component_id
+      FROM reach GROUP BY node
+    ),
+    member AS (
+      SELECT v.media_id,
+             coalesce(c.component_id, v.media_id) AS component_id,
+             v.fidelity
+      FROM vid v LEFT JOIN comp c USING (media_id)
+    ),
+    canon AS (
+      SELECT component_id, media_id AS canonical_id FROM (
+        SELECT component_id, media_id,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY fidelity DESC, media_id) AS rn
+        FROM member
+      ) WHERE rn = 1
+    )
+    SELECT m.media_id, m.component_id, c.canonical_id, m.fidelity,
+           m.media_id = c.canonical_id AS is_canonical
+    FROM member m JOIN canon c USING (component_id)
+    """,
+)
+def video_dhash_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO dedup family's driver-gate row (round 14, seated in
+    the slot ``media_feature_topk`` vacated): per-frame two-axis dHash
+    → coarse-time-bucketed banded clip pairs → per-bucket min-hamming
+    verify with a ≥2-matching-buckets floor → connected components →
+    fidelity canonicals, end to end over the deterministic
+    ``payload_frames`` decoder (pure integer arithmetic: the
+    `sample_frames` frame-count rule, pixels = payload bytes
+    cyclically offset by the frame index, the exact box-mean grid).
+    The oracle replays every stage in integer SQL and BRUTE-FORCES
+    clip pairs per shared frame bucket — equal to the banded set
+    because any frame pair within combined hamming 6 < 8 bands
+    co-blocks its clips (pigeonhole), and verification then scans all
+    frame combos of the candidate pair on both engines.
+
+    Planted duplicate families make every stage non-vacuous (measured
+    rule #24, the image gate row's scheme): every 7th video gets a
+    doubled-width copy (the planted copy must WIN the fidelity
+    argmax), every 11th an identical-fidelity copy (ties break to the
+    LOWEST id), 77-multiples form 3-member transitive clusters.
+    ``every=25`` samples one frame per second (40 ms/frame), so even
+    the shortest corpus video (48 chars → 1200 ms) spans the
+    2-bucket floor. Scale shape: hashing is one zero-shuffle Arrow
+    map over sampled frames; blocking is the shared chunk-capped
+    posting expansion on (frame_bucket, band, bucket); the verify
+    join is keyed by candidate pair × frame bucket."""
+    media = M.media_from_documents(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("kind") == "video")
+    width2 = F.col("meta").withField(
+        "width", (F.col("meta.width") * 2).cast("int")
+    )
+    p7 = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        "kind",
+        "payload",
+        "mime",
+        width2.alias("meta"),
+    )
+    p11 = media.filter(F.col("media_id") % 11 == 0).select(
+        (F.col("media_id") + 20_000_000).alias("media_id"),
+        "kind",
+        "payload",
+        "mime",
+        "meta",
+    )
+    feed = media.unionByName(p7).unionByName(p11)
+    return M.video_dhash_canonicals(feed, every=25)
+
+
 @register(
     "media_feature_extract",
     f"""
@@ -3451,11 +3625,20 @@ def media_feature_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM feats c, (SELECT * FROM feats WHERE media_id < 8) q
     ) WHERE rank <= 5
     """,
+    retired=True,
 )
 def media_feature_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search over extracted media features: cosine top-5
     for 8 query assets — reuses the broadcast-queries/single-scan
-    brute-force kernel from operators.similarity."""
+    brute-force kernel from operators.similarity.
+
+    RETIRED round 14 (registry at the 2×gate-cap ceiling; retired from
+    the least-recently-verified half per the README's rotation plan,
+    near-twin coverage: the identical brute-force-topk plan is
+    value-checked by similarity_topk and hard_negative_topk, and the
+    mapInPandas feature extraction it scans stays gated by
+    media_feature_extract) to seat ``video_dhash_canonicals`` — the
+    video dedup family's driver-gate row."""
     media = M.media_from_documents(load_table(spark, "documents", sf_dir))
     feats = M.extract_features(media, dim=16)
     queries = feats.filter(F.col("media_id") < 8).select(

@@ -988,3 +988,66 @@ def test_audio_dhash_composes_with_incremental_index(spark, tmp_path):
         ).collect()
     }
     assert p2 == {(1, 2)}
+
+
+def test_video_dhash_canonicals_keeps_highest_fidelity(spark):
+    """The composed one-call video dedup: a re-encode family (same
+    cyclic frame content at two resolutions) clusters and keeps the
+    higher-resolution member; an unrelated clip stays a singleton."""
+    from py_data_pipeline_app_spark import schemas
+
+    clip = bytes((x * 9) % 251 for x in range(648))
+    other = bytes((x * 31 + 7) % 241 for x in range(648))
+    rows = [
+        (1, "video", clip, "video/mp4", (320, 240, 4000, None)),
+        (2, "video", clip * 3, "video/mp4", (640, 480, 4000, None)),
+        (3, "video", other, "video/mp4", (1920, 1080, 4000, None)),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA)
+    got = {r.media_id: r for r in M.video_dhash_canonicals(df).collect()}
+    assert got[1].component_id == got[2].component_id
+    assert got[1].canonical_id == got[2].canonical_id == 2  # 640x480 wins
+    assert got[2].is_canonical and not got[1].is_canonical
+    assert got[3].canonical_id == 3 and got[3].is_canonical
+
+
+def test_overlap_matrix_exactness_edges():
+    """The exact-overlap downsample at its geometric edges: a source
+    SMALLER than the target grid (pixels shared by multiple cells),
+    equal sizes (identity), and non-divisible shapes — every cell mean
+    equals the brute-force rational box mean exactly, and row sums
+    conserve total mass."""
+    from fractions import Fraction
+
+    def brute_cell(a, rows, cols, r, c):
+        h, w = len(a), len(a[0])
+        total = Fraction(0)
+        for y in range(h):
+            oy = max(
+                Fraction(0),
+                min(Fraction(y + 1), Fraction((r + 1) * h, rows))
+                - max(Fraction(y), Fraction(r * h, rows)),
+            )
+            if not oy:
+                continue
+            for x in range(w):
+                ox = max(
+                    Fraction(0),
+                    min(Fraction(x + 1), Fraction((c + 1) * w, cols))
+                    - max(Fraction(x), Fraction(c * w, cols)),
+                )
+                if ox:
+                    total += Fraction(a[y][x]) * oy * ox
+        area = Fraction(h * w, rows * cols)
+        return total / area
+
+    rng = np.random.default_rng(3)
+    for h, w, rows, cols in [(4, 5, 8, 9), (8, 9, 8, 9), (10, 13, 8, 9), (24, 27, 9, 8)]:
+        a = rng.integers(0, 256, size=(h, w))
+        got = M._downsample_gray(a.astype(float), rows=rows, cols=cols)
+        for r in (0, rows // 2, rows - 1):
+            for c in (0, cols // 2, cols - 1):
+                want = brute_cell(a.tolist(), rows, cols, r, c)
+                assert got[r, c] == float(want), (h, w, rows, cols, r, c)
+        # total mass conserved: sum(cells)*area == sum(pixels)
+        assert abs(got.sum() * (h * w) / (rows * cols) - a.sum()) < 1e-6

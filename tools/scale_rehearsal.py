@@ -115,6 +115,7 @@ FAMILY = [
     "stratified_lang_rebalance",
     "media_payload_profile",
     "media_dhash_canonicals",
+    "video_dhash_canonicals",
     "media_feature_extract",
     "media_feature_topk",
     "media_frame_sample",
