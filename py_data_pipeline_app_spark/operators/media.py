@@ -684,6 +684,31 @@ def _dhash_bits(grid) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _dhash_bits_batch(grids):
+    """Vectorized :func:`_dhash_bits` over a STACK of (8, 9) grids —
+    bit-identical by construction (the same ``>`` comparisons, packed
+    MSB-first row-major, reinterpreted as signed int64), but the
+    128-Python-int-ops-per-asset loop becomes three numpy ops over the
+    whole Arrow batch. This is what makes per-FRAME video hashing
+    cheap: 20k sampled frames at sf0.1 cost ~2.6M scalar loop
+    iterations through the scalar path. Returns an int64 array of
+    length n."""
+    import numpy as np
+
+    g = np.asarray(grids, dtype=np.float64)
+    if g.ndim != 3 or g.shape[1:] != (8, 9):
+        raise ValueError(f"expected a stack of (8, 9) grids, got {g.shape}")
+    if not g.shape[0]:
+        return np.empty(0, dtype=np.int64)
+    bits = g[:, :, :8] > g[:, :, 1:9]  # (n, 8, 8): row-major, MSB first
+    packed = np.packbits(bits, axis=2)  # (n, 8, 1): one byte per row
+    # row 0's byte is the MOST significant (bit (0,0) at position 63):
+    # big-endian u64 per asset, then reinterpret bits as two's
+    # complement — exactly _dhash_bits' signed packing
+    u = np.frombuffer(packed.tobytes(), dtype=">u8").astype(np.uint64)
+    return u.view(np.int64)
+
+
 def _payload_gray(payload: bytes):
     """Deterministic fake 'decode' for the dHash path: payload bytes
     cycled into a 24×27 grayscale grid (3× the dHash grid in each
@@ -849,23 +874,33 @@ def media_dhash(
     both = axes == "both"
 
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             grays = [decode(p or b"") for p in pdf["payload"]]
+            # batch the bit extraction across the Arrow batch (the
+            # downsample stays per-asset: decoded shapes vary)
+            hg = (
+                np.stack([_downsample_gray(g) for g in grays])
+                if grays
+                else np.empty((0, 8, 9))
+            )
             cols = {
                 "media_id": pdf["media_id"],
-                "dhash": [
-                    _dhash_bits(_downsample_gray(g)) for g in grays
-                ],
+                "dhash": _dhash_bits_batch(hg),
             }
             if both:
                 # vertical gradients: downsample to (9, 8), transpose
                 # into the (8, 9) shape the shared bit extractor pins
-                cols["dhash_v"] = [
-                    _dhash_bits(_downsample_gray(g, rows=9, cols=8).T)
-                    for g in grays
-                ]
+                vg = (
+                    np.stack(
+                        [_downsample_gray(g, rows=9, cols=8).T for g in grays]
+                    )
+                    if grays
+                    else np.empty((0, 8, 9))
+                )
+                cols["dhash_v"] = _dhash_bits_batch(vg)
             yield pd.DataFrame(cols)
 
     schema = "media_id long, dhash long" + (", dhash_v long" if both else "")
@@ -1083,13 +1118,8 @@ def video_frame_dhash(
         "media_id long, frame_idx int, ts_ms long, dhash long, dhash_v long"
     )
 
-    def hash_pair(gray):
-        return (
-            _dhash_bits(_downsample_gray(gray)),
-            _dhash_bits(_downsample_gray(gray, rows=9, cols=8).T),
-        )
-
     def gen(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         if real:
@@ -1104,10 +1134,20 @@ def video_frame_dhash(
                     "environment; the payload_frames fake exercises the "
                     "identical hash arithmetic and Spark plumbing."
                 ) from exc
-            import numpy as np
 
         for pdf in batches:
-            rows = []
+            # per-frame downsamples accumulate into stacks so the bit
+            # extraction runs ONCE per Arrow batch (_dhash_bits_batch)
+            # instead of 128 Python int ops per frame
+            meta_rows: list = []
+            hgrids: list = []
+            vgrids: list = []
+
+            def add(mid, i, gray):
+                meta_rows.append((mid, i, i * fps_ms))
+                hgrids.append(_downsample_gray(gray))
+                vgrids.append(_downsample_gray(gray, rows=9, cols=8).T)
+
             durations = [
                 None if m is None else m.get("duration_ms")
                 for m in pdf["meta"]
@@ -1135,17 +1175,21 @@ def video_frame_dhash(
                             gray = frame.to_ndarray(format="rgb24").astype(
                                 np.float64
                             ).mean(axis=2)
-                            h, v = hash_pair(gray)
-                            rows.append((mid, i, i * fps_ms, h, v))
+                            add(mid, i, gray)
                 else:
                     n_frames = max(1, int(dur) // fps_ms) if dur else 1
                     for i in range(0, n_frames, every):
-                        h, v = hash_pair(_payload_frame_gray(payload, i))
-                        rows.append((mid, i, i * fps_ms, h, v))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "frame_idx", "ts_ms", "dhash", "dhash_v"],
+                        add(mid, i, _payload_frame_gray(payload, i))
+            out = pd.DataFrame(
+                meta_rows, columns=["media_id", "frame_idx", "ts_ms"]
             )
+            out["dhash"] = _dhash_bits_batch(
+                np.stack(hgrids) if hgrids else np.empty((0, 8, 9))
+            )
+            out["dhash_v"] = _dhash_bits_batch(
+                np.stack(vgrids) if vgrids else np.empty((0, 8, 9))
+            )
+            yield out
 
     return media.select("media_id", "payload", "meta").mapInPandas(
         gen, schema=out_schema

@@ -1051,3 +1051,22 @@ def test_overlap_matrix_exactness_edges():
                 assert got[r, c] == float(want), (h, w, rows, cols, r, c)
         # total mass conserved: sum(cells)*area == sum(pixels)
         assert abs(got.sum() * (h * w) / (rows * cols) - a.sum()) < 1e-6
+
+
+def test_dhash_bits_batch_equals_scalar():
+    """The vectorized bit extractor is BIT-IDENTICAL to the scalar
+    reference on random grids, exact-tie grids (equal adjacent cells
+    must pack a deterministic 0), and sign-bit grids (two's complement
+    packing at position 63)."""
+    rng = np.random.default_rng(11)
+    grids = list(rng.integers(0, 256, size=(300, 8, 9)).astype(float))
+    grids.append(np.full((8, 9), 7.0))            # all ties -> 0
+    tie = rng.integers(0, 256, size=(8, 9)).astype(float)
+    tie[:, 4] = tie[:, 5]                          # a tie column
+    grids.append(tie)
+    desc = np.tile(np.arange(9, 0, -1, dtype=float), (8, 1))
+    grids.append(desc)                             # all bits set -> -1
+    got = M._dhash_bits_batch(np.stack(grids))
+    want = [M._dhash_bits(g) for g in grids]
+    assert got.tolist() == want
+    assert want[-1] == -1  # sign-bit case actually exercised
