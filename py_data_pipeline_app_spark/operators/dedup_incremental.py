@@ -42,16 +42,25 @@ cross-batch pairs at the later batch's fold.
 
 Scale notes: history is only ever touched through the (band, bucket)
 equi-join and the verification join on candidate doc_ids — both keyed,
-both prunable. Writing the index bucketed/partitioned by ``bucket``
-would make the candidate join shuffle-free on the history side; at
-testdata scale plain parquet keeps the surface simple.
+both prunable. The band table is PARTITIONED by a hash prefix of the
+band key (``pb = xxhash64(band, bucket) % part_buckets``) and each
+fold's history read carries an ``IN``-filter on the batch's own
+prefix set, so the probe PRUNES at the parquet partition level
+(plan-asserted ``PartitionFilters`` — the semantic index's
+``partitionBy(centroid_id)`` discipline): a takedown-sized or
+crawl-cadence batch whose band keys touch few prefixes reads only
+those directories instead of scanning the whole band table, and a
+batch wide enough to touch every prefix degrades gracefully to
+today's full keyed scan (the filter is dropped when saturated).
+Size ``part_buckets`` like any partitionBy fanout (measured rule #6:
+bucket_bytes / target_file_size at the target corpus).
 """
 
 from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
@@ -70,6 +79,34 @@ BANDS_SUBDIR = "bands"
 TOKSETS_SUBDIR = "toksets"
 CONFIG_SUBDIR = "config"
 LOCK_FILE = "_index.lock"
+
+#: partition column every band-keyed index table is laid out by: a
+#: stable hash prefix of the band key. xxhash64 is a FIXED algorithm
+#: (seed 42) in Spark, so the same key lands in the same partition
+#: directory across sessions and versions — a partition scheme that
+#: drifted between writer sessions would silently split one key's
+#: posting list across directories and break pruned probes.
+PART_COL = "pb"
+DEFAULT_PART_BUCKETS = 32
+
+
+def part_bucket_col(cols: list[str], part_buckets: int) -> Column:
+    """The partition-prefix expression shared by every band-keyed
+    index writer and prober: ``xxhash64(cols) % part_buckets``, non-
+    negative int. Both sides derive it from the SAME key columns, so
+    a history row that can match a batch row necessarily shares its
+    prefix — filtering history to the batch's prefix set loses
+    nothing (the pruning-soundness argument)."""
+    return F.pmod(F.xxhash64(*cols), F.lit(part_buckets)).cast("int")
+
+
+def _batch_part_values(df: DataFrame, part_buckets: int) -> list[int] | None:
+    """The batch's distinct partition prefixes (driver-side, bounded
+    by ``part_buckets``), or None when the batch saturates the prefix
+    space — an IN-filter listing every partition prunes nothing and
+    just bloats the plan."""
+    vals = sorted({r[0] for r in df.select(PART_COL).distinct().collect()})
+    return None if len(vals) >= part_buckets else vals
 
 
 def _acquire_index_lock(spark: SparkSession, index_path: str, what: str):
@@ -94,32 +131,50 @@ def _acquire_index_lock(spark: SparkSession, index_path: str, what: str):
 
 
 def _check_or_write_config(
-    spark: SparkSession, index_path: str, num_perms: int, bands: int, exact: bool
+    spark: SparkSession,
+    index_path: str,
+    num_perms: int,
+    bands: int,
+    exact: bool,
+    part_buckets: int,
 ) -> None:
-    """One index = one (num_perms, bands, exact-mode) configuration —
-    band keys from different configurations NEVER match, so a
-    mismatched fold would silently emit no cross-history pairs (the
-    worst failure mode for a dedup system: false confidence). The
+    """One index = one (num_perms, bands, exact-mode, part_buckets)
+    configuration — band keys from different configurations NEVER
+    match, so a mismatched fold would silently emit no cross-history
+    pairs (the worst failure mode for a dedup system: false
+    confidence), and a drifted ``part_buckets`` would send the same
+    band key to a DIFFERENT partition directory, so a pruned probe
+    would silently skip history written under the old scheme. The
     first fold persists its configuration as a one-row parquet table;
-    every later fold validates against it and fails loudly on drift."""
+    every later fold validates against it and fails loudly on drift
+    (an index written before the partitioned layout has no
+    ``part_buckets`` field and is refused the same way — rebuild it)."""
     path = f"{index_path}/{CONFIG_SUBDIR}"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
         row = spark.read.parquet(path).first()
-        have = (row.num_perms, row.bands, row.exact)
-        want = (num_perms, bands, exact)
+        have = (
+            row.num_perms,
+            row.bands,
+            row.exact,
+            getattr(row, "part_buckets", None),
+        )
+        want = (num_perms, bands, exact, part_buckets)
         if have != want:
             raise ValueError(
-                f"index at {index_path} was built with (num_perms, bands, exact)="
-                f"{have}, fold requested {want}; band keys from different "
+                f"index at {index_path} was built with (num_perms, bands, "
+                f"exact, part_buckets)={have}, fold requested {want}; band "
+                "keys (and their partition directories) from different "
                 "configurations never match, so this fold would silently miss "
                 "every historical near-dup - rebuild the index or match its "
                 "configuration"
             )
         return
     local_rows_df(
-        spark, "num_perms int, bands int, exact boolean", [(num_perms, bands, exact)]
+        spark,
+        "num_perms int, bands int, exact boolean, part_buckets int",
+        [(num_perms, bands, exact, part_buckets)],
     ).write.mode("overwrite").parquet(path)
 
 
@@ -130,6 +185,7 @@ def _pinned_history(
     like: DataFrame,
     *,
     exclude_token: str,
+    prune_to: list[int] | None = None,
 ) -> DataFrame:
     """Read the index table as it exists NOW, pinned to the concrete
     batch subdirectories present at call time. Pinning matters for
@@ -140,7 +196,17 @@ def _pinned_history(
     fold (crash after the index write, foreachBatch replay) does not
     compare its documents against their own half-committed copies —
     that would emit self-pairs and double-report within-batch pairs.
-    Empty index → empty frame with the live schema (from ``like``)."""
+    Empty index → empty frame with the live schema (from ``like``).
+
+    A table whose ``like`` schema carries :data:`PART_COL` is stored
+    ``partitionBy(pb)`` inside each batch directory; those are read
+    per-directory with the explicit schema (multi-path reads refuse
+    mixed ``batch-*/pb=*`` structures, and the explicit schema makes
+    a zero-row batch directory — ``_SUCCESS`` only, measured rule #5
+    — read back as empty instead of failing inference) and unioned.
+    ``prune_to`` then applies an ``IN``-filter on the partition
+    column, which Catalyst pushes into every scan as a
+    ``PartitionFilters`` entry — the pruned posting-list probe."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{subdir}")
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_path):
@@ -154,14 +220,42 @@ def _pinned_history(
     ]
     if not dirs:
         return local_rows_df(spark, like.schema, [])
-    return spark.read.parquet(*sorted(dirs))
+    if PART_COL not in like.columns:
+        return spark.read.parquet(*sorted(dirs))
+    hist: DataFrame | None = None
+    for d in sorted(dirs):
+        part = spark.read.schema(like.schema).parquet(d)
+        hist = part if hist is None else hist.unionByName(part)
+    if prune_to is not None:
+        hist = hist.filter(F.col(PART_COL).isin(prune_to))
+    return hist
 
 
 def _append_batch(df: DataFrame, index_path: str, subdir: str, token: str) -> None:
     """Idempotent append: each fold writes its own ``batch-{token}``
     subdirectory in overwrite mode, so a retried fold replaces its
-    partial output instead of duplicating it."""
-    df.write.mode("overwrite").parquet(f"{index_path}/{subdir}/batch-{token}")
+    partial output instead of duplicating it. A frame carrying
+    :data:`PART_COL` is written ``partitionBy(pb)`` — repartitioned by
+    the partition column first so each prefix directory gets ONE file
+    per append instead of one per (task, prefix) (measured rule #6)."""
+    dest = f"{index_path}/{subdir}/batch-{token}"
+    if PART_COL in df.columns:
+        df.repartition(PART_COL).write.mode("overwrite").partitionBy(
+            PART_COL
+        ).parquet(dest)
+    else:
+        df.write.mode("overwrite").parquet(dest)
+
+
+def _has_data_files(fs, jvm_path) -> bool:
+    """True iff the directory holds any parquet data file, at any
+    depth (a partitioned batch dir nests them under ``pb=*``). A
+    ``_SUCCESS``-only directory — an empty fold's append — has none."""
+    it = fs.listFiles(jvm_path, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
 
 
 DELETES_SUBDIR = "deletes"
@@ -362,10 +456,25 @@ def compact_index(
             dirs = [s.getPath() for s in statuses]
             if len(dirs) < min_dirs:
                 continue
-            merged = spark.read.parquet(*sorted(str(p) for p in dirs))
-            merged = merged.dropDuplicates(keys) if keys else merged.distinct()
-            merged = _without_tombstoned(merged, tombs)
-            _append_batch(merged, index_path, subdir, token)
+            # per-directory reads, unioned: a partitioned table's
+            # batch dirs each contain pb=* subdirectories, which a
+            # multi-path read refuses (conflicting structures), and a
+            # zero-row batch directory (_SUCCESS only — an empty fold's
+            # partitionBy write, measured rule #5) has nothing to infer
+            # a schema from — it contributes no rows and is deleted
+            # with the rest.
+            merged = None
+            for p in sorted(dirs, key=str):
+                if not _has_data_files(fs, p):
+                    continue
+                part = spark.read.parquet(str(p))
+                merged = part if merged is None else merged.unionByName(part)
+            if merged is not None:
+                merged = (
+                    merged.dropDuplicates(keys) if keys else merged.distinct()
+                )
+                merged = _without_tombstoned(merged, tombs)
+                _append_batch(merged, index_path, subdir, token)
             for p in dirs:
                 fs.delete(p, True)
                 removed += 1
@@ -393,6 +502,7 @@ def incremental_lsh_fold(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    part_buckets: int = DEFAULT_PART_BUCKETS,
     batch_token: str | None = None,
 ) -> DataFrame:
     """Fold one batch of new documents into the persisted LSH index.
@@ -409,6 +519,12 @@ def incremental_lsh_fold(
     like the batch path; the new×history side is a keyed equi-join
     whose skew is AQE's job. Pass ``None`` for the exact uncapped
     contract (and exact batch parity on pathological data).
+    ``part_buckets`` sets the band table's partition fanout: history
+    is stored ``partitionBy(pb)`` with ``pb = xxhash64(band, bucket)
+    % part_buckets`` and the probe carries an ``IN``-filter on the
+    batch's own prefixes, so a batch whose keys touch few prefixes
+    reads only those partition directories (plan-asserted pruning;
+    dropped automatically when the batch saturates the prefix space).
 
     ``threshold >= 1.0`` mirrors the batch short-circuit
     (:func:`~py_data_pipeline_app_spark.operators.dedup.minhash_dedup_pairs`):
@@ -439,6 +555,7 @@ def incremental_lsh_fold(
             bands=bands,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
+            part_buckets=part_buckets,
             batch_token=batch_token,
         )
     finally:
@@ -456,30 +573,41 @@ def _incremental_lsh_fold_locked(
     bands: int,
     threshold: float,
     max_bucket_size: int | None,
+    part_buckets: int,
     batch_token: str | None,
 ) -> DataFrame:
     exact = threshold >= 1.0
-    _check_or_write_config(spark, index_path, num_perms, bands, exact)
+    _check_or_write_config(
+        spark, index_path, num_perms, bands, exact, part_buckets
+    )
     docs = new_docs.select(F.col(id_col), F.col(text_col))
     if exact:
         new_buckets = docs.select(
             F.col(id_col),
             F.lit(0).alias("band"),
             token_set_fingerprint(text_col).alias("bucket"),
-        ).localCheckpoint(eager=True)  # reused by: within-pairs, history join, append
+        )
     else:
         sigs = minhash_signatures(
             docs, text_col=text_col, id_col=id_col, num_perms=num_perms
         )
         new_buckets = band_buckets(
             sigs, id_col=id_col, num_perms=num_perms, bands=bands
-        ).localCheckpoint(eager=True)
+        )
+    new_buckets = new_buckets.withColumn(
+        PART_COL, part_bucket_col(["band", "bucket"], part_buckets)
+    ).localCheckpoint(eager=True)  # reused by: within-pairs, prefix set, history join, append
 
     token = batch_token or uuid.uuid4().hex[:12]
     tombs = _read_tombstones(spark, index_path)
     hist_buckets = _without_tombstoned(
         _pinned_history(
-            spark, index_path, BANDS_SUBDIR, new_buckets, exclude_token=token
+            spark,
+            index_path,
+            BANDS_SUBDIR,
+            new_buckets,
+            exclude_token=token,
+            prune_to=_batch_part_values(new_buckets, part_buckets),
         ),
         tombs,
     )

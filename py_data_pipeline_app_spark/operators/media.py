@@ -786,6 +786,11 @@ def _wav_spectrogram_gray(payload: bytes):
     verbatim). The stdlib codec means this REAL decode path runs
     everywhere — no gate, no fake twin needed; a non-WAV payload
     raises ``wave.Error`` loudly (feed ``kind='audio'`` assets only).
+    All PCM widths land: 8/16/32-bit natively, 24-bit by widening each
+    3-byte frame to int32 (RMS normalization makes the scale moot);
+    a degenerate rate ≤ 200 Hz (Nyquist at/below the lowest band
+    edge) hashes as the constant floor grid instead of feeding
+    descending edges to searchsorted.
     Compose it through the standard stack: ``media_dhash(audio,
     decoder="wav_spectrogram")`` → pairs/canonicals/incremental index
     unchanged."""
@@ -801,12 +806,24 @@ def _wav_spectrogram_gray(payload: bytes):
         rate = wf.getframerate()
         n, ch, width = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
         raw = wf.readframes(n)
-    dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(width)
-    if dtype is None:
-        raise ValueError(f"unsupported PCM sample width {width}")
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    if width == 1:
-        x -= 128.0
+    if width == 3:
+        # 24-bit PCM (a common studio WAV variant): widen each 3-byte
+        # little-endian frame to int32 — pad a zero low byte, then an
+        # arithmetic >>8 restores magnitude AND sign
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            np.column_stack([np.zeros(len(b), dtype=np.uint8), b])
+            .view("<i4")
+            .ravel()
+            .astype(np.float64)
+        ) / 256.0
+    else:
+        dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(width)
+        if dtype is None:
+            raise ValueError(f"unsupported PCM sample width {width}")
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if width == 1:
+            x -= 128.0
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
     if not x.size:
@@ -814,6 +831,12 @@ def _wav_spectrogram_gray(payload: bytes):
     rms = np.sqrt((x**2).mean()) or 1.0
     x = x / rms
     out = np.full((windows, bands), np.log10(floor), dtype=np.float64)
+    if rate / 2.0 <= f_lo:
+        # Nyquist at or below the lowest band edge (rate ≤ 200 Hz):
+        # no analyzable band exists — geomspace would DESCEND and
+        # break searchsorted — so the clip hashes as the constant
+        # floor grid (deterministic, like the empty payload)
+        return out
     bounds = np.linspace(0, len(x), windows + 1).astype(int)
     edges = np.geomspace(f_lo, min(f_hi, rate / 2.0), bands + 1)
     for w in range(windows):
@@ -1032,6 +1055,10 @@ def dhash_near_dup_pairs(
         _bucket_member_pairs,
     )
 
+    # three consumers (blocking, both verification sides) would each
+    # re-run the upstream decode+hash mapInPandas — materialize the
+    # signatures once (the incremental fold's one-decode discipline)
+    hashes = hashes.localCheckpoint(eager=True)
     hash_cols = _dhash_hash_cols(hashes, hash_col)
     blocked = dhash_band_buckets(
         hashes, bands=bands, id_col=id_col, hash_col=hash_col
@@ -1229,9 +1256,13 @@ def video_near_dup_pairs(
         _bucket_member_pairs,
     )
 
+    # three consumers (blocking, both verification sides) would each
+    # re-run the upstream per-frame decode+hash mapInPandas — the most
+    # expensive stage of the whole chain — so materialize it ONCE (the
+    # incremental fold's one-decode discipline; round-14 advice)
     fh = frame_hashes.withColumn(
         "frame_bucket", (F.col("ts_ms") / F.lit(bucket_ms)).cast("long")
-    )
+    ).localCheckpoint(eager=True)
     blocked = (
         fh.select(
             "media_id",

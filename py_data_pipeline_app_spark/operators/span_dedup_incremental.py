@@ -17,13 +17,17 @@ over the concatenated corpus — first-occurrence order is (batch, doc,
 pos) both ways.
 
 Index layout (shared helper pattern with the incremental LSH index):
-``fps/batch-{token}`` subdirectories of distinct fingerprints, written
-in overwrite mode (a retried fold replaces its own partial append, and
-its history read excludes its own token — exactly-once under
-foreachBatch replay); a one-row config manifest pins ``chunk_tokens``
-(fingerprints of different span sizes NEVER match, so a drifted fold
-would silently dedup nothing — it fails loudly instead); mutators are
-serialized by the same atomic lock marker.
+``fps/batch-{token}`` subdirectories of distinct fingerprints —
+``partitionBy(pb)`` on a hash prefix of the fingerprint, so the
+fold's history read partition-prunes to the batch's own prefixes —
+written in overwrite mode (a retried fold replaces its own partial
+append, and its history read excludes its own token — exactly-once
+under foreachBatch replay); a one-row config manifest pins
+``chunk_tokens`` and ``part_buckets`` (fingerprints of different span
+sizes NEVER match, and a drifted partition scheme would make pruned
+probes skip old history, so a drifted fold would silently dedup
+nothing — it fails loudly instead); mutators are serialized by the
+same atomic lock marker.
 """
 
 from __future__ import annotations
@@ -36,9 +40,13 @@ from pyspark.sql import functions as F
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import tokens
 from py_data_pipeline_app_spark.operators.dedup_incremental import (
+    DEFAULT_PART_BUCKETS,
+    PART_COL,
     _acquire_index_lock,
     _append_batch,
+    _batch_part_values,
     _pinned_history,
+    part_bucket_col,
 )
 
 FPS_SUBDIR = "fps"
@@ -46,24 +54,29 @@ CONFIG_SUBDIR = "config"
 
 
 def _check_or_write_config(
-    spark: SparkSession, index_path: str, chunk_tokens: int
+    spark: SparkSession, index_path: str, chunk_tokens: int, part_buckets: int
 ) -> None:
     path = f"{index_path}/{CONFIG_SUBDIR}"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
-        have = spark.read.parquet(path).first().chunk_tokens
-        if have != chunk_tokens:
+        row = spark.read.parquet(path).first()
+        have = (row.chunk_tokens, getattr(row, "part_buckets", None))
+        want = (chunk_tokens, part_buckets)
+        if have != want:
             raise ValueError(
-                f"span index at {index_path} was built with chunk_tokens="
-                f"{have}, fold requested {chunk_tokens}; fingerprints of "
-                "different span sizes never match, so this fold would "
-                "silently dedup nothing - rebuild the index or match its "
-                "configuration"
+                f"span index at {index_path} was built with (chunk_tokens, "
+                f"part_buckets)={have}, fold requested {want}; fingerprints "
+                "of different span sizes never match (and a drifted "
+                "partition scheme would make pruned probes skip old "
+                "history), so this fold would silently dedup nothing - "
+                "rebuild the index or match its configuration"
             )
         return
     local_rows_df(
-        spark, "chunk_tokens int", [(chunk_tokens,)]
+        spark,
+        "chunk_tokens int, part_buckets int",
+        [(chunk_tokens, part_buckets)],
     ).write.mode("overwrite").parquet(path)
 
 
@@ -75,6 +88,7 @@ def incremental_span_fold(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 10,
+    part_buckets: int = DEFAULT_PART_BUCKETS,
     batch_token: str | None = None,
 ) -> DataFrame:
     """Fold a document batch against the persisted span index and
@@ -90,7 +104,12 @@ def incremental_span_fold(
     within-batch first-occurrence window and the rebuild groupBy are
     the batch operator's own two keyed exchanges. The index append is
     the batch's distinct NEW fingerprints only, so the index grows by
-    novel content, not by corpus size.
+    novel content, not by corpus size. The fingerprint table is
+    stored ``partitionBy(pb = xxhash64(fp) % part_buckets)`` and the
+    history read carries an ``IN``-filter on the batch's own prefixes
+    — a small batch reads only the partition directories its
+    fingerprints could possibly live in (plan-asserted pruning;
+    dropped when the batch saturates the prefix space).
 
     NOTE the returned frame is LAZY but the index append is EAGER —
     fold order is the dedup precedence order, so the append cannot
@@ -98,25 +117,42 @@ def incremental_span_fold(
     token = batch_token or uuid.uuid4().hex[:12]
     fs, lock = _acquire_index_lock(spark, index_path, "span fold")
     try:
-        _check_or_write_config(spark, index_path, chunk_tokens)
+        _check_or_write_config(spark, index_path, chunk_tokens, part_buckets)
         from py_data_pipeline_app_spark.operators.curation import (
             with_token_chunks,
         )
 
+        # localCheckpoint: consumed by the prefix-set collect, the
+        # first-occurrence marking, and the novel-fp append — three
+        # consumers would otherwise each re-run the chunk explode +
+        # md5 over the batch (the multi-consumer eager-frame rule)
         exploded = with_token_chunks(batch, text_col, chunk_tokens).select(
             F.col(id_col), F.posexplode(F.col("_chunks")).alias("pos", "chunk")
-        ).withColumn("fp", F.md5(F.col("chunk")))
-        hist_like = exploded.select("fp").limit(0)
+        ).withColumn("fp", F.md5(F.col("chunk"))).withColumn(
+            PART_COL, part_bucket_col(["fp"], part_buckets)
+        ).localCheckpoint(eager=True)
+        hist_like = exploded.select("fp", PART_COL).limit(0)
         # distinct() makes the fold tolerant of duplicate fingerprints
         # in history (a compaction that crashed after writing its
         # merged directory but before deleting the sources) — without
         # it the left join below fans out chunk rows per duplicate and
         # corrupts n_chunks/n_kept; the LSH fold gets the same
-        # tolerance from its candidate distinct
+        # tolerance from its candidate distinct. The pb column is
+        # consumed by the partition-pruning filter and dropped before
+        # the fp-keyed joins (both sides carry it — keeping it would
+        # shadow-name the join output).
         history = (
             _pinned_history(
-                spark, index_path, FPS_SUBDIR, hist_like, exclude_token=token
+                spark,
+                index_path,
+                FPS_SUBDIR,
+                hist_like,
+                exclude_token=token,
+                prune_to=_batch_part_values(
+                    exploded.select(PART_COL), part_buckets
+                ),
             )
+            .select("fp")
             .distinct()
             .withColumn("_seen", F.lit(True))
         )
@@ -131,7 +167,7 @@ def incremental_span_fold(
         # EAGER index append: this batch's novel fingerprints become
         # history for every later fold
         new_fps = (
-            exploded.select("fp")
+            exploded.select("fp", PART_COL)
             .distinct()
             .join(history.select("fp"), "fp", "left_anti")
         )
@@ -201,14 +237,37 @@ def compact_fps(spark: SparkSession, index_path: str, *, keep_newest: bool = Fal
         if len(dirs) < 2:
             return 0
         token = f"compact-{uuid.uuid4().hex[:12]}"
-        merged = spark.read.parquet(*dirs).distinct()
+        # per-directory reads, unioned: the partitioned fp table nests
+        # files under pb=* (multi-path reads refuse that layout), and a
+        # zero-row append (_SUCCESS only) has no schema to infer — it
+        # contributes nothing and its directory is deleted with the rest
+        from py_data_pipeline_app_spark.operators.dedup_incremental import (
+            _has_data_files,
+        )
+
+        merged = None
+        for d in dirs:
+            if not _has_data_files(fs, jvm(d)):
+                continue
+            part = spark.read.parquet(d)
+            merged = part if merged is None else merged.unionByName(part)
+        if merged is None:
+            for d in dirs:
+                fs.delete(jvm(d), True)
+            return len(dirs)
+        merged = merged.distinct()
         # staged-invisible write: _staging-* does not match the reader's
         # batch-* listing filter, so the merged copy becomes visible only
         # through the atomic rename — the duplicate-history crash window
         # shrinks to [rename, last source delete], and the fold's
         # history distinct makes even that window semantically harmless
         staging = f"{index_path}/{FPS_SUBDIR}/_staging-{token}"
-        merged.write.mode("overwrite").parquet(staging)
+        writer = merged.write.mode("overwrite")
+        if PART_COL in merged.columns:
+            writer = merged.repartition(PART_COL).write.mode(
+                "overwrite"
+            ).partitionBy(PART_COL)
+        writer.parquet(staging)
         if not bool(
             fs.rename(jvm(staging), jvm(f"{index_path}/{FPS_SUBDIR}/batch-{token}"))
         ):

@@ -56,6 +56,73 @@ from py_data_pipeline_app_spark.plans.queries import (  # noqa: E402
 SPAN_SUBDIR = "span_index"
 SEMANTIC_SUBDIR = "semantic_index"
 
+
+def _near_dup_drop_ids(pairs: DataFrame, batch_ids: DataFrame) -> DataFrame:
+    """Which batch members a near-dup gate drops, given the fold's
+    verified pairs (id_a, id_b — batch×batch and batch×history mixed)
+    and the batch's own ids (one column, ``media_id``). Returns one
+    distinct ``_drop_id`` column.
+
+    Drop rule, resolved per CONNECTED COMPONENT of the batch-internal
+    pair graph (round-14 advice: the earlier greedy pairwise rule let
+    a chain a<b<c drop ALL of b, c even though b's only reason to
+    drop was a — leaving c's family with no surviving batch member):
+
+    - a batch member directly paired with HISTORY always drops (the
+      historical copy is the family's canonical — history wins);
+    - a batch-internal component ANY member of which pairs with
+      history keeps no batch member (the family is already
+      represented in the index);
+    - a purely batch-internal component keeps its LOWEST id (the
+      dedup family's first-occurrence survivor convention) and drops
+      the rest.
+
+    Cost: the pairs frame is batch-sized (checkpointed by the
+    caller); components converge in O(chain diameter) rounds over it
+    (:func:`~py_data_pipeline_app_spark.operators.dedup.connected_components`
+    — duplicate families are star-like, 2-4 rounds)."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        connected_components,
+    )
+
+    b = F.broadcast(batch_ids)
+    sym = pairs.select(
+        F.col("id_a").alias("_x"), F.col("id_b").alias("_y")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("_x"), F.col("id_a").alias("_y"))
+    )
+    # batch members with a direct history partner
+    hist_drop = (
+        sym.join(b.withColumnRenamed("media_id", "_x"), "_x")
+        .join(
+            b.withColumnRenamed("media_id", "_y").withColumn(
+                "_y_in_batch", F.lit(True)
+            ),
+            "_y",
+            "left",
+        )
+        .filter(F.col("_y_in_batch").isNull())
+        .select(F.col("_x").alias("node"))
+        .distinct()
+    )
+    batch_pairs = pairs.join(
+        b.withColumnRenamed("media_id", "id_a"), "id_a"
+    ).join(b.withColumnRenamed("media_id", "id_b"), "id_b")
+    comp = connected_components(batch_pairs)  # (node, comp=min member)
+    contacted = (
+        comp.join(hist_drop, "node").select("comp").distinct()
+    )
+    comp_drops = comp.join(
+        F.broadcast(contacted), "comp", "left_semi"
+    ).select("node")
+    non_min = comp.filter(F.col("node") != F.col("comp")).select("node")
+    return (
+        hist_drop.unionByName(comp_drops)
+        .unionByName(non_min)
+        .distinct()
+        .select(F.col("node").alias("_drop_id"))
+    )
+
 def curation_fold(
     spark: SparkSession,
     state_root: str,
@@ -78,6 +145,15 @@ def curation_fold(
     dsir_min_micro: int = 0,
     media_index: str | None = None,
     media_payload_col: str = "payload",
+    media_kind_col: str | None = "kind",
+    media_decoder: str = "payload_gray",
+    media_axes: str = "both",
+    media_bands: int = 8,
+    media_max_hamming: int = 6,
+    video_index: str | None = None,
+    video_decoder: str = "payload_frames",
+    video_max_hamming: int = 6,
+    video_min_matching_buckets: int = 2,
 ) -> None:
     """Fold ONE doc(+embedding) micro-batch through span dedup →
     semantic verdict → quality gate → hash split, landing the curated
@@ -87,21 +163,42 @@ def curation_fold(
 
     ``media_index`` (a directory path; self-creating, like the span
     index) adds the IMAGE NEAR-DUP gate (round 14): every batch row
-    carrying a non-null ``media_payload_col`` is dHash-folded into the
-    persisted band index
+    carrying a non-null ``media_payload_col`` — and, when the batch
+    has a ``media_kind_col`` column, ``kind='image'`` (a mixed feed
+    must not byte-hash video/audio payloads with the image decoder;
+    rows of other kinds pass ``img_kept=TRUE`` untouched) — is
+    dHash-folded into the persisted band index
     (``operators.media_dedup_incremental.incremental_dhash_fold``,
-    production two-axis config) and lands an ``img_kept`` flag folded
-    into ``retained`` — a re-encoded/resized copy of an asset seen in
-    ANY earlier batch (or earlier in this one: first occurrence = the
-    LOWEST id among batch-internal duplicates, the dedup family's
-    survivor convention; against history the streamed copy always
-    drops) is dropped at ingest. Rows without a payload pass
-    kept=TRUE (the embedding-less rows' honest-default precedent).
-    The verdict is fold-final in the sense the accounting needs:
-    dedup-vs-history is inherently arrival-ordered (like the span
-    gate), and a replayed batch excludes its own token so it
-    reproduces identical flags. Per-batch cost ∝ batch + matching
-    index rows + one columnar scan of the band table.
+    configured by ``media_decoder``/``media_axes``/``media_bands``/
+    ``media_max_hamming`` — the fold's production two-axis defaults;
+    note the default ``payload_gray`` decoder is the deterministic
+    byte-cycling fake, which only matches near-byte-identical blobs —
+    pass ``media_decoder='image_gray'`` for PERCEPTUAL re-encode/
+    resize dedup on real image payloads) and lands an ``img_kept``
+    flag folded into ``retained``. Survivors are resolved per
+    connected component of the batch-internal pair graph
+    (:func:`_near_dup_drop_ids`): against history the streamed copy
+    always drops; a purely-in-batch family keeps its lowest id. Rows
+    without a payload pass kept=TRUE (the embedding-less rows'
+    honest-default precedent). The verdict is fold-final in the sense
+    the accounting needs: dedup-vs-history is inherently
+    arrival-ordered (like the span gate), and a replayed batch
+    excludes its own token so it reproduces identical flags.
+    Per-batch cost ∝ batch + matching index rows + the pruned
+    partition directories of the band table.
+
+    ``video_index`` adds the VIDEO near-dup gate the same way (round
+    15): rows with ``kind='video'`` fold into the persisted per-frame
+    dHash index
+    (``operators.media_dedup_incremental.incremental_video_dhash_fold``,
+    ``video_decoder``/``video_max_hamming``/
+    ``video_min_matching_buckets``; ``meta.duration_ms`` is threaded
+    through when the batch carries a ``meta`` column) and land a
+    ``vid_kept`` flag folded into ``retained`` with the same
+    component-resolved, history-wins drop rule and
+    ``n_dropped_vid_dup`` accounting. Video routing REQUIRES the kind
+    column — it refuses loudly rather than guess which payloads are
+    clips.
 
     ``dsir_fit`` (a directory trained by
     ``operators.sampling.dsir_fit_train``) adds the DSIR importance
@@ -171,7 +268,8 @@ def curation_fold(
     text_deduped, n_chunks, n_kept_chunks, retained), plus ``lm_kept``
     when the LM gate is on, ``decon_kept`` when the decontamination
     gate is on, ``dsir_kept`` when the DSIR gate is on, and
-    ``img_kept`` when the media gate is on — ALL batch rows
+    ``img_kept`` when the media gate is on, and ``vid_kept`` when the
+    video gate is on — ALL batch rows
     land with their flags, so drop-reason accounting
     (:func:`curation_accounting`) and the shard-ready retained subset
     (:func:`curated_corpus`) are both one filter away, and a takedown
@@ -370,58 +468,88 @@ def curation_fold(
             .drop("_dsir_kept")
         )
         gate = gate & F.col("dsir_kept")
+    # modality routing for the media gates: with a kind column, only
+    # image rows reach the dHash fold (byte-hashing a video/audio
+    # payload with the image decoder would index garbage — the
+    # round-14 advice) and only video rows reach the per-frame fold;
+    # without one, every payload row is treated as an image (the
+    # payload-only feed's historical behavior, now explicit).
+    has_kind = media_kind_col is not None and media_kind_col in batch_df.columns
     if media_index is not None:
         from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
             incremental_dhash_fold,
         )
 
-        assets = batch_df.filter(
-            F.col(media_payload_col).isNotNull()
-        ).select(
+        assets = batch_df.filter(F.col(media_payload_col).isNotNull())
+        if has_kind:
+            assets = assets.filter(F.col(media_kind_col) == "image")
+        assets = assets.select(
             F.col(id_col).alias("media_id"),
             F.col(media_payload_col).alias("payload"),
         )
-        # EAGER index append inside; the pairs frame feeds two joins
-        # below — batch-pair-sized, checkpoint once
+        # EAGER index append inside; the pairs frame feeds the drop
+        # resolution below — batch-pair-sized, checkpoint once
         pairs = incremental_dhash_fold(
-            spark, media_index, assets, batch_token=token
+            spark,
+            media_index,
+            assets,
+            decoder=media_decoder,
+            axes=media_axes,
+            bands=media_bands,
+            max_hamming=media_max_hamming,
+            batch_token=token,
         ).localCheckpoint()
-        # drop rule: the batch-side member of each verified pair drops
-        # unless its partner is a batch member with a LOWER id (first
-        # occurrence survives within the batch; the historical copy
-        # always survives against the stream)
-        batch_ids = assets.select("media_id")
-        partnered = pairs.select(
-            F.col("id_a").alias("_x"), F.col("id_b").alias("_y")
-        ).unionByName(
-            pairs.select(F.col("id_b").alias("_x"), F.col("id_a").alias("_y"))
-        )
-        drops = (
-            partnered.join(
-                F.broadcast(batch_ids.withColumnRenamed("media_id", "_x")),
-                "_x",
-            )
-            .join(
-                F.broadcast(
-                    batch_ids.withColumnRenamed("media_id", "_y").withColumn(
-                        "_y_in_batch", F.lit(True)
-                    )
-                ),
-                "_y",
-                "left",
-            )
-            .filter(F.col("_y_in_batch").isNull() | (F.col("_y") < F.col("_x")))
-            .select(F.col("_x").alias(id_col))
-            .distinct()
-            .withColumn("_img_dup", F.lit(True))
-        )
+        drops = _near_dup_drop_ids(pairs, assets.select("media_id")).select(
+            F.col("_drop_id").alias(id_col)
+        ).withColumn("_img_dup", F.lit(True))
         labeled = (
             labeled.join(F.broadcast(drops), id_col, "left")
-            # payload-less rows produce no pair — kept by default
+            # payload-less (and, with a kind column, non-image) rows
+            # produce no pair — kept by default
             .withColumn("img_kept", F.col("_img_dup").isNull())
             .drop("_img_dup")
         )
         gate = gate & F.col("img_kept")
+    if video_index is not None:
+        from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+            incremental_video_dhash_fold,
+        )
+
+        if not has_kind:
+            raise ValueError(
+                "video_index routing needs a modality column: the batch has "
+                f"no {media_kind_col!r} column, so video rows cannot be told "
+                "apart from images - land a kind column or set media_kind_col"
+            )
+        clips = batch_df.filter(
+            F.col(media_payload_col).isNotNull()
+            & (F.col(media_kind_col) == "video")
+        ).select(
+            F.col(id_col).alias("media_id"),
+            F.col(media_payload_col).alias("payload"),
+            *(["meta"] if "meta" in batch_df.columns else []),
+        )
+        vpairs = incremental_video_dhash_fold(
+            spark,
+            video_index,
+            clips,
+            decoder=video_decoder,
+            max_hamming=video_max_hamming,
+            min_matching_buckets=video_min_matching_buckets,
+            batch_token=token,
+        ).localCheckpoint()
+        vdrops = _near_dup_drop_ids(
+            vpairs.select("id_a", "id_b"), clips.select("media_id")
+        ).select(F.col("_drop_id").alias(id_col)).withColumn(
+            "_vid_dup", F.lit(True)
+        )
+        labeled = (
+            labeled.join(F.broadcast(vdrops), id_col, "left")
+            # non-video rows produce no pair — kept by default
+            .withColumn("vid_kept", F.col("_vid_dup").isNull())
+            .drop("_vid_dup")
+        )
+        gate = gate & F.col("vid_kept")
     out = labeled.join(
         rebuilt.select(
             F.col(id_col),
@@ -458,6 +586,15 @@ def start_curation_stream(
     dsir_min_micro: int = 0,
     media_index: str | None = None,
     media_payload_col: str = "payload",
+    media_kind_col: str | None = "kind",
+    media_decoder: str = "payload_gray",
+    media_axes: str = "both",
+    media_bands: int = 8,
+    media_max_hamming: int = 6,
+    video_index: str | None = None,
+    video_decoder: str = "payload_frames",
+    video_max_hamming: int = 6,
+    video_min_matching_buckets: int = 2,
     compact_every: int | None = 16,
     shards_every: int | None = None,
     n_shards: int = 8,
@@ -526,6 +663,15 @@ def start_curation_stream(
             dsir_min_micro=dsir_min_micro,
             media_index=media_index,
             media_payload_col=media_payload_col,
+            media_kind_col=media_kind_col,
+            media_decoder=media_decoder,
+            media_axes=media_axes,
+            media_bands=media_bands,
+            media_max_hamming=media_max_hamming,
+            video_index=video_index,
+            video_decoder=video_decoder,
+            video_max_hamming=video_max_hamming,
+            video_min_matching_buckets=video_min_matching_buckets,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_fps(spark, f"{state_root}/{SPAN_SUBDIR}", keep_newest=True)
@@ -538,6 +684,12 @@ def start_curation_stream(
                 )
 
                 compact_media_index(spark, media_index, keep_newest=True)
+            if video_index is not None:
+                from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+                    compact_video_index,
+                )
+
+                compact_video_index(spark, video_index, keep_newest=True)
         if shards_every and batch_id > 0 and batch_id % shards_every == 0:
             # a reordering feed's shard write must read the index's
             # CURRENT verdicts (curation_fold's documented contract):
@@ -641,6 +793,9 @@ def curated_corpus_current(
         # arrival-ordered like the span scrub: the landed flag IS the
         # verdict (the dHash index never re-adjudicates old batches)
         gate = gate & F.col("img_kept")
+    if "vid_kept" in rows.columns:
+        # arrival-ordered like the image gate
+        gate = gate & F.col("vid_kept")
     return (
         rows.join(state, id_col, "left")
         .withColumn("sem_kept", F.coalesce(F.col("_kept_now"), F.col("sem_kept")))
@@ -659,8 +814,9 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
     passed but the perplexity filter dropped); a decontamination-gated
     stream (``decon_benchmark``) adds ``n_dropped_decon`` the same
     way, a DSIR-gated stream (``dsir_fit``) adds ``n_dropped_dsir``,
-    and a media-gated stream (``media_index``) adds
-    ``n_dropped_img_dup``. Gated verdicts fold into
+    a media-gated stream (``media_index``) adds
+    ``n_dropped_img_dup``, and a video-gated stream (``video_index``)
+    adds ``n_dropped_vid_dup``. Gated verdicts fold into
     ``n_retained``/``retained_tokens``; non-gated streams keep the
     original 6-column schema."""
     rows = curated_batches(spark, out_path)
@@ -709,6 +865,15 @@ def curation_accounting(spark: SparkSession, out_path: str) -> DataFrame:
             ).alias("n_dropped_img_dup")
         )
         kept_good = kept_good & F.col("img_kept")
+    if "vid_kept" in rows.columns:
+        # video-gated stream: rows every earlier gate passed but the
+        # per-frame near-dup index caught as a re-encoded clip
+        aggs.append(
+            F.sum(
+                F.when(kept_good & ~F.col("vid_kept"), 1).otherwise(0)
+            ).alias("n_dropped_vid_dup")
+        )
+        kept_good = kept_good & F.col("vid_kept")
     return rows.groupBy("split", "source").agg(
         F.sum(F.when(kept_good, 1).otherwise(0)).alias("n_retained"),
         *aggs,

@@ -262,6 +262,77 @@ def start_media_dedup_stream(
     )
 
 
+def start_video_dedup_stream(
+    spark: SparkSession,
+    landing: str,
+    checkpoint: str,
+    schema: T.StructType,
+    index_path: str,
+    pairs_out: str,
+    *,
+    decoder: str = "payload_frames",
+    every: int = 5,
+    fps_ms: int = 40,
+    bucket_ms: int = 1000,
+    bands: int = 8,
+    max_hamming: int = 6,
+    min_matching_buckets: int = 2,
+    compact_every: int | None = 16,
+    query_name: str = "near_dup_video",
+) -> StreamingQuery:
+    """Streaming VIDEO near-dup detection: every arriving micro-batch
+    of clips is folded into the persisted per-frame dHash index
+    (operators.media_dedup_incremental.incremental_video_dhash_fold),
+    emitting the verified near-dup CLIP pairs the batch introduces —
+    within the batch AND against every previously streamed clip —
+    without re-decoding or re-blocking history. The video twin of
+    :func:`start_media_dedup_stream`, inheriting the same contracts
+    from the shared index machinery: union-of-folds equals one batch
+    ``video_near_dup_pairs`` over everything streamed (parity-tested);
+    exactly-once pair output under micro-batch replay (the fold's
+    ``batch_token`` is the micro-batch id); unbounded history lives in
+    parquet, partition-pruned per fold; keep-newest compaction every
+    ``compact_every`` batches inside foreachBatch. Landing schema
+    needs (media_id, payload, meta) — filter mixed-modality feeds to
+    ``kind='video'`` upstream or land them pre-filtered."""
+    from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+        compact_video_index,
+        incremental_video_dhash_fold,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    base = pairs_out.rstrip("/")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_video_dhash_fold(
+            spark,
+            index_path,
+            batch_df,
+            decoder=decoder,
+            every=every,
+            fps_ms=fps_ms,
+            bucket_ms=bucket_ms,
+            bands=bands,
+            max_hamming=max_hamming,
+            min_matching_buckets=min_matching_buckets,
+            batch_token=f"{batch_id:08d}",
+        )
+        # the eager write also drains the lazy pairs frame, so the
+        # compaction below never deletes subdirs a pending read pins
+        pairs.write.mode("overwrite").parquet(f"{base}/batch-{batch_id:08d}")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_video_index(spark, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_span_dedup_stream(
     spark: SparkSession,
     landing: str,

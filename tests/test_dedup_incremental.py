@@ -418,3 +418,27 @@ def test_index_delete_full_compact_single_batch_dir(spark, tmp_path):
 
     # and converges: nothing left to do
     assert compact_index(spark, index, keep_newest=False) == 0
+
+
+def test_history_probe_partition_prunes(spark, docs, tmp_path):
+    """The fold's band-table probe reaches the parquet scan as a
+    PARTITION filter on the batch's own prefix set (pb = band-key hash
+    % part_buckets) — per-fold history I/O follows the batch's touched
+    prefixes, not the index size (plan-asserted, the IVF
+    PartitionFilters discipline)."""
+    import contextlib
+    import io
+    import re
+
+    index = str(tmp_path / "idx")
+    incremental_lsh_fold(
+        spark, index, docs.filter(F.col("doc_id") >= 10), batch_token="a"
+    )
+    pairs = incremental_lsh_fold(
+        spark, index, docs.filter(F.col("doc_id") < 10), batch_token="b"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[[^]]*pb#\d+ (IN|=)", plan), plan[:2000]

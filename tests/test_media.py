@@ -1070,3 +1070,41 @@ def test_dhash_bits_batch_equals_scalar():
     want = [M._dhash_bits(g) for g in grids]
     assert got.tolist() == want
     assert want[-1] == -1  # sign-bit case actually exercised
+
+
+def test_audio_wav_24bit_and_degenerate_rate(spark):
+    """Round-15 decoder totality (round-14 advice): 24-bit PCM — the
+    common studio WAV variant — decodes through the 3-byte→int32
+    widening and fingerprints within the re-encode radius of its
+    16-bit twin; a degenerate rate ≤ 200 Hz (Nyquist at/below the
+    lowest band edge) hashes as the constant floor grid (all-zero
+    gradient bits) instead of crashing on descending band edges."""
+    import io
+    import wave
+
+    orig = _chirp(16000)
+
+    def wav24(samples, rate=16000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(3)
+            wf.setframerate(rate)
+            i32 = (np.asarray(samples) * 8388607).astype("<i4")
+            b = i32.view(np.uint8).reshape(-1, 4)[:, :3]  # drop the high pad
+            wf.writeframes(b.tobytes())
+        return buf.getvalue()
+
+    rows = [
+        (1, _wav_pcm(orig)),
+        (2, wav24(orig)),
+        (3, _wav_pcm(np.sin(2 * np.pi * 3 * np.arange(300) / 150), rate=150)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hx = {r.media_id: (r.dhash, r.dhash_v) for r in
+          M.media_dhash(df, decoder="wav_spectrogram").collect()}
+    ham12 = bin((hx[1][0] ^ hx[2][0]) & (2**64 - 1)).count("1") + bin(
+        (hx[1][1] ^ hx[2][1]) & (2**64 - 1)
+    ).count("1")
+    assert ham12 <= 4, f"24-bit re-encode must sit inside the radius: {ham12}"
+    assert hx[3] == (0, 0), "degenerate rate hashes as the constant grid"

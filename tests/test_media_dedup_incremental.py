@@ -199,9 +199,9 @@ def test_fold_job_count_pinned(spark, media_rows, tmp_path):
     """Per-batch cost guard (the monotone-append pin's shape): one
     fold against a non-empty index runs a bounded number of Spark
     jobs — a new per-fold O(history) action shows up here before it
-    shows up in a bench row. Measured: 4 jobs (config read, eager
-    hash checkpoint, pairs write drain in callers; here config +
-    checkpoint + tombstone probe + append×2)."""
+    shows up in a bench row. Measured: 5 jobs (config read, eager
+    hash checkpoint, the partition-prefix set collect — bounded by
+    part_buckets, never by history — and append×2)."""
     index = str(tmp_path / "idx")
     incremental_dhash_fold(
         spark,
@@ -218,7 +218,7 @@ def test_fold_job_count_pinned(spark, media_rows, tmp_path):
         batch_token="b",
     )
     after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after - before <= 8, f"dhash fold ran {after - before} jobs"
+    assert after - before <= 9, f"dhash fold ran {after - before} jobs"
 
 
 def test_streaming_media_dedup_parity(spark, media_rows, tmp_path):
@@ -259,3 +259,214 @@ def test_streaming_media_dedup_parity(spark, media_rows, tmp_path):
     assert got == _pairs(dhash_near_dup_pairs(media_dhash(media_rows)))
     a_ids = {r.media_id for r in a.collect()}
     assert any((x in a_ids) != (y in a_ids) for x, y, _ in got)
+
+
+def test_history_probe_partition_prunes(spark, media_rows, tmp_path):
+    """The fold's band-table probe must reach the parquet scan as a
+    PARTITION filter on the batch's own prefix set (the round-14
+    verdict's crawl-cadence fix: per-fold history I/O follows the
+    batch's touched prefixes, not the index size). Asserted on the
+    executed plan the same way the IVF index pins its
+    PartitionFilters."""
+    import contextlib
+    import io
+    import re
+
+    index = str(tmp_path / "idx")
+    incremental_dhash_fold(
+        spark, index, media_rows.filter(F.col("media_id") < 20),
+        batch_token="a",
+    )
+    pairs = incremental_dhash_fold(
+        spark, index, media_rows.filter(F.col("media_id") >= 30),
+        batch_token="b",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[[^]]*pb#\d+ (IN|=)", plan), plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# incremental VIDEO dHash index (per-frame signatures, time-bucket blocking)
+# ---------------------------------------------------------------------------
+
+_VP1 = bytes((x * 9) % 251 for x in range(648))
+_VP2 = bytes((x * 7 + 13) % 256 for x in range(500))
+
+
+@pytest.fixture()
+def video_rows(spark):
+    """Two duplicate clip families plus a singleton: ids 0/1 identical
+    payloads at different resolutions (5 shared time buckets), 10/11
+    identical at 4 buckets, 20 unrelated — durations chosen so the
+    per-bucket min-hamming floor and the ≥min_matching_buckets gate
+    are both exercised."""
+    rows = [
+        (0, _VP1, (5000, 640, 480)),
+        (1, _VP1, (5000, 320, 240)),
+        (10, _VP2, (4000, 640, 480)),
+        (11, _VP2, (4000, 640, 480)),
+        (20, b"unrelated clip bytes that differ entirely" * 4, (3000, 100, 100)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<duration_ms:long,width:int,height:int>",
+    )
+
+
+def _vpairs(df):
+    return sorted((r.id_a, r.id_b, r.n_matching_buckets) for r in df.collect())
+
+
+def test_video_fold_parity_across_compaction(spark, video_rows, tmp_path):
+    """Union-of-folds == one batch video_near_dup_pairs over the
+    union, with a keep-newest compaction between folds (the image
+    index's parity contract lifted to the per-frame index): within-
+    batch pairs at their own fold, cross-batch pairs — including the
+    planted 0~1 family split across batches — at the later fold, the
+    n_matching_buckets verification counts identical both ways."""
+    from py_data_pipeline_app_spark.operators.media import (
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+    from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+        compact_video_index,
+        incremental_video_dhash_fold,
+    )
+
+    index = str(tmp_path / "vidx")
+    a = video_rows.filter(F.col("media_id").isin([0, 10, 20]))
+    b = video_rows.filter(F.col("media_id") == 1)
+    c = video_rows.filter(F.col("media_id") == 11)
+    p1 = _vpairs(
+        incremental_video_dhash_fold(
+            spark, index, a, max_bucket_size=None, batch_token="a"
+        )
+    )
+    p2 = _vpairs(
+        incremental_video_dhash_fold(
+            spark, index, b, max_bucket_size=None, batch_token="b"
+        )
+    )
+    assert compact_video_index(spark, index) >= 0
+    p3 = _vpairs(
+        incremental_video_dhash_fold(
+            spark, index, c, max_bucket_size=None, batch_token="c"
+        )
+    )
+    want = _vpairs(
+        video_near_dup_pairs(
+            video_frame_dhash(video_rows), max_bucket_size=None
+        )
+    )
+    assert sorted(p1 + p2 + p3) == want
+    assert (0, 1, 5) in p2 and (10, 11, 4) in p3  # cross-batch at later fold
+    assert p1 == []  # batch A holds one member of each family
+    # replay no-op: same batch + token reproduces identical pairs
+    p3r = _vpairs(
+        incremental_video_dhash_fold(
+            spark, index, c, max_bucket_size=None, batch_token="c"
+        )
+    )
+    assert p3r == p3
+
+
+def test_video_config_drift_fails_loudly(spark, video_rows, tmp_path):
+    """One video index = one complete sampling+banding+verification
+    configuration — every knob that changes frame samples, band keys
+    or emitted pairs refuses on drift."""
+    from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+        incremental_video_dhash_fold,
+    )
+
+    index = str(tmp_path / "vidx")
+    incremental_video_dhash_fold(spark, index, video_rows, batch_token="a")
+    for kwargs in (
+        {"every": 3},
+        {"fps_ms": 20},
+        {"bucket_ms": 500},
+        {"bands": 4},
+        {"max_hamming": 2},
+        {"min_matching_buckets": 3},
+    ):
+        with pytest.raises(ValueError, match="configuration"):
+            incremental_video_dhash_fold(
+                spark, index, video_rows, batch_token="b", **kwargs
+            )
+
+
+def test_video_streaming_front_door_parity(spark, video_rows, tmp_path):
+    """start_video_dedup_stream: landing two micro-batch files and
+    draining with availableNow folds each into the persisted index;
+    the union of emitted pair batches equals one batch
+    video_near_dup_pairs over everything streamed."""
+    from py_data_pipeline_app_spark.operators.media import (
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+    from py_data_pipeline_app_spark.streaming.dedup import (
+        read_dedup_output,
+        start_video_dedup_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    a = video_rows.filter(F.col("media_id").isin([0, 10, 20]))
+    b = video_rows.filter(F.col("media_id").isin([1, 11]))
+    a.write.mode("overwrite").parquet(f"{landing}/wave-0")
+
+    def drain():
+        q = start_video_dedup_stream(
+            spark,
+            f"{landing}/wave-*",
+            str(tmp_path / "ckpt"),
+            a.schema,
+            str(tmp_path / "vidx"),
+            str(tmp_path / "pairs"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    b.write.mode("overwrite").parquet(f"{landing}/wave-1")
+    drain()
+    got = sorted(
+        (r.id_a, r.id_b, r.n_matching_buckets)
+        for r in read_dedup_output(spark, str(tmp_path / "pairs")).collect()
+    )
+    assert got == _vpairs(
+        video_near_dup_pairs(video_frame_dhash(video_rows))
+    )
+
+
+def test_video_history_probe_partition_prunes(spark, video_rows, tmp_path):
+    """The video fold's band-table probe partition-prunes to the
+    batch's own prefixes, same contract as the image/LSH/span
+    indexes."""
+    import contextlib
+    import io
+    import re
+
+    from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+        incremental_video_dhash_fold,
+    )
+
+    index = str(tmp_path / "vidx")
+    incremental_video_dhash_fold(
+        spark, index, video_rows.filter(F.col("media_id") < 20),
+        batch_token="a",
+    )
+    # a single one-sampled-frame clip: 8 band rows → well under the 32
+    # partition prefixes, so the prune filter must survive saturation
+    # detection
+    tiny = spark.createDataFrame(
+        [(30, b"one tiny clip payload", (200, 64, 48))],
+        video_rows.schema,
+    )
+    pairs = incremental_video_dhash_fold(spark, index, tiny, batch_token="b")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[[^]]*pb#\d+ (IN|=)", plan), plan[:2000]

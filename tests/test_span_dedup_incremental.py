@@ -236,3 +236,26 @@ def test_compact_fps_keeps_write_time_newest(spark, corpus, tmp_path):
     )
     assert sorted(map(tuple, replay.collect())) == first
     assert first[0][3] > 0  # and it genuinely kept its novel chunk
+
+
+def test_history_probe_partition_prunes(spark, corpus, tmp_path):
+    """The fold's fingerprint-table read must carry a partition filter
+    on the batch's own hash prefixes — a small batch reads only the
+    pb=* directories its fingerprints could live in, never the whole
+    fp table (plan-asserted, the IVF PartitionFilters discipline)."""
+    import contextlib
+    import io
+    import re
+
+    index = str(tmp_path / "idx")
+    incremental_span_fold(
+        spark, index, corpus.filter(F.col("doc_id") < 10), batch_token="b0"
+    )
+    rebuilt = incremental_span_fold(
+        spark, index, corpus.filter(F.col("doc_id") == 11), batch_token="b1"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rebuilt.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[[^]]*pb#\d+ (IN|=)", plan), plan[:2000]

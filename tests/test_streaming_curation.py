@@ -856,3 +856,182 @@ def test_media_gate_in_front_door(spark, tmp_path):
         r.doc_id: r.img_kept for r in curated_batches(spark, out).collect()
     }
     assert again == flags
+
+
+def test_near_dup_drop_rule_is_component_resolved(spark):
+    """Direct contract test for the gate's drop resolution (round-14
+    advice): in a batch CHAIN a<b<c with pairs (a,b) and (b,c) only,
+    the component keeps exactly its lowest id — c drops because its
+    component is represented by a, not because of the greedy pairwise
+    accident the old rule had; and a component with ANY history
+    contact keeps no batch member at all."""
+    from py_data_pipeline_app_spark.streaming.curation import (
+        _near_dup_drop_ids,
+    )
+
+    batch = spark.createDataFrame(
+        [(1,), (2,), (3,), (7,), (8,)], "media_id long"
+    )
+    # chain 1-2-3 purely in batch; component {7,8} touches history 100
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (7, 100)], "id_a long, id_b long"
+    )
+    drops = {
+        r._drop_id for r in _near_dup_drop_ids(pairs, batch).collect()
+    }
+    assert drops == {2, 3, 7, 8}
+    # a member paired ONLY with history (no batch-internal pair) drops
+    solo = spark.createDataFrame([(5, 200)], "id_a long, id_b long")
+    assert {
+        r._drop_id
+        for r in _near_dup_drop_ids(
+            solo, spark.createDataFrame([(5,)], "media_id long")
+        ).collect()
+    } == {5}
+
+
+def test_media_gate_routes_by_modality(spark, tmp_path):
+    """Round-15 front-door guard: with a ``kind`` column, only image
+    rows reach the dHash fold — a VIDEO row whose payload is
+    byte-identical to an already-indexed image passes untouched
+    (img_kept=TRUE) while the re-encoded IMAGE copy still drops."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    media_idx = str(tmp_path / "state" / "media_index")
+    seed_emb = local_rows_df(
+        spark,
+        "doc_id long, embedding array<float>",
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+    )
+    build_semantic_index(
+        seed_emb,
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=2,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    feed_schema = (
+        "doc_id long, text string, source string, "
+        "embedding array<float>, payload binary, kind string"
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "doc with the original image", "a", None, b"asset-one-bytes!", "image")],
+        feed_schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            # image: tiled (re-encoded) copy — must drop
+            (20, "image re-encode", "b", None, b"asset-one-bytes!" * 3, "image"),
+            # video: byte-identical payload — must NOT be byte-hashed
+            # into the image index, passes untouched
+            (21, "video with coincidental bytes", "b", None, b"asset-one-bytes!", "video"),
+            # audio: payload present, not an image — passes
+            (22, "audio clip", "b", None, b"asset-one-bytes!", "audio"),
+        ],
+        feed_schema,
+    )
+    curation_fold(spark, state, out, batch1, 0, media_index=media_idx)
+    curation_fold(spark, state, out, batch2, 1, media_index=media_idx)
+    flags = {
+        r.doc_id: r.img_kept for r in curated_batches(spark, out).collect()
+    }
+    assert flags == {10: True, 20: False, 21: True, 22: True}
+
+
+def test_video_gate_in_front_door(spark, tmp_path):
+    """The video near-dup gate (round 15): kind='video' rows fold into
+    the persisted per-frame dHash index (video_index=), land a
+    ``vid_kept`` flag folded into ``retained``, the accounting grows
+    ``n_dropped_vid_dup``, image/text rows pass untouched, and a
+    replayed batch reproduces identical flags. Routing without a kind
+    column refuses loudly."""
+    from py_data_pipeline_app_spark.functions.frames import local_rows_df
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    vid_idx = str(tmp_path / "state" / "video_index")
+    seed_emb = local_rows_df(
+        spark,
+        "doc_id long, embedding array<float>",
+        [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6)],
+    )
+    build_semantic_index(
+        seed_emb,
+        f"{state}/semantic_index",
+        threshold=THRESH,
+        n_centroids=2,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    feed_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("duration_ms", T.LongType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    clip = bytes((x * 9) % 251 for x in range(648))
+    batch1 = spark.createDataFrame(
+        [
+            (10, "doc with the original clip", "a", None, clip, "video", (5000, 640, 480)),
+            (11, "text only", "a", None, None, None, None),
+        ],
+        feed_schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            # identical clip at lower resolution — cross-batch near-dup
+            (20, "same clip re-encoded", "b", None, clip, "video", (5000, 320, 240)),
+            # image row with the same bytes — not a clip, passes
+            (21, "image with coincidental bytes", "b", None, clip, "image", None),
+        ],
+        feed_schema,
+    )
+    curation_fold(spark, state, out, batch1, 0, video_index=vid_idx)
+    curation_fold(spark, state, out, batch2, 1, video_index=vid_idx)
+    rows = curated_batches(spark, out).collect()
+    flags = {r.doc_id: r.vid_kept for r in rows}
+    assert flags == {10: True, 11: True, 20: False, 21: True}
+    assert all(
+        r.retained == (r.sem_kept and r.good and r.vid_kept) for r in rows
+    )
+    acct = curation_accounting(spark, out)
+    assert "n_dropped_vid_dup" in acct.columns
+    tot = acct.agg(
+        F.sum("n_retained"), F.sum("n_dropped_semantic"),
+        F.sum("n_dropped_quality"), F.sum("n_dropped_vid_dup"),
+    ).first()
+    assert sum(tot) == len(rows)
+    # replay no-op
+    curation_fold(spark, state, out, batch2, 1, video_index=vid_idx)
+    again = {
+        r.doc_id: r.vid_kept for r in curated_batches(spark, out).collect()
+    }
+    assert again == flags
+    # no kind column -> loud refusal, not silent byte-hashing
+    no_kind = spark.createDataFrame(
+        [(30, "x", "a", None, clip)],
+        "doc_id long, text string, source string, "
+        "embedding array<float>, payload binary",
+    )
+    with pytest.raises(ValueError, match="kind"):
+        curation_fold(
+            spark, state, str(tmp_path / "out2"), no_kind, 0,
+            video_index=vid_idx,
+        )
