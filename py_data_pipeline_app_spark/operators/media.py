@@ -755,6 +755,47 @@ def _image_gray(payload: bytes):
         return np.asarray(im.convert("L"), dtype=np.float64)
 
 
+def _payload_pcm_energy(payload: bytes):
+    """Deterministic integer AUDIO fake decoder for the dHash path —
+    the ``payload_gray`` precedent in PCM-sample space, so the full
+    audio dedup chain (hash → band → hamming verify → components →
+    canonicals) is replayable in pure integer SQL by a DuckDB oracle
+    (the driver-gate requirement the real FFT spectrogram can never
+    meet).
+
+    Shape mirrors :func:`_wav_spectrogram_gray`'s contract without the
+    transform: payload bytes are read as little-endian int16 samples
+    (trailing odd byte dropped), the clip is cut into 24 equal
+    TIME WINDOWS with pure-integer bounds (``w*m // 24`` — never
+    float linspace, so SQL reproduces the same split bit-for-bit),
+    and within a window "band" ``b`` holds the summed |sample| energy
+    of the samples whose index ≡ b (mod 27) — a deterministic comb
+    standing in for frequency bands. All values are exact integers
+    (|int16| sums < 2⁵³), so the shared float64 box-mean/gradient-bit
+    arithmetic downstream is exact, the oracle-replay property
+    ``media_dhash_canonicals`` relies on. Byte-identical payloads
+    collide at hamming 0; it makes NO perceptual claim — use
+    ``wav_spectrogram`` for real audio robustness."""
+    import numpy as np
+
+    windows, bands = 24, 27
+    if not payload or len(payload) < 2:
+        return np.zeros((windows, bands), dtype=np.float64)
+    b = np.frombuffer(bytes(payload), dtype=np.uint8)
+    m = len(b) // 2
+    s = np.abs(b[: 2 * m].view("<i2").astype(np.float64))
+    out = np.zeros((windows, bands), dtype=np.float64)
+    for w in range(windows):
+        lo, hi = (w * m) // windows, ((w + 1) * m) // windows
+        if hi > lo:
+            out[w] = np.bincount(
+                np.arange(lo, hi) % bands,
+                weights=s[lo:hi],
+                minlength=bands,
+            )
+    return out
+
+
 def _wav_spectrogram_gray(payload: bytes):
     """REAL audio decode for the dHash path (round 14): RIFF/WAVE PCM
     bytes → stdlib ``wave`` → a 24×27 log-energy SPECTROGRAM grid —
@@ -854,11 +895,13 @@ def _wav_spectrogram_gray(payload: bytes):
 
 #: dHash decoders: payload_gray is the deterministic in-container fake,
 #: image_gray the real Pillow decode, wav_spectrogram the real stdlib
-#: WAV audio fingerprint — all behind identical downstream arithmetic.
+#: WAV audio fingerprint, payload_pcm the deterministic integer audio
+#: fake (SQL-oracle-able) — all behind identical downstream arithmetic.
 DHASH_DECODERS = {
     "payload_gray": _payload_gray,
     "image_gray": _image_gray,
     "wav_spectrogram": _wav_spectrogram_gray,
+    "payload_pcm": _payload_pcm_energy,
 }
 
 

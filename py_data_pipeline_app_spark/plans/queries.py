@@ -813,6 +813,7 @@ _NGRAM_PAIR_CTES = f"""toks AS (SELECT doc_id, {_SQL_WS} AS ws FROM documents),
     WITH {_NGRAM_PAIR_CTES}
     SELECT id_a, id_b, jaccard FROM njpairs
     """,
+    retired=True,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs (threshold 0.5) via the
@@ -820,7 +821,19 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cross join. ``max_df=100`` drops stop-shingles (boilerplate
     lines shared by >100 docs): each shingle's candidate pairs grow as
     df², so one viral line otherwise dominates the shuffle at corpus
-    scale. The oracle mirrors the cap, so the gate stays exact."""
+    scale. The oracle mirrors the cap, so the gate stays exact.
+
+    RETIRED round 15 (registry at the 2×gate-cap ceiling; retired from
+    the least-recently-verified half per the README's rotation plan —
+    the round-14 README named media_frame_sample, but that row sits in
+    the FRESHLY-verified r14 half, so retiring it would push an
+    r13-verified row past the next gate prefix and breach the
+    staleness pin; this r13-verified near-twin retires instead.
+    Near-twin coverage: the identical shingle→inverted-index→Jaccard
+    chain stays driver-gated by ``cross_corpus_decontamination`` and
+    this full oracle keeps running in tests/test_retired.py) to seat
+    ``audio_dhash_canonicals`` — the audio dedup family's driver-gate
+    row."""
     return ngram_jaccard_pairs(
         load_table(spark, "documents", sf_dir), n=3, threshold=0.5, max_df=100
     )
@@ -3255,31 +3268,18 @@ def _dhash_cell_exprs() -> tuple[str, str, str, str, str]:
     return hterms, ", ".join(rs_exprs), ", ".join(vc_exprs), hbits, vbits
 
 
-def _dhash_hv_ctes() -> str:
-    """Generated CTE chain computing (media_id, fidelity, dhash,
-    dhash_v) from an ``img(media_id, payload_text, fidelity)`` CTE —
-    the DuckDB replay of the payload_gray fake decoder + exact
-    box-mean downsample + MSB-first gradient bits
-    (operators/media.py: _payload_gray → _downsample_gray →
-    _dhash_bits, axes="both"). Every step is integer arithmetic:
-    pixels are payload bytes tiled to 24×27; the horizontal 8×9 grid
-    is 3×3-aligned box sums; the vertical 9×8 grid has fractional
-    cell boundaries handled by the baked-in scaled overlap constants;
-    equal cell areas make each gradient bit an integer comparison.
-    Signed 64-bit packing matches Spark LongType two's complement
-    (the sign bit contributes -2⁶³)."""
+def _dhash_hv_tail() -> str:
+    """The decoder-independent half of the dHash oracle machinery:
+    cells/vcells/hv CTEs turning an existing ``px(media_id, fidelity,
+    p)`` CTE — p a 648-element row-major integer grid list — into the
+    two-axis signatures, via the exact integer box means (baked-in
+    scaled overlap constants) and signed-64-bit MSB-first gradient
+    packing that matches Spark LongType two's complement (the sign
+    bit contributes -2⁶³). Shared by the image (payload_gray) and
+    audio (payload_pcm) gate rows so the arithmetic replay is written
+    exactly once."""
     hterms, rs_exprs, vc_exprs, hbits, vbits = _dhash_cell_exprs()
     return f"""
-    px AS (
-      SELECT media_id, fidelity,
-             CASE WHEN length(payload_text) = 0
-                  THEN list_transform(range(0, 648), i -> 0)
-                  ELSE list_transform(range(0, 648),
-                    i -> unicode(payload_text[
-                           CAST(i % length(payload_text) AS INT) + 1]))
-             END AS p
-      FROM img
-    ),
     cells AS (
       SELECT media_id, fidelity,
              list_transform(range(0, 72), k -> {hterms}) AS hc,
@@ -3298,28 +3298,74 @@ def _dhash_hv_ctes() -> str:
     )"""
 
 
-@register(
-    "media_dhash_canonicals",
-    f"""
-    WITH RECURSIVE media AS ({M.MEDIA_SQL}),
-    img0 AS (
-      SELECT media_id, payload_text, width, height
-      FROM media WHERE kind = 'image'
+def _dhash_hv_ctes() -> str:
+    """Generated CTE chain computing (media_id, fidelity, dhash,
+    dhash_v) from an ``img(media_id, payload_text, fidelity)`` CTE —
+    the DuckDB replay of the payload_gray fake decoder + exact
+    box-mean downsample + MSB-first gradient bits
+    (operators/media.py: _payload_gray → _downsample_gray →
+    _dhash_bits, axes="both"). Every step is integer arithmetic:
+    pixels are payload bytes tiled to 24×27; the horizontal 8×9 grid
+    is 3×3-aligned box sums; the vertical 9×8 grid has fractional
+    cell boundaries handled by the baked-in scaled overlap constants;
+    equal cell areas make each gradient bit an integer comparison."""
+    return f"""
+    px AS (
+      SELECT media_id, fidelity,
+             CASE WHEN length(payload_text) = 0
+                  THEN list_transform(range(0, 648), i -> 0)
+                  ELSE list_transform(range(0, 648),
+                    i -> unicode(payload_text[
+                           CAST(i % length(payload_text) AS INT) + 1]))
+             END AS p
+      FROM img
     ),
-    img AS (
-      SELECT media_id, payload_text,
-             CAST(width * height AS DOUBLE) AS fidelity
-      FROM img0
-      UNION ALL
-      SELECT media_id + 10000000, payload_text,
-             CAST((width * 2) * height AS DOUBLE)
-      FROM img0 WHERE media_id % 7 = 0
-      UNION ALL
-      SELECT media_id + 20000000, payload_text,
-             CAST(width * height AS DOUBLE)
-      FROM img0 WHERE media_id % 11 = 0
+    {_dhash_hv_tail()}"""
+
+
+def _dhash_hv_ctes_pcm() -> str:
+    """The audio twin of :func:`_dhash_hv_ctes`: px from an
+    ``aud(media_id, payload_text, fidelity)`` CTE via the
+    ``payload_pcm`` fake decoder's exact recipe (operators/media.py
+    _payload_pcm_energy) — payload bytes as little-endian int16
+    samples, 24 integer-bound time windows (``w*m // 24``), band b =
+    summed |sample| over indices ≡ b (mod 27) within the window. All
+    integer arithmetic, so the shared hv tail replays exactly."""
+    return f"""
+    smp AS (
+      SELECT media_id, fidelity,
+             list_transform(
+               range(0, CAST(length(payload_text) // 2 AS BIGINT)),
+               j -> abs(
+                 unicode(payload_text[CAST(2 * j AS INT) + 1])
+                 + 256 * unicode(payload_text[CAST(2 * j AS INT) + 2])
+                 - CASE WHEN unicode(payload_text[CAST(2 * j AS INT) + 2])
+                             >= 128
+                        THEN 65536 ELSE 0 END)) AS s
+      FROM aud
     ),
-    {_dhash_hv_ctes()},
+    px AS (
+      SELECT media_id, fidelity,
+             list_transform(range(0, 648), k ->
+               coalesce(list_sum(list_transform(
+                 list_filter(
+                   range((k // 27) * len(s) // 24,
+                         ((k // 27) + 1) * len(s) // 24),
+                   j -> j % 27 = k % 27),
+                 j -> s[j + 1])), 0)) AS p
+      FROM smp
+    ),
+    {_dhash_hv_tail()}"""
+
+
+def _dhash_cluster_sql(feed_cte: str) -> str:
+    """The clustering half every dHash gate row shares: brute-force
+    combined-hamming ≤ 6 pairs over ``hv`` (equal to the banded set by
+    the pigeonhole recall GUARANTEE: hamming 6 < 8 bands ⇒ co-block),
+    transitive closure by recursive CTE, fidelity-argmax canonicals
+    with ties to the lowest id — parameterized only by the feed CTE
+    carrying (media_id, fidelity) for singleton/member rows."""
+    return f"""
     pairs AS (
       SELECT a.media_id AS id_a, b.media_id AS id_b
       FROM hv a JOIN hv b ON a.media_id < b.media_id
@@ -3344,7 +3390,7 @@ def _dhash_hv_ctes() -> str:
       SELECT i.media_id,
              coalesce(c.component_id, i.media_id) AS component_id,
              i.fidelity
-      FROM img i LEFT JOIN comp c USING (media_id)
+      FROM {feed_cte} i LEFT JOIN comp c USING (media_id)
     ),
     canon AS (
       SELECT component_id, media_id AS canonical_id FROM (
@@ -3356,7 +3402,32 @@ def _dhash_hv_ctes() -> str:
     )
     SELECT m.media_id, m.component_id, c.canonical_id, m.fidelity,
            m.media_id = c.canonical_id AS is_canonical
-    FROM member m JOIN canon c USING (component_id)
+    FROM member m JOIN canon c USING (component_id)"""
+
+
+@register(
+    "media_dhash_canonicals",
+    f"""
+    WITH RECURSIVE media AS ({M.MEDIA_SQL}),
+    img0 AS (
+      SELECT media_id, payload_text, width, height
+      FROM media WHERE kind = 'image'
+    ),
+    img AS (
+      SELECT media_id, payload_text,
+             CAST(width * height AS DOUBLE) AS fidelity
+      FROM img0
+      UNION ALL
+      SELECT media_id + 10000000, payload_text,
+             CAST((width * 2) * height AS DOUBLE)
+      FROM img0 WHERE media_id % 7 = 0
+      UNION ALL
+      SELECT media_id + 20000000, payload_text,
+             CAST(width * height AS DOUBLE)
+      FROM img0 WHERE media_id % 11 = 0
+    ),
+    {_dhash_hv_ctes()},
+    {_dhash_cluster_sql("img")}
     """,
 )
 def media_dhash_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3407,6 +3478,83 @@ def media_dhash_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = media.unionByName(p7).unionByName(p11)
     return M.media_dhash_canonicals(feed)
+
+
+@register(
+    "audio_dhash_canonicals",
+    f"""
+    WITH RECURSIVE media AS ({M.MEDIA_SQL}),
+    aud0 AS (
+      SELECT media_id, payload_text,
+             CAST(octet_length(encode(payload_text)) AS DOUBLE) AS fidelity
+      FROM media WHERE kind = 'audio'
+    ),
+    aud AS (
+      SELECT media_id, payload_text, fidelity FROM aud0
+      UNION ALL
+      SELECT media_id + 10000000, payload_text,
+             CAST(100000 * 100 AS DOUBLE)
+      FROM aud0 WHERE media_id % 7 = 0
+      UNION ALL
+      SELECT media_id + 20000000, payload_text, fidelity
+      FROM aud0 WHERE media_id % 11 = 0
+    ),
+    {_dhash_hv_ctes_pcm()},
+    {_dhash_cluster_sql("aud")}
+    """,
+)
+def audio_dhash_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO dedup family's driver-gate row (round 15; the
+    round-14 verdict's task 4): perceptual hash → banded near-dup
+    pairs → connected components → fidelity canonicals over audio
+    assets, at the production two-axis defaults, through the
+    deterministic ``payload_pcm`` fake decoder — payload bytes as
+    little-endian int16 samples folded into a 24×27 (time-window ×
+    mod-27 band) integer energy grid, so DuckDB replays the ENTIRE
+    chain in integer SQL (samples → windowed band energies → exact
+    box means → gradient bits → brute-force combined-hamming pairs,
+    equal to the banded set by the pigeonhole guarantee → recursive-
+    CTE closure → fidelity argmax). The REAL audio decoder
+    (``wav_spectrogram``: stdlib RIFF/PCM → log-energy spectrogram,
+    FFT and therefore never SQL-expressible) feeds the IDENTICAL
+    downstream arithmetic and is measured for perceptual robustness
+    on chirp fixtures in test_media — this row is the cross-engine
+    value check of everything after the decode, on the audio
+    modality's own feed.
+
+    Planted duplicate families make every clustering stage
+    non-vacuous (the media_dhash_canonicals precedent): every 7th
+    audio asset gets a copy carrying explicit 100000×100 dimensions
+    (10⁷ beats any payload-length fidelity, so the planted copy must
+    WIN the canonical pick), every 11th an identical-fidelity copy
+    (tie must break to the LOWEST id), and 77-multiples form 3-member
+    clusters (transitivity). Audio fidelity is payload bytes —
+    time-media rows carry no width/height, exercising the fidelity
+    coalesce's fallback arm the image row never reaches."""
+    media = M.media_from_documents(
+        load_table(spark, "documents", sf_dir)
+    ).filter(F.col("kind") == "audio")
+    dims = (
+        F.col("meta")
+        .withField("width", F.lit(100000).cast("int"))
+        .withField("height", F.lit(100).cast("int"))
+    )
+    p7 = media.filter(F.col("media_id") % 7 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        "kind",
+        "payload",
+        "mime",
+        dims.alias("meta"),
+    )
+    p11 = media.filter(F.col("media_id") % 11 == 0).select(
+        (F.col("media_id") + 20_000_000).alias("media_id"),
+        "kind",
+        "payload",
+        "mime",
+        "meta",
+    )
+    feed = media.unionByName(p7).unionByName(p11)
+    return M.media_dhash_canonicals(feed, decoder="payload_pcm")
 
 
 def _video_dhash_ctes() -> str:

@@ -1108,3 +1108,45 @@ def test_audio_wav_24bit_and_degenerate_rate(spark):
     ).count("1")
     assert ham12 <= 4, f"24-bit re-encode must sit inside the radius: {ham12}"
     assert hx[3] == (0, 0), "degenerate rate hashes as the constant grid"
+
+
+def test_payload_pcm_energy_pinned_arithmetic(spark):
+    """The deterministic integer audio fake decoder (round 15: the
+    payload_pcm gate-row decoder) pinned against a from-scratch plain-
+    loop reimplementation: little-endian int16 samples (trailing odd
+    byte dropped), integer window bounds w*m//24, band b = Σ|sample|
+    over indices ≡ b (mod 27) — the exact recipe the DuckDB oracle
+    replays. Plus totality edges: empty and 1-byte payloads are the
+    zero grid, and the composed media_dhash is deterministic."""
+    from py_data_pipeline_app_spark.operators.media import (
+        _payload_pcm_energy,
+    )
+
+    payload = bytes(
+        ((i * 37 + 11) % 256) for i in range(193)  # odd length on purpose
+    )
+    grid = _payload_pcm_energy(payload)
+    m = len(payload) // 2
+    expect = [[0] * 27 for _ in range(24)]
+    for j in range(m):
+        lo, hi = payload[2 * j], payload[2 * j + 1]
+        v = lo + 256 * hi
+        if v >= 32768:
+            v -= 65536
+        w = next(
+            w for w in range(24)
+            if (w * m) // 24 <= j < ((w + 1) * m) // 24
+        )
+        expect[w][j % 27] += abs(v)
+    assert grid.tolist() == [[float(c) for c in row] for row in expect]
+    assert _payload_pcm_energy(b"").tolist() == [[0.0] * 27] * 24
+    assert _payload_pcm_energy(b"x").tolist() == [[0.0] * 27] * 24
+    # composed determinism: identical payloads collide at hamming 0,
+    # distinct ones get distinct signatures
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload), (3, payload[::-1])],
+        "media_id long, payload binary",
+    )
+    hx = {r.media_id: (r.dhash, r.dhash_v) for r in
+          M.media_dhash(df, decoder="payload_pcm").collect()}
+    assert hx[1] == hx[2] and hx[1] != hx[3]
