@@ -423,6 +423,66 @@ def main() -> None:
         flush=True,
     )
 
+    # round-15: the partition-pruned history probe. The band table is
+    # partitionBy(pb = xxhash64(band, bucket) % part_buckets) and each
+    # fold's history read IN-filters the batch's own prefixes — the
+    # win regime is batch_keys << part_buckets (trickle ingest /
+    # takedown-probe folds), degrading to the old full scan when the
+    # batch saturates the prefix space. Measure the SAME 2-asset fold
+    # against x100 indexes built at part_buckets 1 (the prune never
+    # fires: pre-round-15 behavior), 32 (default) and 256, ALTERNATING
+    # within one window (measured rule #26 — standalone one-number
+    # A/Bs drift).
+    def _build_trickle_idx(pb: int) -> str:
+        from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+            incremental_dhash_fold,
+        )
+
+        dest = f"/tmp/dhash_idx_p{pb}"
+        shutil.rmtree(dest, ignore_errors=True)
+        hist = _dhash_media(X100_DIR).filter(F.col("media_id") % 97 != 0)
+        incremental_dhash_fold(
+            spark, dest, hist, part_buckets=pb, batch_token="hist"
+        ).write.format("noop").mode("overwrite").save()
+        return dest
+
+    def _trickle_fold(dest: str, pb: int) -> float:
+        from py_data_pipeline_app_spark.operators.media_dedup_incremental import (
+            incremental_dhash_fold,
+        )
+
+        trickle = (
+            _dhash_media(X100_DIR)
+            .filter(F.col("media_id") % 97 == 0)
+            .orderBy("media_id")
+            .limit(2)
+        )
+        t0 = _time.perf_counter()
+        incremental_dhash_fold(
+            spark, dest, trickle, part_buckets=pb, batch_token="trickle"
+        ).write.format("noop").mode("overwrite").save()
+        return round(_time.perf_counter() - t0, 3)
+
+    pbs = (1, 32, 256)
+    idx_dirs = {pb: _build_trickle_idx(pb) for pb in pbs}
+    trickle_secs: dict[str, list[float]] = {f"p{pb}": [] for pb in pbs}
+    for _rep in range(3):
+        for pb in pbs:
+            trickle_secs[f"p{pb}"].append(_trickle_fold(idx_dirs[pb], pb))
+    for d in idx_dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    followups["dhash_trickle_fold_partition_ab"] = {
+        "what": "one 2-asset (16 band-key) fold against the full x100 "
+        "index under three band-table partition fanouts, alternating "
+        "in one window: part_buckets=1 never prunes (the pre-round-15 "
+        "full band-table scan), 32 prunes to ~half the prefixes, 256 "
+        "to ~6% — the trickle/takedown-probe regime the round-15 "
+        "partition layout targets; large batches saturate the prefix "
+        "space and keep the old keyed-scan cost",
+        "x100_trickle_secs": trickle_secs,
+    }
+    print(f"followup dhash trickle fold partition A/B: {trickle_secs}", flush=True)
+
     # host-noise probe (the bench.py env contract): re-time the first
     # three rehearsed queries at base scale, report drift vs their own
     # start-of-run timings
