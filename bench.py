@@ -78,7 +78,6 @@ ALIASES = {
     "dedup_minhash_lsh": "dd_lsh",
     "dedup_incremental_lsh": "dd_inc",
     "dedup_simhash": "dd_sim",
-    "dedup_ngram_jaccard": "dd_jacc",
     "dedup_ngram_containment": "dd_contain",
     "boilerplate_line_strip": "boiler",
     "doc_winnowing_fingerprints": "winnow_fp",
@@ -140,6 +139,7 @@ ALIASES = {
     "media_dhash_canonicals": "med_dhash",
     "training_set_curation_dsir": "cur_dsir",
     "video_dhash_canonicals": "vid_dhash",
+    "audio_dhash_canonicals": "aud_dhash",
     "media_frame_sample": "med_frames",
     "media_metadata_filter": "med_meta",
     "media_feature_extract": "med_feat",

@@ -113,6 +113,7 @@ def start_near_dup_stream(
     threshold: float = 0.5,
     num_perms: int | None = None,
     bands: int | None = None,
+    part_buckets: int | None = None,
     compact_every: int | None = 16,
     query_name: str = "near_dup_docs",
 ) -> StreamingQuery:
@@ -172,6 +173,7 @@ def start_near_dup_stream(
             threshold=threshold,
             num_perms=np_,
             bands=b_,
+            **({"part_buckets": part_buckets} if part_buckets is not None else {}),
             batch_token=f"{batch_id:08d}",
         )
         # the eager write also drains the lazy pairs frame, so the
@@ -202,6 +204,7 @@ def start_media_dedup_stream(
     axes: str = "both",
     bands: int = 8,
     max_hamming: int = 6,
+    part_buckets: int | None = None,
     compact_every: int | None = 16,
     query_name: str = "near_dup_media",
 ) -> StreamingQuery:
@@ -244,6 +247,7 @@ def start_media_dedup_stream(
             axes=axes,
             bands=bands,
             max_hamming=max_hamming,
+            **({"part_buckets": part_buckets} if part_buckets is not None else {}),
             batch_token=f"{batch_id:08d}",
         )
         # the eager write also drains the lazy pairs frame, so the
@@ -277,6 +281,7 @@ def start_video_dedup_stream(
     bands: int = 8,
     max_hamming: int = 6,
     min_matching_buckets: int = 2,
+    part_buckets: int | None = None,
     compact_every: int | None = 16,
     query_name: str = "near_dup_video",
 ) -> StreamingQuery:
@@ -315,6 +320,7 @@ def start_video_dedup_stream(
             bands=bands,
             max_hamming=max_hamming,
             min_matching_buckets=min_matching_buckets,
+            **({"part_buckets": part_buckets} if part_buckets is not None else {}),
             batch_token=f"{batch_id:08d}",
         )
         # the eager write also drains the lazy pairs frame, so the
@@ -344,6 +350,7 @@ def start_span_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 10,
+    part_buckets: int | None = None,
     compact_every: int | None = 16,
     query_name: str = "span_dedup_docs",
 ) -> StreamingQuery:
@@ -381,6 +388,7 @@ def start_span_dedup_stream(
             text_col=text_col,
             id_col=id_col,
             chunk_tokens=chunk_tokens,
+            **({"part_buckets": part_buckets} if part_buckets is not None else {}),
             batch_token=f"{batch_id:08d}",
         )
         rebuilt.write.mode("overwrite").parquet(f"{base}/batch-{batch_id:08d}")
