@@ -45,6 +45,15 @@ Deletes and compaction reuse the LSH index machinery verbatim
 with ``id_col="media_id"`` and :func:`compact_media_index` — the
 shared lock, tombstone anti-join, keep-newest replay protection, and
 convergent crash model all apply unchanged).
+
+Round 15 adds the VIDEO twin on the same template
+(:func:`incremental_video_dhash_fold`): ``bands/`` holds per-frame
+time-bucketed blocking rows (media_id, frame_bucket, band, bucket) —
+``video_near_dup_pairs``'s blocking key, already index-shaped — and
+``framehashes/`` the per-frame signatures verification needs; the
+fold emits verified CLIP pairs (per-bucket min combined hamming, a
+``min_matching_buckets`` floor) with the identical parity, replay,
+tombstone and compaction contracts.
 """
 
 from __future__ import annotations
