@@ -919,6 +919,7 @@ def cluster_canonicals(
     *,
     id_col: str = "doc_id",
     score_col: str = "quality_z",
+    components: str = "minlabel",
 ) -> DataFrame:
     """Pick one CANONICAL document per near-dup cluster by QUALITY —
     the selection policy production dedup actually wants: lowest-id
@@ -940,8 +941,27 @@ def cluster_canonicals(
     aggregation keyed by component (map-side partial agg — no
     per-component window over a mostly-singleton corpus), then a
     broadcast-friendly re-join keyed by component. Returns (id,
-    component_id, canonical_id, score, is_canonical)."""
-    comp = connected_components(pairs).select(
+    component_id, canonical_id, score, is_canonical).
+
+    ``components`` picks the closure algorithm: ``"minlabel"`` (the
+    default — O(cluster diameter) rounds, cheapest on the star-like
+    clusters of text corpora) or ``"star"``
+    (:func:`connected_components_star`, O(log n) rounds on ANY shape —
+    the round-15 ×100 rehearsal measured perceptual-hash near-dup
+    graphs forming CHAINS of re-encodes whose diameter exceeds the
+    min-label iteration bound, so the media-family canonicals default
+    to it). Both return identical components (parity-tested), so the
+    choice never changes results — only convergence behavior."""
+    if components not in ("minlabel", "star"):
+        raise ValueError(
+            f"components must be 'minlabel' or 'star', got {components!r}"
+        )
+    cc = (
+        connected_components_star
+        if components == "star"
+        else connected_components
+    )
+    comp = cc(pairs).select(
         F.col("node").alias(id_col), F.col("comp").alias("component_id")
     )
     member = (

@@ -1417,6 +1417,7 @@ def video_dhash_canonicals(
         scores,
         id_col="media_id",
         score_col="fidelity",
+        components="star",  # re-encode chains: O(log n), not O(diameter)
     )
 
 
@@ -1471,4 +1472,9 @@ def media_dhash_canonicals(
         scores,
         id_col="media_id",
         score_col="fidelity",
+        # perceptual near-dup graphs form re-encode CHAINS (a ×100
+        # rehearsal finding: chain diameter exceeded the min-label
+        # bound on the audio feed) — the star rounds are O(log n) on
+        # any shape, identical components
+        components="star",
     )

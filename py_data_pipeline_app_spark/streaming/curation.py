@@ -82,7 +82,7 @@ def _near_dup_drop_ids(pairs: DataFrame, batch_ids: DataFrame) -> DataFrame:
     (:func:`~py_data_pipeline_app_spark.operators.dedup.connected_components`
     — duplicate families are star-like, 2-4 rounds)."""
     from py_data_pipeline_app_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
 
     b = F.broadcast(batch_ids)
@@ -108,7 +108,10 @@ def _near_dup_drop_ids(pairs: DataFrame, batch_ids: DataFrame) -> DataFrame:
     batch_pairs = pairs.join(
         b.withColumnRenamed("media_id", "id_a"), "id_a"
     ).join(b.withColumnRenamed("media_id", "id_b"), "id_b")
-    comp = connected_components(batch_pairs)  # (node, comp=min member)
+    # star rounds: a long re-encode chain inside one batch must not
+    # crash the stream on the min-label iteration bound (O(log n) on
+    # any graph shape, identical components)
+    comp = connected_components_star(batch_pairs)  # (node, comp=min member)
     contacted = (
         comp.join(hist_drop, "node").select("comp").distinct()
     )

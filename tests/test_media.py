@@ -1150,3 +1150,41 @@ def test_payload_pcm_energy_pinned_arithmetic(spark):
     hx = {r.media_id: (r.dhash, r.dhash_v) for r in
           M.media_dhash(df, decoder="payload_pcm").collect()}
     assert hx[1] == hx[2] and hx[1] != hx[3]
+
+
+def test_media_canonicals_survive_long_chains(spark):
+    """Round-15 ×100 rehearsal finding: perceptual near-dup graphs
+    form re-encode CHAINS whose diameter can exceed the min-label
+    iteration bound — the media-family canonicals therefore run the
+    O(log n) star closure. Pinned here with a synthetic 60-link chain
+    fed through cluster_canonicals exactly as media_dhash_canonicals
+    composes it: one component, canonical = the highest-fidelity
+    member, no convergence error."""
+    from py_data_pipeline_app_spark.operators.dedup import (
+        cluster_canonicals,
+    )
+
+    n = 60
+    docs = spark.createDataFrame([(i,) for i in range(n)], "media_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(i, float(1000 if i == 37 else i)) for i in range(n)],
+        "media_id long, fidelity double",
+    )
+    got = cluster_canonicals(
+        docs, pairs, scores,
+        id_col="media_id", score_col="fidelity", components="star",
+    ).collect()
+    assert {r.component_id for r in got} == {0}
+    assert all(r.canonical_id == 37 for r in got)
+    # the min-label default would raise on this diameter — assert the
+    # guard stays loud rather than silently unconverged
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        cluster_canonicals(
+            docs, pairs, scores,
+            id_col="media_id", score_col="fidelity",
+        ).collect()
