@@ -495,9 +495,14 @@ def main() -> None:
             "index under three band-table partition fanouts, alternating "
             "in one window: part_buckets=1 never prunes (the pre-round-15 "
             "full band-table scan), 32 prunes to ~half the prefixes, 256 "
-            "to ~6% — the trickle/takedown-probe regime the round-15 "
-            "partition layout targets; large batches saturate the prefix "
-            "space and keep the old keyed-scan cost",
+            "to ~6% (plan-asserted PartitionFilters). NOTE the round-15 "
+            "measurement came out INVERTED (p1 fastest): at container "
+            "scale the band table is ~133k rows — far below the file-size "
+            "floor — so per-partition listing/task overhead exceeds the "
+            "scan savings; the pruned probe pays only once partition "
+            "payloads outgrow per-file overhead (size part_buckets as "
+            "bucket_bytes/target_file_size, measured rule #6, and keep it "
+            "SMALL until the table is big enough)",
             "x100_trickle_secs": trickle_secs,
         }
         print(f"followup dhash trickle fold partition A/B: {trickle_secs}", flush=True)
