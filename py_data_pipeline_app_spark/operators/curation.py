@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import tokens
+from py_data_pipeline_app_spark.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
 # Repetition filters (Gopher-style rules 4-8: a document dominated by a
@@ -1113,7 +1114,12 @@ def bpe_train(
     if level not in ("word", "char"):
         raise ValueError(f"bpe_train: unknown level {level!r}")
     try:
-        state = docs.select(
+        # fan_out BEFORE the state rendering: the unsplittable one-file
+        # corpus would otherwise pin every round's pair count AND every
+        # round's literal-replace re-render to one task (guide §2.5);
+        # localCheckpoint preserves partitioning, so one repartition
+        # here parallelizes all n_merges rounds.
+        state = fan_out(docs).select(
             _bpe_state_expr(text_col, level).alias("_s")
         ).localCheckpoint()
     except Exception as e:  # surface the projection guard as ValueError
@@ -1501,7 +1507,7 @@ def _arrow_bpe_encode(
             T.StructField("n_oov", T.IntegerType()),
             T.StructField("n_tokens", T.IntegerType()),
         ]
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return fan_out(docs.select(F.col(id_col), F.col(text_col))).mapInPandas(
         encode_batches, T.StructType(fields)
     )
 
@@ -1552,7 +1558,7 @@ def bpe_apply(
             F.lit(f"‹{left}›‹{right}›"),
             F.lit(f"‹{_bpe_merged_symbol(left, right, level)}›"),
         )
-    staged = docs.select(
+    staged = fan_out(docs).select(
         F.col(id_col), F.size(toks).alias("n_tokens"), enc.alias("_enc")
     )
     syms = F.split(
@@ -1614,7 +1620,7 @@ def bpe_vocab(
     the vocab-sized frame."""
     from py_data_pipeline_app_spark.operators.ranking import global_dense_rank
 
-    state = docs.select(_bpe_state_expr(text_col, level).alias("_s"))
+    state = fan_out(docs).select(_bpe_state_expr(text_col, level).alias("_s"))
     syms = F.split(F.expr("substring(_s, 2, length(_s) - 2)"), "›‹")
     alpha = state.select(F.explode(syms).alias("symbol")).distinct()
     base = global_dense_rank(alpha, "symbol", "_rk", descending=False).select(

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark import schemas
 from py_data_pipeline_app_spark.operators.similarity import brute_force_topk
+from py_data_pipeline_app_spark.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
 # Deterministic media derivation (fixture source for the driver testdata)
@@ -396,7 +397,11 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(gen, schema=schemas.MEDIA_FEATURES)
+    # project to the columns gen() reads (mime would otherwise ride the
+    # Arrow boundary for nothing — guide §4.1) and fan_out the decode
+    return fan_out(
+        media.select("media_id", "kind", "payload", "meta")
+    ).mapInPandas(gen, schema=schemas.MEDIA_FEATURES)
 
 
 def resize_media(
@@ -598,7 +603,9 @@ def _sample_frames_decoded(
                 columns=["media_id", "kind", "frame_idx", "ts_ms", "frame_digest"],
             )
 
-    video = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    video = fan_out(
+        media.filter(F.col("kind") == "video").select("media_id", "payload")
+    )
     decoded = video.mapInPandas(gen, schema=out_schema)
     audio = sample_frames(
         media.filter(F.col("kind") == "audio"), every=every, fps_ms=fps_ms
@@ -970,7 +977,11 @@ def media_dhash(
             yield pd.DataFrame(cols)
 
     schema = "media_id long, dhash long" + (", dhash_v long" if both else "")
-    return media.select("media_id", "payload").mapInPandas(gen, schema=schema)
+    # fan_out: decode+hash is the expensive narrow stage; an
+    # unsplittable one-file scan would pin it to one core (guide §2.5)
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def _dhash_hash_cols(hashes: DataFrame, hash_col: str = "dhash") -> list[str]:
@@ -1261,7 +1272,9 @@ def video_frame_dhash(
             )
             yield out
 
-    return media.select("media_id", "payload", "meta").mapInPandas(
+    # fan_out: per-frame decode+hash is the most expensive stage of the
+    # video chain; parallelize it past the one-task unsplittable scan
+    return fan_out(media.select("media_id", "payload", "meta")).mapInPandas(
         gen, schema=out_schema
     )
 

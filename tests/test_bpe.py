@@ -300,15 +300,25 @@ def test_apply_refuses_marker_in_unseen_text(spark):
 def test_train_guard_costs_no_extra_job(spark):
     """The marker guard is folded into the first-round state
     projection (raise_error under when), not a dedicated pre-loop
-    count action: a 1-merge train is {checkpoint, pair-count,
-    rewrite-checkpoint} = 3 jobs (+ possible AQE probes), where the
-    old pre-scan made it 4+."""
+    count action: a 1-merge train is {fan_out+checkpoint, pair-count,
+    rewrite-checkpoint} = 4 jobs (+ possible AQE probes), where the
+    old pre-scan made it 5+. The r15 fan_out repartition adds exactly
+    ONE job (the shuffle stage of the initial state materialization)
+    and parallelizes every round past the one-task unsplittable scan;
+    it must never add per-round jobs."""
     df = _df(spark, ["a b a b", "a b c"])
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
     bpe_train(df, n_merges=1)
     after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after - before <= 3
+    assert after - before <= 5
+    # per-round cost is unchanged: one more merge adds at most 3 jobs
+    # (pair-count collect [+ its AQE shuffle-stage job] +
+    # rewrite-checkpoint), no fan_out re-probe, no guard scan
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    bpe_train(df, n_merges=2)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 8
 
 
 # ---------------------------------------------------------------------------
@@ -408,15 +418,20 @@ def test_encode_ids_empty_vocab_all_oov(spark):
 
 def test_encode_ids_plan_is_zero_shuffle(spark):
     """The 100-TB contract: the encode is ONE pure projection — no
-    Exchange anywhere in the plan (no explode/join/re-agg path)."""
+    Exchange anywhere in the plan (no explode/join/re-agg path). An
+    input already at cluster parallelism (any real corpus scan) must
+    pass through fan_out untouched; only the local one-task testdata
+    pays its round-robin repartition."""
     docs, merges, vocab = _trained(spark)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     plan = (
         bpe_encode_ids(docs, merges, vocab, level="char")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, plan
+    # one Exchange: the explicit repartition above — fan_out adds none
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_sequence_packing_over_real_ids(spark):
