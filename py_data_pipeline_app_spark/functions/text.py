@@ -192,9 +192,13 @@ def with_doc_fingerprints(
     """Add ``md5_fingerprint`` / ``min_gram_hash`` / ``max_gram_hash``
     columns, computing the per-row gram-hash array exactly once via
     intermediate columns (the fast shape — see :func:`doc_fingerprint`)."""
+    from py_data_pipeline_app_spark.partitioning import fan_out
+
     c = F.col(col) if isinstance(col, str) else col
+    # fan_out: the ~|doc| md5-gram array is pure narrow compute — on an
+    # unsplittable one-file scan it runs on one core (guide §2.5)
     return (
-        df.withColumn("_fp_norm", normalize_text(c))
+        fan_out(df).withColumn("_fp_norm", normalize_text(c))
         .withColumn("_fp_gh", _gram_hashes(F.col("_fp_norm"), gram))
         .withColumn("md5_fingerprint", F.md5("_fp_norm"))
         .withColumn("min_gram_hash", F.array_min("_fp_gh"))
@@ -294,13 +298,18 @@ def winnowing_fingerprints(
     Returns exploded distinct (id, fp) rows, fp a 60-bit md5-derived
     integer (cross-engine reproducible, same construction as
     :func:`md5_long`)."""
+    from py_data_pipeline_app_spark.partitioning import fan_out
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     # materialize the normalized string FIRST: _gram_hashes references
     # its input inside the per-gram lambda, and an inlined
     # normalize_text would re-run its whole-document regexp once per
     # gram (measured 15.5 s of the original 19 s at sf0.1 — the same
     # staging rule with_doc_fingerprints applies)
-    staged = df.withColumn("_wf_norm", normalize_text(c)).withColumn(
+    # fan_out: ~|doc| md5 grams + log(window) sparse-table levels per
+    # row is the expensive narrow stage; an unsplittable one-file scan
+    # would pin it to one core (guide §2.5)
+    staged = fan_out(df).withColumn("_wf_norm", normalize_text(c)).withColumn(
         "_wf_t0", _gram_hashes(F.col("_wf_norm"), gram)
     )
     # sparse-table levels: _wf_t{k}[i] = min(gh[i .. i+2^k-1]); level k

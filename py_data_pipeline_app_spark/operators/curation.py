@@ -105,8 +105,10 @@ def word_repetition_stats(
     The token array and the fold result are materialized once as
     intermediate columns — whole-stage codegen does not CSE an
     expression repeated across output columns, and CollapseProject
-    keeps non-cheap multi-referenced projections in their own step."""
-    d = df.withColumn("_toks", tokens(text_col)).withColumn(
+    keeps non-cheap multi-referenced projections in their own step.
+    fan_out: the per-row sort + fold is expensive narrow compute —
+    pinned to one core on an unsplittable one-file scan (guide §2.5)."""
+    d = fan_out(df).withColumn("_toks", tokens(text_col)).withColumn(
         "_ws", run_length_stats(F.sort_array(F.col("_toks")))
     )
     return d.select(
@@ -126,8 +128,9 @@ def with_token_chunks(
     The token array is STAGED as its own projection column before the
     per-chunk lambda slices it — inlined, the ``split(trim(text))``
     re-evaluates once per chunk (the word_shingles staging rule, worth
-    ~chunks× the tokenize cost per row)."""
-    staged = df.withColumn("_ck_toks", tokens(text_col))
+    ~chunks× the tokenize cost per row). fan_out: the tokenize + chunk
+    render is expensive narrow compute (guide §2.5)."""
+    staged = fan_out(df).withColumn("_ck_toks", tokens(text_col))
     toks = F.col("_ck_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
@@ -161,9 +164,9 @@ def gram_repetition_stats(
     zero-shuffle fold shape as :func:`word_repetition_stats`."""
     # stage the token array before ngrams_of's per-gram lambda reads it
     # — an inlined tokens() re-evaluates its split per gram position
-    # (the word_shingles staging rule)
+    # (the word_shingles staging rule); fan_out past a one-file scan
     d = (
-        df.withColumn("_rtoks", tokens(text_col))
+        fan_out(df).withColumn("_rtoks", tokens(text_col))
         .withColumn("_g", ngrams_of(F.col("_rtoks"), n))
         .withColumn("_gs", run_length_stats(F.sort_array(F.col("_g"))))
     )
@@ -192,9 +195,11 @@ def repetition_filter(
     One narrow projection — both folds run in the same scan over
     materialized-once intermediate columns; no explode, no shuffle,
     no join. A document's repetition profile is a pure function of its
-    own row, and the plan says so."""
+    own row, and the plan says so — with one round-robin fan-out ahead
+    of it when the input is an unsplittable one-file scan (guide §2.5;
+    no-op on an already-wide corpus)."""
     d = (
-        df.withColumn("_toks", tokens(text_col))
+        fan_out(df).withColumn("_toks", tokens(text_col))
         .withColumn("_ws", run_length_stats(F.sort_array(F.col("_toks"))))
         .withColumn("_g2", ngrams_of(F.col("_toks"), 2))
         .withColumn("_gs", run_length_stats(F.sort_array(F.col("_g2"))))
@@ -447,7 +452,7 @@ def perplexity_buckets(
     100 TB you calibrate them once on a sample — CCNet's published
     percentile protocol — rather than paying a global sort per run).
     """
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
     ).filter(F.col("_tok") != "")
     if lm is None:
@@ -558,9 +563,10 @@ def _bigram_map_stage(
     )
     ids = [F.col(id_col)] if id_col is not None else []
     # stage the token array AND the mapped array as their own
-    # projections (lambda-capture staging rule) before slicing pairs
+    # projections (lambda-capture staging rule) before slicing pairs;
+    # fan_out past an unsplittable one-file scan (guide §2.5)
     return (
-        docs.select(
+        fan_out(docs).select(
             *ids,
             F.filter(tokens(text_col), lambda x: x != "").alias("_toks"),
         )
@@ -907,7 +913,7 @@ def unigram_lm(
     second pass over the counts). Train once on a clean reference
     corpus, persist, and feed to :func:`perplexity_buckets` — or let
     it default to self-trained for corpus-relative scoring."""
-    tok = docs.select(F.explode(tokens(text_col)).alias("_tok")).filter(
+    tok = fan_out(docs).select(F.explode(tokens(text_col)).alias("_tok")).filter(
         F.col("_tok") != ""
     )
     counts = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
@@ -947,7 +953,7 @@ def token_diversity(
     Scale shape: explode → two keyed aggregations ((doc, token) then
     doc), both with map-side partial combine — linear in corpus tokens,
     the same shape as corpus_vocab_topk, never a join."""
-    tok = docs.select(
+    tok = fan_out(docs).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
     ).filter(F.col("_tok") != "")
     per_tok = tok.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
@@ -1850,7 +1856,7 @@ def boilerplate_strip(
         F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")
     )
     lines = (
-        docs.select(
+        fan_out(docs).select(
             F.col(id_col),
             F.col(source_col),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),

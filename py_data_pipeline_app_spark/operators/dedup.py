@@ -29,6 +29,7 @@ from py_data_pipeline_app_spark.functions.text import (
     token_hash,
     tokens,
 )
+from py_data_pipeline_app_spark.partitioning import fan_out
 
 DEFAULT_NUM_PERMS = 32
 DEFAULT_BANDS = 8  # 8 bands x 4 rows over 32 perms
@@ -61,8 +62,12 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str
     per-gram lambda references it: inlined, the ``split(trim(text))``
     subtree re-evaluates once per gram position (the winnowing staging
     pitfall) — measured 2.65 s → 0.44 s for the shingle stage at
-    sf0.1, which every posting-list operator downstream inherits."""
-    staged = df.withColumn("_ws_toks", tokens(text_col))
+    sf0.1, which every posting-list operator downstream inherits.
+
+    fan_out: the tokenize + per-gram join/explode is the expensive
+    narrow stage feeding the posting-list shuffle; an unsplittable
+    one-file scan would pin it to one core (guide §2.5)."""
+    staged = fan_out(df).withColumn("_ws_toks", tokens(text_col))
     toks = F.col("_ws_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
@@ -216,7 +221,10 @@ def minhash_signatures(
 
     One explode + one groupBy with ``num_perms`` min() aggregates —
     partial aggregation collapses each partition to one row per doc
-    before the shuffle."""
+    before the shuffle. The tokenize + num_perms-wide partial
+    aggregation is map-side narrow compute, so the input is fanned out
+    past an unsplittable one-file scan (guide §2.5)."""
+    df = fan_out(df)
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", token_hash(F.col("tok")))
@@ -385,8 +393,12 @@ def token_set_dedup_pairs(
     true-duplicate group. Linear in the corpus, one shuffle on the
     fingerprint — this is the scale path for threshold-1.0 dedup, where
     LSH adds cost but no information (identical sets ⇒ identical
-    signatures ⇒ all bands collide)."""
-    members = df.select(token_set_fingerprint(text_col).alias("_k"), F.col(id_col))
+    signatures ⇒ all bands collide). The per-row tokenize + sort + md5
+    fingerprint is map-side narrow compute, fanned out past an
+    unsplittable one-file scan (guide §2.5)."""
+    members = fan_out(df).select(
+        token_set_fingerprint(text_col).alias("_k"), F.col(id_col)
+    )
     return _bucket_member_pairs(members, ["_k"], id_col).select(
         F.col("_a").alias("id_a"),
         F.col("_b").alias("id_b"),
@@ -465,7 +477,11 @@ def simhash64(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
 
     Per bit j: sign of Σ_tokens (bit_j(h) ? +1 : -1). Computed as 64
     conditional-sum aggregates in one groupBy — all JVM-side, partial
-    aggregation map-side. Emitted as the packed bigint ``simhash``."""
+    aggregation map-side. Emitted as the packed bigint ``simhash``.
+    The tokenize + 60-vote partial aggregation is map-side narrow
+    compute, so the input is fanned out past an unsplittable one-file
+    scan (guide §2.5)."""
+    df = fan_out(df)
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))  # 60 usable bits

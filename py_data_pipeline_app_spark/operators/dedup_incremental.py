@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import tokens
+from py_data_pipeline_app_spark.partitioning import fan_out
 from py_data_pipeline_app_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_MAX_BUCKET,
@@ -580,7 +581,13 @@ def _incremental_lsh_fold_locked(
     _check_or_write_config(
         spark, index_path, num_perms, bands, exact, part_buckets
     )
-    docs = new_docs.select(F.col(id_col), F.col(text_col))
+    # fan_out: the per-doc fingerprint/signature compute below is
+    # map-side narrow work; an unsplittable one-file batch scan would
+    # pin it (and the eager localCheckpoint that materializes it) to
+    # one core (guide §2.5). minhash_signatures fans out internally,
+    # but the exact-mode fingerprint branch and the tokset render do
+    # not — do it once here for both.
+    docs = fan_out(new_docs.select(F.col(id_col), F.col(text_col)))
     if exact:
         new_buckets = docs.select(
             F.col(id_col),

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
+from py_data_pipeline_app_spark.partitioning import fan_out
 
 
 def _stringify(col: F.Column, dtype: T.DataType) -> F.Column:
@@ -116,7 +117,10 @@ def _approx_profile(
                 else F.max(F.lit(None).cast("double"))
             )
             aggs.append(expr.alias(f"__{_qname(q)}_{i}"))
-    wide = df.agg(*aggs)
+    # fan_out: every per-column sketch (HLL++, KLL quantiles) is built
+    # in the map-side partial aggregate — one unsplittable input file
+    # would compute all of them on one core (guide §2.5)
+    wide = fan_out(df).agg(*aggs)
 
     def name_lit(c: str) -> str:
         return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -183,7 +187,11 @@ def _exact_profile(
             )
         )
 
-    long = df.select(F.explode(F.array(*branches)).alias("cell")).select("cell.*")
+    # fan_out: the |cols|-way cell explode + map-side partial of the
+    # per-value groupBy is the expensive narrow stage (guide §2.5)
+    long = fan_out(df).select(
+        F.explode(F.array(*branches)).alias("cell")
+    ).select("cell.*")
 
     # phase 1: one row per distinct (column, value); the carriers are
     # constant within a group (sval is injective), min() just picks them

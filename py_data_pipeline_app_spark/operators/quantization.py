@@ -69,6 +69,7 @@ import hashlib
 
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
+from py_data_pipeline_app_spark.partitioning import fan_out
 from py_data_pipeline_app_spark.operators.similarity import (
     _apply_tombstones,
     _assign_to_centroids,
@@ -245,6 +246,7 @@ def pq_encode(
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = (),
     recon_offset_col: str | None = None,
+    fan_out_input: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>, approx_norm double): each vector's
     nearest codeword per subspace (sequential-fold L2², lowest code id
@@ -271,6 +273,16 @@ def pq_encode(
     ``approx_norm`` is ‖q1(x) + q2(r)‖, the reconstruction norm the
     cosine denominator needs (Jégou et al. 2011 §V)."""
     cb, m, _, _cb_dim = _collect_codebook_literal(codebooks)
+    # fan_out: the m·ksub·dsub interpreted argmin fold per row is the
+    # expensive narrow stage — an unsplittable one-file scan would pin
+    # it to one core (guide §2.5); no-op on an already-wide corpus.
+    # ``fan_out_input=False`` skips even the partition PROBE: the probe
+    # plans the input subtree once (df.rdd), and on the residual chains
+    # the IVF-PQ builders feed in — codebook/centroid literals embedded
+    # throughout — that re-plan is measurable driver time for a frame
+    # the caller statically knows is already fanned out upstream.
+    if fan_out_input:
+        corpus = fan_out(corpus)
     vec = F.col(vec_col)
     dim_expr = F.size(vec)
     dsub_expr = (dim_expr / m).cast("int")
@@ -678,54 +690,78 @@ def build_ivfpq_index(
             resid, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=enc_vec
         )
     cb_rows = _codebook_rows(codebooks)
-    _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
-        f"{index_path}/centroids"
-    )
-    _codebook_rows_df(spark, cb_rows).write.mode("overwrite").parquet(
-        f"{index_path}/codebooks"
-    )
-    rot_checksum = ""
-    if rot is not None:
+    rot_checksum = "" if rot is None else _rotation_checksum(rot)
+
+    # the four sidecar tables are driver-literal writes, independent of
+    # each other and of the corpus-sized encode below — run all five
+    # as concurrent jobs (guide §2.6) instead of five job latencies
+    # end to end
+    def _w_centroids() -> None:
+        _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
+            f"{index_path}/centroids"
+        )
+
+    def _w_codebooks() -> None:
+        _codebook_rows_df(spark, cb_rows).write.mode("overwrite").parquet(
+            f"{index_path}/codebooks"
+        )
+
+    def _w_rotation() -> None:
+        if rot is not None:
+            local_rows_df(
+                spark,
+                "row_id int, coeffs array<double>",
+                [(i, row) for i, row in enumerate(rot)],
+            ).write.mode("overwrite").parquet(f"{index_path}/rotation")
+
+    def _w_config() -> None:
         local_rows_df(
             spark,
-            "row_id int, coeffs array<double>",
-            [(i, row) for i, row in enumerate(rot)],
-        ).write.mode("overwrite").parquet(f"{index_path}/rotation")
-        rot_checksum = _rotation_checksum(rot)
-    local_rows_df(
-        spark,
-        "centroid_checksum string, codebook_checksum string, "
-        "encoding string, rotation_checksum string",
-        [
-            (
-                _ivf_centroid_checksum(cent_rows),
-                _codebook_checksum(cb_rows),
-                IVFPQ_ENCODING,
-                rot_checksum,
-            )
-        ],
-    ).write.mode("overwrite").parquet(f"{index_path}/config")
-    # one projection end-to-end: centroid assignment, residual
-    # (+ rotation), and codes are all pure functions of the vector,
-    # computed in the same scan task — never a join of two derived
-    # frames by id
-    combined = pq_encode(
-        resid,
-        cb_rows,
-        id_col=id_col,
-        vec_col=enc_vec,
-        extra_cols=("centroid_id",),
-        recon_offset_col=enc_offset,
-    )
-    # files_per_bucket bounds the (task x bucket) small-files blowup of
-    # a bare partitionBy write; the repartition shuffles only the
-    # ~32x-compressed code rows (see build_ivf_index's layout note)
-    combined = _bucket_layout(
-        combined, files_per_bucket, n_buckets=n_centroids, id_col=id_col
-    )
-    combined.write.partitionBy("centroid_id").mode("overwrite").parquet(
-        f"{index_path}/assigned"
-    )
+            "centroid_checksum string, codebook_checksum string, "
+            "encoding string, rotation_checksum string",
+            [
+                (
+                    _ivf_centroid_checksum(cent_rows),
+                    _codebook_checksum(cb_rows),
+                    IVFPQ_ENCODING,
+                    rot_checksum,
+                )
+            ],
+        ).write.mode("overwrite").parquet(f"{index_path}/config")
+
+    def _w_assigned() -> None:
+        # one projection end-to-end: centroid assignment, residual
+        # (+ rotation), and codes are all pure functions of the vector,
+        # computed in the same scan task — never a join of two derived
+        # frames by id
+        combined = pq_encode(
+            resid,
+            cb_rows,
+            id_col=id_col,
+            vec_col=enc_vec,
+            extra_cols=("centroid_id",),
+            recon_offset_col=enc_offset,
+            fan_out_input=False,  # resid rides the fanned-out assignment
+        )
+        # files_per_bucket bounds the (task x bucket) small-files
+        # blowup of a bare partitionBy write; the repartition shuffles
+        # only the ~32x-compressed code rows (build_ivf_index's note)
+        combined = _bucket_layout(
+            combined, files_per_bucket, n_buckets=n_centroids, id_col=id_col
+        )
+        combined.write.partitionBy("centroid_id").mode("overwrite").parquet(
+            f"{index_path}/assigned"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(f)
+            for f in (_w_centroids, _w_codebooks, _w_rotation, _w_config, _w_assigned)
+        ]
+        for fut in futs:
+            fut.result()
 
 
 def _np_lloyd(S, ksub: int, n_iter: int = 10):
@@ -856,7 +892,17 @@ def build_ivfpq_index_trained(
         )
     )
     resid = _with_residual(
-        _assign_to_centroids(corpus, cent_rows, id_col=id_col, vec_col=vec_col),
+        # fan_out_input=False: this residual frame feeds the Spark ML
+        # KMeans codebook fit below, whose k-means|| init is sensitive
+        # to the input PARTITIONING — a layout change would silently
+        # retrain different codebooks (and different recall) from the
+        # identical data. The final index build re-derives residuals
+        # through the default fanned-out assignment; its consumers are
+        # pure projections, layout-independent.
+        _assign_to_centroids(
+            corpus, cent_rows, id_col=id_col, vec_col=vec_col,
+            fan_out_input=False,
+        ),
         cent_rows,
         vec_col=vec_col,
     )
@@ -1192,6 +1238,7 @@ def _ivfpq_index_append_locked(
         vec_col=enc_vec,
         extra_cols=("centroid_id",),
         recon_offset_col=enc_offset,
+        fan_out_input=False,  # resid rides the fanned-out assignment
     )
     _write_append_batch(
         spark, combined, f"{index_path}/{IVFPQ_APPENDS_SUBDIR}/batch-{token}"

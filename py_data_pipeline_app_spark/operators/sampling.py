@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.text import md5_long, tokens
+from py_data_pipeline_app_spark.partitioning import fan_out
 
 #: Denominator for bucketing; fractions are resolved to integer
 #: thresholds out of this, so any fraction with <=4 decimal places is
@@ -448,8 +449,9 @@ def _dsir_fit_rows(
     (:func:`dsir_weights`) and the persisted fit
     (:func:`dsir_fit_train`). One gram-explode + one bounded-key
     groupBy; the collect is ≤ n_buckets longs (the collect-tiny-tables
-    rule)."""
-    staged = docs.withColumn("_toks", tokens(F.col(text_col)))
+    rule). The tokenize + gram explode is map-side narrow compute,
+    fanned out past an unsplittable one-file scan (guide §2.5)."""
+    staged = fan_out(docs).withColumn("_toks", tokens(F.col(text_col)))
     grams = _dsir_grams(F.col("_toks"))
     ex = staged.select(
         target.alias("_is_t"), F.explode(grams).alias("_g")
@@ -514,6 +516,10 @@ def _dsir_apply(
         )
     entries = ",".join(f"{int(b)}L,{int(r)}L" for b, r in ratio_rows)
     rmap = F.expr(f"map({entries})")
+    # fan_out: the per-gram map-literal fold is interpreted narrow
+    # compute — scan-cost at scale, but pinned to one core on an
+    # unsplittable one-file input (guide §2.5); no-op when already wide
+    to_score = fan_out(to_score)
     weight = F.aggregate(
         F.col("_grams"),
         F.lit(0).cast("long"),

@@ -28,6 +28,7 @@ from py_data_pipeline_app_spark import fsio
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
+from py_data_pipeline_app_spark.partitioning import fan_out
 
 
 def float_matrix_lit(values) -> Column:
@@ -349,7 +350,10 @@ def hyperplane_lsh_near_dup_pairs(
             for bi in range(bands)
         ]
     )
-    blocked = corpus.select(
+    # fan_out only the projection branch: the n_planes×dim interpreted
+    # fold is the expensive narrow stage (guide §2.5); the va/vb
+    # verification sides compute one norm per row and stay as-is
+    blocked = fan_out(corpus).select(
         F.col(id_col), F.explode(band_keys).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     cands = (
@@ -514,7 +518,8 @@ def _centroid_rows_df(spark, rows: list) -> DataFrame:
 
 
 def _assign_to_centroids(
-    corpus: DataFrame, cents, *, id_col: str, vec_col: str
+    corpus: DataFrame, cents, *, id_col: str, vec_col: str,
+    fan_out_input: bool = True,
 ) -> DataFrame:
     """(id, vec, centroid_id): argmax-cosine bucket assignment —
     ZERO-shuffle.
@@ -529,6 +534,17 @@ def _assign_to_centroids(
     scan didn't already have. Tie-break on equal cosine is the LOWEST
     centroid_id (struct max on (csim, -position)), matching the window
     ``ORDER BY csim DESC, centroid_id`` the oracle replays."""
+    # fan_out: the k-wide cosine fold is interpreted (higher-order fns
+    # have no codegen) narrow compute — an unsplittable one-file scan
+    # would pin it to one core (guide §2.5); no-op on an already-wide
+    # corpus, and a pure projection downstream keeps results identical.
+    # ``fan_out_input=False`` is for the ONE consumer whose result DOES
+    # depend on the input layout: a Spark ML KMeans fit downstream
+    # (k-means|| init samples per partition), where repartitioning
+    # would silently retrain different codebooks
+    # (build_ivfpq_index_trained pins the historical layout).
+    if fan_out_input:
+        corpus = fan_out(corpus)
     rows = _centroid_rows(cents)
     ids = F.lit([int(r.centroid_id) for r in rows])
     cvecs = float_matrix_lit([[float(x) for x in r.cvec] for r in rows])
@@ -579,6 +595,7 @@ def _assign_to_centroids_2level(
     exact assignment — the value-hash surfaces keep the flat fold."""
     import math
 
+    corpus = fan_out(corpus)  # same rationale as _assign_to_centroids
     rows = _centroid_rows(cents)
     k = len(rows)
     if n_coarse is None:
@@ -1495,16 +1512,8 @@ def build_semantic_index(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
     cent_rows = _centroid_rows(cents)
-    _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
-        f"{index_path}/centroids"
-    )
     checksum = _ivf_centroid_checksum(cent_rows)
     mode = "two_level" if two_level else "flat"
-    local_rows_df(
-        spark,
-        "centroid_checksum string, threshold double, assign_mode string",
-        [(checksum, float(threshold), mode)],
-    ).write.mode("overwrite").parquet(f"{index_path}/config")
     # localCheckpoint: the kept computation reads the assignment FOUR
     # times (pair generation + both vector sides + the verdict join) —
     # each re-running the k-wide argmax fold over the corpus. Pinning
@@ -1519,23 +1528,56 @@ def build_semantic_index(
     rows = _bucket_layout(
         rows, files_per_bucket, n_buckets=n_centroids, id_col=id_col
     )
-    rows.write.partitionBy("centroid_id").mode("overwrite").parquet(
-        f"{index_path}/assigned"
-    )
+
+    # The four persisted pieces are mutually independent once the
+    # assignment is checkpointed — run them as concurrent jobs (guide
+    # §2.6: actions are only sequential because driver code calls them
+    # sequentially) instead of paying four job latencies end to end.
+    # Crash semantics are unchanged: a partially-built index was
+    # already unreadable-until-delete in every ordering (the appends/
+    # tombstone guards above gate rebuilds, not partial builds).
+    def _w_centroids() -> None:
+        _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
+            f"{index_path}/centroids"
+        )
+
+    def _w_config() -> None:
+        local_rows_df(
+            spark,
+            "centroid_checksum string, threshold double, assign_mode string",
+            [(checksum, float(threshold), mode)],
+        ).write.mode("overwrite").parquet(f"{index_path}/config")
+
+    def _w_assigned() -> None:
+        rows.write.partitionBy("centroid_id").mode("overwrite").parquet(
+            f"{index_path}/assigned"
+        )
+
     # per-cluster Bloom id-stats sidecar: bounds the reorder append's
     # duplicate-id guard to batch + probed sidecars instead of a full
     # id scan per backfill batch. A stale sidecar from a previous
     # index at the same path would only add false maybe-hits, but the
     # stale entries would accrete forever — clean before writing.
-    fsio.delete(spark, f"{index_path}/{ID_STATS_SUBDIR}")
-    _write_id_stats(
-        spark,
-        index_path,
-        "base",
-        assigned.select(F.col(id_col), "centroid_id"),
-        id_col,
-        covers_tokens=[],
-    )
+    def _w_id_stats() -> None:
+        fsio.delete(spark, f"{index_path}/{ID_STATS_SUBDIR}")
+        _write_id_stats(
+            spark,
+            index_path,
+            "base",
+            assigned.select(F.col(id_col), "centroid_id"),
+            id_col,
+            covers_tokens=[],
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(f)
+            for f in (_w_centroids, _w_config, _w_assigned, _w_id_stats)
+        ]
+        for fut in futs:
+            fut.result()
 
 
 SEMANTIC_REORDER_TOKENS_SUBDIR = "reorder-tokens"
@@ -1779,14 +1821,26 @@ def _apply_reorder_stage(spark, index_path: str, stage_name: str) -> None:
             f"{index_path}/{SEMANTIC_REORDER_EXCL_SUBDIR}/{name}--{m['token']}",
             {"append": name, "clusters": [int(c) for c in m["clusters"]]},
         )
-    for c in m["clusters"]:
+    # Swap clusters CONCURRENTLY (guide §2.6 applied to FS metadata):
+    # each swap is 3-4 py4j/FS round-trips, and ~k of them in sequence
+    # is pure driver latency (~1 s at k=128 locally, worse on an object
+    # store). Per-cluster atomicity is unchanged — swaps touch disjoint
+    # directories and each cluster is still wholly old or wholly new on
+    # a crash; the exclusion markers above are all written first.
+    def _swap(c) -> None:
         src = jvm(f"{index_path}/{stage_name}/centroid_id={c}")
         if not fs.exists(src):
-            continue  # already swapped by the run that crashed
+            return  # already swapped by the run that crashed
         dst = jvm(f"{index_path}/assigned/centroid_id={c}")
         if fs.exists(dst):
             fs.delete(dst, True)
         _rename_or_raise(fs, src, dst)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for res in pool.map(_swap, m["clusters"]):
+            pass  # re-raise the first failure, if any
     fsio.write_text(
         spark,
         f"{index_path}/{SEMANTIC_REORDER_TOKENS_SUBDIR}/{m['token']}",
@@ -1887,8 +1941,15 @@ def _semantic_reorder_append_locked(
     # the batch's own sidecar entry, BEFORE the stage commit: from the
     # moment the swap makes these rows part of the base, the next
     # guard's coverage must already include them (a crash in between
-    # leaves an extra entry — false maybes only, never a miss)
-    _write_id_stats(
+    # leaves an extra entry — false maybes only, never a miss). It
+    # only needs the checkpointed assignment, so it runs CONCURRENTLY
+    # with the staged rewrite below (guide §2.6) — both complete (the
+    # future is joined) before _apply_reorder_stage commits anything.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    sidecar_fut = pool.submit(
+        _write_id_stats,
         spark,
         index_path,
         f"batch-{token}",
@@ -1925,7 +1986,13 @@ def _semantic_reorder_append_locked(
         )
     stage_name = f".reorder-stage-{token}"
     stage = f"{index_path}/{stage_name}"
-    kept.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
+    try:
+        kept.write.partitionBy("centroid_id").mode("overwrite").parquet(stage)
+    except BaseException:
+        pool.shutdown(wait=True)  # drain; a stray sidecar is false-maybes only
+        raise
+    sidecar_fut.result()  # sidecar must exist before the commit below
+    pool.shutdown()
     # manifest LAST: its presence marks the stage complete (recovery
     # deletes manifest-less stages as invisible orphans)
     fsio.write_json(
@@ -2267,22 +2334,39 @@ def build_ivf_index(
     # derived frame every re-collect re-runs the TakeOrdered over the
     # corpus — three full corpus scans at 100 TB for one tiny table
     cent_rows = _centroid_rows(cents)
-    _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
-        f"{index_path}/centroids"
-    )
     checksum = _ivf_centroid_checksum(cent_rows)
-    local_rows_df(
-        spark, "centroid_checksum string", [(checksum,)]
-    ).write.mode("overwrite").parquet(f"{index_path}/config")
     assigned = _assign_to_centroids(
         corpus, cent_rows, id_col=id_col, vec_col=vec_col
     )
     assigned = _bucket_layout(
         assigned, files_per_bucket, n_buckets=n_centroids, id_col=id_col
     )
-    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
-        f"{index_path}/assigned"
-    )
+
+    # three independent persisted pieces — concurrent jobs (guide
+    # §2.6), not three job latencies end to end; the two sidecar
+    # tables are driver-literal writes that back-fill idle cores while
+    # the corpus-sized assigned write runs
+    def _w_centroids() -> None:
+        _centroid_rows_df(spark, cent_rows).write.mode("overwrite").parquet(
+            f"{index_path}/centroids"
+        )
+
+    def _w_config() -> None:
+        local_rows_df(
+            spark, "centroid_checksum string", [(checksum,)]
+        ).write.mode("overwrite").parquet(f"{index_path}/config")
+
+    def _w_assigned() -> None:
+        assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+            f"{index_path}/assigned"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (_w_centroids, _w_config, _w_assigned)]
+        for fut in futs:
+            fut.result()
 
 
 def ivf_index_append(

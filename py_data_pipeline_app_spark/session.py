@@ -44,6 +44,14 @@ def get_spark(
         # reference model) should always broadcast; default 10MB is fine, keep
         # explicit so intent survives config drift.
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # Partitioned-index reads (assigned/centroid_id=*, bands/pb=*)
+        # hand the scan a few hundred partition directories; Spark's
+        # default threshold (32) schedules a DISTRIBUTED LISTING JOB
+        # above that, whose task-scheduling overhead alone (~0.2-0.3 s
+        # per read, measured r15) exceeds a driver-side listing of a
+        # few hundred dirs on any filesystem. Production-scale indexes
+        # (k ~ 10^4+ partition dirs) still take the parallel path.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -119,10 +119,15 @@ def test_frame_sample_is_shuffle_free(spark, sf_dir):
 
 def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     # a document's repetition profile is a pure function of its own
-    # row: the plan must be a narrow projection — no Exchange, no
-    # Generate (explode), no join
-    plan = plan_of(QUERIES["text_repetition_filter"](spark, sf_dir))
-    assert "Exchange" not in plan
+    # row: the plan must be a narrow projection — no KEYED exchange
+    # (hash/range), no Generate (explode), no join. The one allowed
+    # exchange is the scale-adaptive round-robin fan_out past the
+    # unsplittable one-file testdata scan (a no-op on a real corpus).
+    df = QUERIES["text_repetition_filter"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1
     assert "Generate" not in plan
     assert "Join" not in plan
 

@@ -202,7 +202,14 @@ def ivfpq_trained_index(spark, emb, tmp_path_factory):
 
     cent_rows = _centroid_rows(train_centroids(emb, n_centroids=16))
     resid = _with_residual(
-        _assign_to_centroids(emb, cent_rows, id_col="vec_id", vec_col="embedding"),
+        # fan_out_input=False: KMeans codebook training is sensitive to
+        # the input PARTITIONING (k-means|| init samples per
+        # partition); the builder pins the un-fanned layout so trained
+        # codebooks are reproducible (build_ivfpq_index_trained's note)
+        _assign_to_centroids(
+            emb, cent_rows, id_col="vec_id", vec_col="embedding",
+            fan_out_input=False,
+        ),
         cent_rows,
         vec_col="embedding",
     )
@@ -430,14 +437,18 @@ def test_ivfpq_rebuild_with_appends_fails(spark, emb, tmp_path):
 def test_pq_encode_plan_is_zero_shuffle(emb, cb):
     """Encoding must be a pure projection over the scan — no Exchange:
     at corpus scale the encode pass IS the scan, and a shuffle would
-    be pure waste (nothing is keyed)."""
+    be pure waste (nothing is keyed). An input already at cluster
+    parallelism passes through the encoder's fan_out untouched; only
+    the local one-task testdata pays its round-robin repartition."""
+    wide = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     plan = (
-        pq_encode(emb, cb)
+        pq_encode(wide, cb)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, plan
+    # one Exchange: the explicit repartition above — fan_out adds none
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_index_mutators_respect_lock(spark, emb, tmp_path):

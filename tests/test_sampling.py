@@ -411,15 +411,20 @@ def test_dsir_empty_corpus_keeps_schema(spark):
 
 def test_dsir_scoring_is_zero_shuffle(dsir_docs):
     """The fit pays its one bounded-key groupBy at build time; the
-    RETURNED scoring frame must be a pure projection — no Exchange."""
+    RETURNED scoring frame must be a pure projection — no Exchange. An
+    input already at cluster parallelism (any real corpus scan) passes
+    through the scorer's fan_out untouched; only the local one-task
+    testdata pays its round-robin repartition (the bpe_encode_ids
+    contract shape)."""
     import contextlib
     import io
 
-    out = dsir_weights(dsir_docs, F.col("lang") == "tgt")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        out.explain(mode="formatted")
-    assert "Exchange" not in buf.getvalue()
+    sc = dsir_docs.sparkSession.sparkContext
+    docs = dsir_docs.repartition(sc.defaultParallelism)
+    out = dsir_weights(docs, F.col("lang") == "tgt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one Exchange: the explicit repartition above — fan_out adds none
+    assert plan.count("Exchange") == 1, plan
 
 
 # Pure-Python DSIR reference: same md5 bucketing, same add-one
@@ -525,7 +530,9 @@ def test_dsir_cutoff_mode_agrees_away_from_boundary(spark, dsir_docs):
     with contextlib.redirect_stdout(buf):
         cutoff.explain(mode="formatted")
     plan = buf.getvalue()
-    assert "Exchange" not in plan and "Join" not in plan
+    # the scorer's fan_out round-robins the local one-task fixture (a
+    # no-op on an already-wide corpus scan); no keyed shuffle, no join
+    assert "hashpartitioning" not in plan and "Join" not in plan
 
     # corpus at/under budget returns whole
     assert (
