@@ -864,8 +864,17 @@ def _write_append_batch(spark, rows: DataFrame, dest: str) -> None:
     breaks schema inference for any later reader; a replayed empty
     micro-batch (the streaming front doors append every batch id)
     must not poison the index. Detecting emptiness AFTER the write
-    costs one directory listing instead of an extra Spark job."""
-    rows.write.partitionBy("centroid_id").mode("overwrite").parquet(dest)
+    costs one directory listing instead of an extra Spark job.
+
+    One keyed repartition bounds each bucket directory to ONE file: a
+    bare partitionBy write emits a file per (task × bucket) pair, and
+    with the batch fanned out to cluster parallelism upstream that is
+    tasks×k small files whose open/list cost every later probe pays
+    (the ``files_per_bucket`` lesson). Appends are batch-sized, so one
+    file per touched bucket is the right layout at any scale."""
+    rows.repartition(F.col("centroid_id")).write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(dest)
     fs, path = _hadoop_fs(spark, dest)
     has_data = any(
         s.isDirectory() and s.getPath().getName().startswith("centroid_id=")

@@ -1637,7 +1637,7 @@ def similarity_topk_ivf_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, "embeddings", sf_dir)
     index = _scratch_dir("ivf_index")
-    build_ivf_index(emb, index, n_centroids=16)
+    build_ivf_index(emb, index, n_centroids=16, files_per_bucket=1)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1682,7 +1682,7 @@ def similarity_topk_ivf_appended_q(spark: SparkSession, sf_dir: str) -> DataFram
     index = _scratch_dir("ivf_append")
     even = emb.filter(F.col("vec_id") % 2 == 0)
     odd = emb.filter(F.col("vec_id") % 2 == 1)
-    build_ivf_index(even, index, n_centroids=16)
+    build_ivf_index(even, index, n_centroids=16, files_per_bucket=1)
     ivf_index_append(spark, index, odd, batch_token="odd")
     ivf_index_delete(
         spark, index, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
@@ -1984,7 +1984,9 @@ def similarity_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     index = _scratch_dir("ivfpq_index")
-    build_ivfpq_index(emb, index, n_centroids=16, m=8, ksub=16, dim=64)
+    build_ivfpq_index(
+        emb, index, n_centroids=16, m=8, ksub=16, dim=64, files_per_bucket=1
+    )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2009,7 +2011,9 @@ def similarity_topk_ivfpq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, "embeddings", sf_dir)
     index = _scratch_dir("ivfpq_rerank")
-    build_ivfpq_index(emb, index, n_centroids=16, m=8, ksub=16, dim=64)
+    build_ivfpq_index(
+        emb, index, n_centroids=16, m=8, ksub=16, dim=64, files_per_bucket=1
+    )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2053,7 +2057,9 @@ def similarity_topk_ivfpq_appended_q(spark: SparkSession, sf_dir: str) -> DataFr
     index = _scratch_dir("ivfpq_append")
     even = emb.filter(F.col("vec_id") % 2 == 0)
     odd = emb.filter(F.col("vec_id") % 2 == 1)
-    build_ivfpq_index(even, index, n_centroids=16, m=8, ksub=16, dim=64)
+    build_ivfpq_index(
+        even, index, n_centroids=16, m=8, ksub=16, dim=64, files_per_bucket=1
+    )
     ivfpq_index_append(spark, index, odd, batch_token="odd")
     ivfpq_index_delete(
         spark, index, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
