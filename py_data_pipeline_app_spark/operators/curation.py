@@ -1159,13 +1159,17 @@ def bpe_train(
         # F.replace with literal Columns, not a SQL-literal expr: a
         # symbol containing a quote or backslash must never re-enter
         # the parser (bpe_apply makes the same choice)
+        # LAZY checkpoint: the next round's top-pair collect is the one
+        # action that materializes it, so each round costs ONE job, not
+        # a checkpoint job + a collect job (the connected_components
+        # fused-probe shape; ~halves the loop's scheduler round-trips)
         state = state.select(
             F.replace(
                 F.col("_s"),
                 F.lit(f"‹{l}›‹{r}›"),
                 F.lit(f"‹{_bpe_merged_symbol(l, r, level)}›"),
             ).alias("_s")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

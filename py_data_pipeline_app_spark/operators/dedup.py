@@ -638,7 +638,13 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    # lazy: nodes is consumed only by the final labeling join, so the
+    # caller's one action materializes it — an eager checkpoint here
+    # would be a whole extra job just to pin a frame nothing reads
+    # until the end (the fused-probe shape)
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
 
     cur = sym
     prev_chk: tuple | None = None
