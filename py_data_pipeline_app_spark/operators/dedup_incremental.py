@@ -601,9 +601,12 @@ def _incremental_lsh_fold_locked(
         new_buckets = band_buckets(
             sigs, id_col=id_col, num_perms=num_perms, bands=bands
         )
+    # reused by: within-pairs, prefix set, history join, append. LAZY:
+    # the prefix-set collect right below is the first consumer and
+    # materializes it (the fused-probe shape — one job, not two)
     new_buckets = new_buckets.withColumn(
         PART_COL, part_bucket_col(["band", "bucket"], part_buckets)
-    ).localCheckpoint(eager=True)  # reused by: within-pairs, prefix set, history join, append
+    ).localCheckpoint(eager=False)
 
     token = batch_token or uuid.uuid4().hex[:12]
     tombs = _read_tombstones(spark, index_path)

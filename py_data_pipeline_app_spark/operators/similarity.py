@@ -2127,14 +2127,17 @@ def semantic_index_append(
         token = batch_token or uuid.uuid4().hex[:12]
         # localCheckpoint: the assignment feeds three consumers (probed
         # cluster list, monotonicity guard, kept computation) — batch-
-        # sized, so pinning it beats recomputing the argmax fold thrice
+        # sized, so pinning it beats recomputing the argmax fold thrice.
+        # LAZY: the probed-cluster collect right below is the first
+        # consumer and materializes it — eager would be one extra job
+        # per append (the fused-probe shape)
         assigned = _assign_with_mode(
             new_vectors.select(F.col(id_col), F.col(vec_col)),
             cent_rows,
             mode,
             id_col=id_col,
             vec_col=vec_col,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         probed = [
             r.centroid_id
             for r in assigned.select("centroid_id").distinct().collect()

@@ -126,11 +126,12 @@ def incremental_span_fold(
         # first-occurrence marking, and the novel-fp append — three
         # consumers would otherwise each re-run the chunk explode +
         # md5 over the batch (the multi-consumer eager-frame rule)
+        # LAZY: the prefix-set collect (first consumer) materializes it
         exploded = with_token_chunks(batch, text_col, chunk_tokens).select(
             F.col(id_col), F.posexplode(F.col("_chunks")).alias("pos", "chunk")
         ).withColumn("fp", F.md5(F.col("chunk"))).withColumn(
             PART_COL, part_bucket_col(["fp"], part_buckets)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         hist_like = exploded.select("fp", PART_COL).limit(0)
         # distinct() makes the fold tolerant of duplicate fingerprints
         # in history (a compaction that crashed after writing its
