@@ -135,3 +135,44 @@ def write_json(spark, path: str, obj) -> None:
 
 def read_json(spark, path: str):
     return json.loads(read_text(spark, path))
+
+
+def read_small_parquet_rows(spark, path: str) -> list:
+    """Collect a TINY flat parquet table (index metadata: ``config``,
+    ``centroids``, ``codebooks``, ``rotation`` — KB-sized, bounded row
+    counts by construction) WITHOUT scheduling a Spark job.
+
+    Every lifecycle operator (append, probe, state read) re-reads a
+    few of these tables per call; through ``spark.read.parquet(...)
+    .collect()`` each read is a full scheduler round-trip (~50-150 ms
+    of driver latency per action, measured r15) for a table that fits
+    in one page. Local ``file:``/scheme-less paths are read
+    driver-side with pyarrow; any other scheme (HDFS/S3A/GCS) falls
+    back to the distributed collect, so cluster deployments keep the
+    remote-FS code path. Values are identical either way — both stacks
+    decode the same parquet pages to the same Python objects.
+
+    Only for FLAT directories of ``*.parquet`` files (no partition
+    subdirectories); returns :class:`pyspark.sql.Row` objects sorted
+    the way the caller sorts a ``collect()`` result (i.e. not at all —
+    callers keep their own sort keys)."""
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    if u.scheme not in ("", "file"):
+        return spark.read.parquet(path).collect()
+    local = u.path if u.scheme == "file" else path
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(local, "*.parquet")))
+    if not files:
+        # unexpected layout (no suffixed part files): let Spark decide
+        return spark.read.parquet(path).collect()
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    rows: list = []
+    for f in files:
+        rows.extend(Row(**rec) for rec in pq.read_table(f).to_pylist())
+    return rows

@@ -113,6 +113,14 @@ def _posting_list_pair_counts(
     )
     if max_df is not None:
         grouped = grouped.filter(F.size("_ms") <= max_df)
+    # grouped fans out to THREE consumers (per-doc sizes, pair
+    # expansion — and the sizes frame itself twice). Exchange reuse
+    # does NOT fire here at runtime (measured r15: 6 scans, 0
+    # ReusedExchange in the executed plan), so without a cut the
+    # tokenize + shingle-explode + collect_list subtree runs 3x per
+    # query. Lazy checkpoint: the caller's one action materializes
+    # the (shingle, members) rows once.
+    grouped = grouped.localCheckpoint(eager=False)
     sizes = (
         grouped.select(F.explode("_ms").alias(id_col))
         .groupBy(id_col)
@@ -538,6 +546,12 @@ def simhash_near_dup_pairs(
     groups = sh.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
+    # groups fans out to FOUR consumers (within-group pairs, segment
+    # blocking, both member-expansion sides) — without a cut the
+    # tokenize + 60-vote signature subtree is recomputed 4x in one
+    # plan (4 source scans in the r15 before-plan). Lazy: the caller's
+    # one action materializes the (hash, ids) rows once.
+    groups = groups.localCheckpoint(eager=False)
 
     # 1. Pairs within an identical-hash group: Hamming 0, no verification.
     within = (
@@ -631,9 +645,20 @@ def connected_components_star(
     single ``exceptAll`` probe only at the detected fixpoint (so a
     checksum collision cannot silently mis-cluster; downstream
     leakage-safe splits need exact components)."""
-    sym = (
-        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    # DOWNWARD-canonical edge set (u > v): each round's input is then
+    # symmetrized by a NARROW union with its own swap — no dups are
+    # possible between the two branches (every cur edge points down,
+    # every swapped edge up), so the per-round `distinct` the old
+    # symmetric representation needed disappears. Round work drops
+    # from 8 exchanges (2 distincts + 2 groupBy+join pairs) to 4 (2
+    # window-mins + the output distinct + the checksum agg) — under
+    # AQE each exchange is a scheduler round-trip, and the loop runs
+    # O(log n) rounds, so per-round exchanges multiply.
+    cur = (
+        edges.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -642,32 +667,37 @@ def connected_components_star(
     # caller's one action materializes it — an eager checkpoint here
     # would be a whole extra job just to pin a frame nothing reads
     # until the end (the fused-probe shape)
-    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(
-        eager=False
+    nodes = (
+        cur.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
 
-    cur = sym
+    w_u = Window.partitionBy("u")
     prev_chk: tuple | None = None
     converged = False
     for _ in range(max_iter):
-        und = (
-            cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
+        und = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # large-star: m(u) = min(Γ(u) ∪ {u}); reattach neighbors v > u
-        mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # large-star: m(u) = min(Γ(u) ∪ {u}); reattach neighbors v > u.
+        # A window min over the u-partition replaces the old
+        # groupBy+join pair (one exchange instead of two); values are
+        # identical row-for-row. No intermediate distinct: duplicate
+        # (v, m) edges from different u-groups don't change the next
+        # min and the round output is distinct'd below — multiplicity
+        # stays bounded by node degree, same order as the deduped set.
         large = (
-            und.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            und.withColumn(
+                "m", F.least(F.min("v").over(w_u), F.col("u"))
+            )
+            .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star on the (big → small) edges: every node in
         # Γ(u) ∪ {u} reattaches to the group min
-        smins = large.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            large.join(smins, "u")
+            large.withColumn("m", F.min("v").over(w_u))
             .select(
                 F.explode(
                     F.array(
@@ -848,6 +878,9 @@ def cross_corpus_ngram_jaccard(
     )
     if max_df is not None:
         grouped = grouped.filter((F.size("_ls") + F.size("_rs")) <= max_df)
+    # same fan-out as _posting_list_pair_counts (sizes_l, sizes_r,
+    # inter): exchange reuse measured NOT firing — cut once, lazily.
+    grouped = grouped.localCheckpoint(eager=False)
     sizes_l = (
         grouped.select(F.explode("_ls").alias("id_left"))
         .groupBy("id_left")
@@ -996,6 +1029,16 @@ def cluster_canonicals(
             ),
         )
         .join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+        # member fans out to TWO consumers (the canonical argmax and
+        # the final re-join). Without a checkpoint the physical plan
+        # duplicates the whole upstream subtree — docs AND scores each
+        # scanned twice, which for the media-family callers means the
+        # payload-bearing source read twice per consumer (12 scans
+        # observed in the r15 before-plans). A LAZY checkpoint keeps
+        # the cut free of an extra job: the caller's one action
+        # materializes the (id, component, score) rows once and both
+        # branches read the materialized partitions.
+        .localCheckpoint(eager=False)
     )
     # argmax with (score desc, id asc) as ONE map-side-combinable agg:
     # min over struct(-score, id) — the SCORE is negated (always

@@ -63,6 +63,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark import fsio
+
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET,
@@ -123,7 +125,7 @@ def _check_or_write_config(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
-        row = spark.read.parquet(path).first()
+        row = fsio.read_small_parquet_rows(spark, path)[0]
         have = (
             row.decoder,
             row.axes,
@@ -339,7 +341,7 @@ def _check_or_write_video_config(
         min_matching_buckets, part_buckets,
     )
     if fs.exists(jvm_path):
-        row = spark.read.parquet(path).first()
+        row = fsio.read_small_parquet_rows(spark, path)[0]
         have = tuple(
             getattr(row, f, None)
             for f in (

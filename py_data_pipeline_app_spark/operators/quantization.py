@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 import hashlib
 
+from py_data_pipeline_app_spark import fsio
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.partitioning import fan_out
@@ -969,9 +970,13 @@ def ivfpq_topk(
     was built with different code semantics (the config's encoding
     marker)."""
     # one collect per table serves drift check + probe/encode literals
-    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
-    cb_rows = _codebook_rows(spark.read.parquet(f"{index_path}/codebooks"))
-    cfg = spark.read.parquet(f"{index_path}/config").first()
+    cent_rows = _centroid_rows(
+        fsio.read_small_parquet_rows(spark, f"{index_path}/centroids")
+    )
+    cb_rows = _codebook_rows(
+        fsio.read_small_parquet_rows(spark, f"{index_path}/codebooks")
+    )
+    cfg = fsio.read_small_parquet_rows(spark, f"{index_path}/config")[0]
     if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
         raise ValueError(
             f"IVF-PQ index at {index_path}: centroid table does not match its "
@@ -1061,7 +1066,7 @@ def _load_rotation(spark, index_path: str, cfg) -> list[list[float]] | None:
     if not want:
         return None
     rows = sorted(
-        spark.read.parquet(f"{index_path}/rotation").collect(),
+        fsio.read_small_parquet_rows(spark, f"{index_path}/rotation"),
         key=lambda r: r.row_id,
     )
     rot = [[float(x) for x in r.coeffs] for r in rows]
@@ -1195,9 +1200,13 @@ def _ivfpq_index_append_locked(
     import uuid
 
     # one collect per table serves drift check + assignment/encode
-    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
-    cb_rows = _codebook_rows(spark.read.parquet(f"{index_path}/codebooks"))
-    cfg = spark.read.parquet(f"{index_path}/config").first()
+    cent_rows = _centroid_rows(
+        fsio.read_small_parquet_rows(spark, f"{index_path}/centroids")
+    )
+    cb_rows = _codebook_rows(
+        fsio.read_small_parquet_rows(spark, f"{index_path}/codebooks")
+    )
+    cfg = fsio.read_small_parquet_rows(spark, f"{index_path}/config")[0]
     if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
         raise ValueError(
             f"IVF-PQ index at {index_path}: centroid table does not match its "

@@ -701,10 +701,10 @@ def _index_assign_mode(spark, index_path: str) -> str:
     Pre-round-13 indexes have no ``assign_mode`` column — they were all
     built with the flat fold, so absence reads as ``"flat"`` (never a
     guess: two_level indexes cannot predate the column)."""
-    cfg = spark.read.parquet(f"{index_path}/config")
-    if "assign_mode" not in cfg.columns:
+    cfg = fsio.read_small_parquet_rows(spark, f"{index_path}/config")[0]
+    if "assign_mode" not in cfg.__fields__:
         return "flat"
-    return cfg.first().assign_mode or "flat"
+    return cfg.assign_mode or "flat"
 
 
 def _query_probes(
@@ -1109,6 +1109,12 @@ def semantic_dedup(
         )
     assign = _assign_to_centroids_2level if two_level else _assign_to_centroids
     assigned = assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    # the kept computation reads the assignment FOUR times (pair
+    # candidates, both vector sides, final left join) — without a cut
+    # the k-fold argmax subtree is duplicated 4x in the physical plan
+    # (8 source scans in the r15 before-plan with the planted union).
+    # Lazy: the caller's one action materializes it, no extra job.
+    assigned = assigned.localCheckpoint(eager=False)
     return _semantic_kept_flags(
         assigned,
         None,
@@ -2095,9 +2101,13 @@ def semantic_index_append(
             f"{index_path}/{SEMANTIC_REORDER_TOKENS_SUBDIR}/{batch_token}",
         ):
             return batch_token  # reorder replay: already merged into base
-        cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
-        cfg_df = spark.read.parquet(f"{index_path}/config")
-        cfg = cfg_df.first()
+        # driver-side metadata reads: KB-sized tables, no Spark job
+        # per read (guide §5 — scheduler round-trips dominated the
+        # append's wall time at sf0.1)
+        cent_rows = _centroid_rows(
+            fsio.read_small_parquet_rows(spark, f"{index_path}/centroids")
+        )
+        cfg = fsio.read_small_parquet_rows(spark, f"{index_path}/config")[0]
         if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
             raise ValueError(
                 f"semantic index at {index_path}: persisted centroids do not "
@@ -2112,7 +2122,7 @@ def semantic_index_append(
         # (pre-round-13) were all built flat
         mode = (
             (cfg.assign_mode or "flat")
-            if "assign_mode" in cfg_df.columns
+            if "assign_mode" in cfg.__fields__
             else "flat"
         )
         if two_level is not None and ("two_level" if two_level else "flat") != mode:
@@ -2440,9 +2450,12 @@ def _ivf_index_append_locked(
     vec_col: str,
     batch_token: str | None,
 ) -> str:
-    # one collect serves both the drift check and the assignment literal
-    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
-    cfg = spark.read.parquet(f"{index_path}/config").first()
+    # one driver-side read serves both the drift check and the
+    # assignment literal — no Spark job for KB-sized metadata
+    cent_rows = _centroid_rows(
+        fsio.read_small_parquet_rows(spark, f"{index_path}/centroids")
+    )
+    cfg = fsio.read_small_parquet_rows(spark, f"{index_path}/config")[0]
     checksum = _ivf_centroid_checksum(cent_rows)
     if checksum != cfg.centroid_checksum:
         raise ValueError(
@@ -2744,8 +2757,10 @@ def ivf_topk_indexed(
     and silently drops true neighbors, the exact failure the manifest
     exists to catch. The verification reuses the ONE centroid collect
     the probe literals need anyway (zero extra scans)."""
-    cent_rows = _centroid_rows(spark.read.parquet(f"{index_path}/centroids"))
-    cfg = spark.read.parquet(f"{index_path}/config").first()
+    cent_rows = _centroid_rows(
+        fsio.read_small_parquet_rows(spark, f"{index_path}/centroids")
+    )
+    cfg = fsio.read_small_parquet_rows(spark, f"{index_path}/config")[0]
     if _ivf_centroid_checksum(cent_rows) != cfg.centroid_checksum:
         raise ValueError(
             f"IVF index at {index_path}: persisted centroids do not match the "

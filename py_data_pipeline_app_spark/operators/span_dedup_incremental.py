@@ -37,6 +37,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark import fsio
+
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import tokens
 from py_data_pipeline_app_spark.operators.dedup_incremental import (
@@ -60,7 +62,7 @@ def _check_or_write_config(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
-        row = spark.read.parquet(path).first()
+        row = fsio.read_small_parquet_rows(spark, path)[0]
         have = (row.chunk_tokens, getattr(row, "part_buckets", None))
         want = (chunk_tokens, part_buckets)
         if have != want:
