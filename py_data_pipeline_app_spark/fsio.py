@@ -17,11 +17,45 @@ Semantics notes:
   rename window, same as every Hadoop-rename-based committer.
 - sidecar files (``_MANIFEST``) are written via create(overwrite)
   then read back whole; they are tiny (a JSON list of dir names).
+- every operation takes a LOCAL fast path when the resolved scheme is
+  the driver's local filesystem: one py4j Hadoop-FS round trip costs
+  ~2.8 ms (measured r15) against ~2.5 µs for the ``os`` equivalent,
+  and the index lifecycles make dozens-to-hundreds of these calls per
+  fold/append (per-cluster staged swaps, manifest probes). Any
+  non-local scheme — or a scheme-less path when ``fs.defaultFS`` is
+  not ``file:`` — keeps the Hadoop code path unchanged, so cluster
+  deployments are unaffected.
 """
 
 from __future__ import annotations
 
 import json
+import os as _os
+import shutil as _shutil
+from urllib.parse import urlparse as _urlparse
+
+# fs.defaultFS per JVM gateway (one py4j read, then cached): decides
+# whether a scheme-less path is the driver-local filesystem.
+_DEFAULT_FS: dict[int, str] = {}
+
+
+def _local_path(spark, path: str) -> str | None:
+    """The driver-local OS path for ``path``, or None when it lives on
+    a non-local filesystem (HDFS/S3A/GCS — or scheme-less with a
+    non-local ``fs.defaultFS``)."""
+    u = _urlparse(path)
+    if u.scheme == "file":
+        return u.path
+    if u.scheme:
+        return None
+    key = id(spark._jvm)
+    default = _DEFAULT_FS.get(key)
+    if default is None:
+        default = str(
+            spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        )
+        _DEFAULT_FS[key] = default
+    return path if default.startswith("file:") else None
 
 
 def hadoop_fs(spark, path: str):
@@ -42,11 +76,18 @@ def join(base: str, *parts: str) -> str:
 
 
 def exists(spark, path: str) -> bool:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        return _os.path.exists(lp)
     fs, p = hadoop_fs(spark, path)
     return bool(fs.exists(p))
 
 
 def mkdirs(spark, path: str) -> None:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        _os.makedirs(lp, exist_ok=True)
+        return
     fs, p = hadoop_fs(spark, path)
     fs.mkdirs(p)
 
@@ -54,6 +95,13 @@ def mkdirs(spark, path: str) -> None:
 def delete(spark, path: str) -> None:
     """Recursive delete; missing paths are a no-op (shutil.rmtree
     ignore_errors analog)."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        if _os.path.isdir(lp) and not _os.path.islink(lp):
+            _shutil.rmtree(lp)
+        elif _os.path.lexists(lp):
+            _os.remove(lp)
+        return
     fs, p = hadoop_fs(spark, path)
     if fs.exists(p):
         fs.delete(p, True)
@@ -69,6 +117,13 @@ def rename(spark, src: str, dst: str) -> None:
     a staged-write protocol, where a silently-skipped rename followed
     by source cleanup is unrecoverable data loss, so a ``False`` result
     is always an error."""
+    ls, ld = _local_path(spark, src), _local_path(spark, dst)
+    if ls is not None and ld is not None and not _os.path.exists(ld):
+        # staged-commit shape (dst absent): plain os.rename, which
+        # raises on failure. A pre-existing dst falls through to the
+        # Hadoop path so its move-into-directory semantics are kept.
+        _os.rename(ls, ld)
+        return
     fs, s = hadoop_fs(spark, src)
     _, d = hadoop_fs(spark, dst)
     if not bool(fs.rename(s, d)):
@@ -79,6 +134,13 @@ def child_entries(spark, path: str) -> list[tuple[str, bool]]:
     """(name, is_dir) for each direct child of ``path``; [] when the
     directory does not exist (os.listdir raises; callers here always
     want the empty answer)."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        if not _os.path.isdir(lp):
+            return []
+        return sorted(
+            (e.name, e.is_dir()) for e in _os.scandir(lp)
+        )
     fs, p = hadoop_fs(spark, path)
     if not fs.exists(p):
         return []
@@ -93,6 +155,10 @@ def child_names(spark, path: str) -> list[str]:
 
 
 def mtime_ms(spark, path: str) -> int:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        # java File.lastModified() is ms-truncated; match it
+        return int(_os.stat(lp).st_mtime * 1000)
     fs, p = hadoop_fs(spark, path)
     return int(fs.getFileStatus(p).getModificationTime())
 
@@ -100,6 +166,12 @@ def mtime_ms(spark, path: str) -> int:
 def any_file_with_suffix(spark, path: str, suffix: str) -> bool:
     """True if any file under ``path`` (recursive) ends with
     ``suffix`` — the os.walk probe for 'does this log hold data'."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        for root, _dirs, files in _os.walk(lp):
+            if any(f.endswith(suffix) for f in files):
+                return True
+        return False
     fs, p = hadoop_fs(spark, path)
     if not fs.exists(p):
         return False
@@ -111,6 +183,12 @@ def any_file_with_suffix(spark, path: str, suffix: str) -> bool:
 
 
 def write_text(spark, path: str, text: str) -> None:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        _os.makedirs(_os.path.dirname(lp), exist_ok=True)
+        with open(lp, "w", encoding="utf-8") as f:
+            f.write(text)
+        return
     fs, p = hadoop_fs(spark, path)
     out = fs.create(p, True)
     try:
@@ -120,6 +198,10 @@ def write_text(spark, path: str, text: str) -> None:
 
 
 def read_text(spark, path: str) -> str:
+    lp = _local_path(spark, path)
+    if lp is not None:
+        with open(lp, encoding="utf-8") as f:
+            return f.read()
     fs, p = hadoop_fs(spark, path)
     stream = fs.open(p)
     try:
