@@ -643,15 +643,49 @@ def build_ivfpq_index(
             "the base would leave them filtering the NEW corpus's ids. "
             "Delete the index directory for a full rebuild."
         )
-    if cents is None:
-        cents = _md5_sample_centroids(
-            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    samp_df = None
+    if cents is None and codebooks is None:
+        # ONE md5-ordered TakeOrdered serves BOTH tiny samples: the
+        # centroid pick (first n_centroids rows) and the PQ codebook
+        # sample (first ksub rows) order by the SAME key md5_long(id),
+        # so the two corpus scans the old shape ran collapse into one
+        # (each was a full corpus pass at 100 TB for a few KB of
+        # state). The codebook sample's residuals are then derived on
+        # a ksub-row literal frame through the IDENTICAL expressions
+        # the corpus path uses — bit-equal values, oracle-unchanged.
+        k = max(n_centroids, ksub)
+        sample_rows = (
+            corpus.select(
+                md5_long(F.col(id_col).cast("string")).alias("_hk"),
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+            )
+            .orderBy("_hk")
+            .limit(k)
+            .collect()
         )
-    # collect both tiny tables ONCE: persist, checksum, assignment
-    # literal, and encode literal each need them, and when they are
-    # derived frames every re-collect re-runs a TakeOrdered over the
-    # corpus — five full corpus scans at 100 TB for a few KB of state
-    cent_rows = _centroid_rows(cents)
+        from pyspark.sql import Row
+
+        cent_rows = [
+            Row(centroid_id=i, cvec=[float(x) for x in r._v])
+            for i, r in enumerate(sample_rows[:n_centroids])
+        ]
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        samp_df = local_rows_df(
+            spark,
+            f"{id_col} {id_type}, {vec_col} array<double>",
+            [(r._id, [float(x) for x in r._v]) for r in sample_rows[:ksub]],
+        )
+    else:
+        if cents is None:
+            cents = _md5_sample_centroids(
+                corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+            )
+        # collect both tiny tables ONCE: persist, checksum, assignment
+        # literal, and encode literal each need them, and when they are
+        # derived frames every re-collect re-runs a TakeOrdered over the
+        # corpus — five full corpus scans at 100 TB for a few KB of state
+        cent_rows = _centroid_rows(cents)
     assigned = _assign_to_centroids(
         corpus, cent_rows, id_col=id_col, vec_col=vec_col
     )
@@ -675,14 +709,36 @@ def build_ivfpq_index(
         )
         rot_lit = float_matrix_lit(rot)
         crot = _rotated_centroids(rot, cent_rows)
-        resid = resid.withColumn(
-            "_rvec_rot", _matvec(rot_lit, F.col("_rvec"), dim)
-        ).withColumn(
-            "_cvec_rot",
-            F.element_at(float_matrix_lit(crot), F.col("centroid_id") + 1),
-        )
+
+        def _rotated(frame: DataFrame) -> DataFrame:
+            return frame.withColumn(
+                "_rvec_rot", _matvec(rot_lit, F.col("_rvec"), dim)
+            ).withColumn(
+                "_cvec_rot",
+                F.element_at(float_matrix_lit(crot), F.col("centroid_id") + 1),
+            )
+
+        resid = _rotated(resid)
         enc_vec, enc_offset = "_rvec_rot", "_cvec_rot"
-    if codebooks is None:
+    if codebooks is None and samp_df is not None:
+        # fused-sample path: the ksub md5-smallest rows are already on
+        # the driver — residualize them through the SAME expression
+        # chain the corpus takes (assignment literal, residual,
+        # rotation), on a ksub-row literal frame instead of a second
+        # full corpus TakeOrdered
+        resid_samp = _with_residual(
+            _assign_to_centroids(
+                samp_df, cent_rows, id_col=id_col, vec_col=vec_col
+            ),
+            cent_rows,
+            vec_col=vec_col,
+        )
+        if rot is not None:
+            resid_samp = _rotated(resid_samp)
+        codebooks = pq_codebooks(
+            resid_samp, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=enc_vec
+        )
+    elif codebooks is None:
         # codebooks quantize RESIDUALS (IVFADC): sampled from the same
         # md5 order as before, but each sample vector is x − q1(x)
         # (rotated when rotation is on) — still one deterministic

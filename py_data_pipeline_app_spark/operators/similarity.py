@@ -1827,8 +1827,6 @@ def _apply_reorder_stage(spark, index_path: str, stage_name: str) -> None:
     Idempotent: marker writes are same-content overwrites and
     re-running skips clusters whose stage directory is already gone,
     so crash recovery just calls it again."""
-    fs, _ = _hadoop_fs(spark, index_path)
-    jvm = spark._jvm.org.apache.hadoop.fs.Path
     m = fsio.read_json(spark, f"{index_path}/{stage_name}/_MANIFEST")
     for name in m.get("superseded", []):
         fsio.write_json(
@@ -1837,19 +1835,19 @@ def _apply_reorder_stage(spark, index_path: str, stage_name: str) -> None:
             {"append": name, "clusters": [int(c) for c in m["clusters"]]},
         )
     # Swap clusters CONCURRENTLY (guide §2.6 applied to FS metadata):
-    # each swap is 3-4 py4j/FS round-trips, and ~k of them in sequence
-    # is pure driver latency (~1 s at k=128 locally, worse on an object
-    # store). Per-cluster atomicity is unchanged — swaps touch disjoint
+    # each swap is 3-4 FS round-trips, and ~k of them in sequence is
+    # pure driver latency (~1 s at k=128 through py4j, worse on an
+    # object store; the fsio wrappers take the os fast path locally).
+    # Per-cluster atomicity is unchanged — swaps touch disjoint
     # directories and each cluster is still wholly old or wholly new on
     # a crash; the exclusion markers above are all written first.
     def _swap(c) -> None:
-        src = jvm(f"{index_path}/{stage_name}/centroid_id={c}")
-        if not fs.exists(src):
+        src = f"{index_path}/{stage_name}/centroid_id={c}"
+        if not fsio.exists(spark, src):
             return  # already swapped by the run that crashed
-        dst = jvm(f"{index_path}/assigned/centroid_id={c}")
-        if fs.exists(dst):
-            fs.delete(dst, True)
-        _rename_or_raise(fs, src, dst)
+        dst = f"{index_path}/assigned/centroid_id={c}"
+        fsio.delete(spark, dst)
+        fsio.rename(spark, src, dst)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1861,25 +1859,20 @@ def _apply_reorder_stage(spark, index_path: str, stage_name: str) -> None:
         f"{index_path}/{SEMANTIC_REORDER_TOKENS_SUBDIR}/{m['token']}",
         "",
     )
-    fs.delete(jvm(f"{index_path}/{stage_name}"), True)
+    fsio.delete(spark, f"{index_path}/{stage_name}")
 
 
 def _recover_semantic_reorder(spark, index_path: str) -> None:
     """Resume any crashed reorder rewrite (run at mutator entry, under
     the lock): a stage with a ``_MANIFEST`` was fully written — finish
     its swap; a stage without one never became visible — delete it."""
-    fs, root = _hadoop_fs(spark, index_path)
-    if not fs.exists(root):
-        return
-    jvm = spark._jvm.org.apache.hadoop.fs.Path
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith(".reorder-stage-"):
+    for name, is_dir in fsio.child_entries(spark, index_path):
+        if not (is_dir and name.startswith(".reorder-stage-")):
             continue
-        if fs.exists(jvm(f"{index_path}/{name}/_MANIFEST")):
+        if fsio.exists(spark, f"{index_path}/{name}/_MANIFEST"):
             _apply_reorder_stage(spark, index_path, name)
         else:
-            fs.delete(jvm(f"{index_path}/{name}"), True)
+            fsio.delete(spark, f"{index_path}/{name}")
 
 
 def _semantic_reorder_append_locked(
@@ -1990,15 +1983,11 @@ def _semantic_reorder_append_locked(
     # permanently degrade the base layout the build may have bounded
     # with files_per_bucket (the swap REPLACES those directories)
     kept = _bucket_layout(kept, 1, n_buckets=max(len(probed), 1), id_col=id_col)
-    fs, _ = _hadoop_fs(spark, index_path)
-    jvm = spark._jvm.org.apache.hadoop.fs.Path
-    pending = []
-    if fs.exists(jvm(appends_dir)):
-        pending = sorted(
-            s.getPath().getName()
-            for s in fs.listStatus(jvm(appends_dir))
-            if s.isDirectory() and s.getPath().getName().startswith("batch-")
-        )
+    pending = [
+        name
+        for name, is_dir in fsio.child_entries(spark, appends_dir)
+        if is_dir and name.startswith("batch-")
+    ]
     stage_name = f".reorder-stage-{token}"
     stage = f"{index_path}/{stage_name}"
     try:
