@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from py_data_pipeline_app_spark.functions.text import (
+    HASH_PRIME,
     md5_long,
     minhash_perm,
     normalize_text,
@@ -236,8 +237,13 @@ def minhash_signatures(
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", token_hash(F.col("tok")))
+    # parsed expression strings, not per-perm Column composition: the
+    # num_perms-wide builder was ~10 py4j round trips per permutation
+    # of pure plan-construction latency (the simhash64 rationale).
+    # Arithmetic is identical — h is BIGINT, so `h * a + b` promotes
+    # exactly as the Column form's lit() operands did.
     aggs = [
-        F.min(minhash_perm(F.col("h"), a, b)).alias(f"mh_{i}")
+        F.expr(f"min((h * {a} + {b}) % {HASH_PRIME}) AS mh_{i}")
         for i, (a, b) in enumerate(perm_coeffs(num_perms))
     ]
     return tok.groupBy(id_col).agg(*aggs)
@@ -493,22 +499,29 @@ def simhash64(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))  # 60 usable bits
+    # The 60 vote aggregates and the 60-term packing are built as
+    # server-side-parsed expression STRINGS, not per-bit Column
+    # composition: the Column form cost ~1.5 s of py4j round trips per
+    # plan construction (measured r15: 11k round trips for this one
+    # query, built twice per bench run). Semantics are identical —
+    # CASE WHEN / IF parse to the same expressions the when/otherwise
+    # builders produced, all-integer arithmetic throughout.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{j}")
-        for j in range(60)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    bit_terms = [
-        F.when(F.col(f"v_{j}") > 0, F.lit(1).cast("long") * F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS v_{j}"
         )
         for j in range(60)
     ]
-    packed = bit_terms[0]
-    for t in bit_terms[1:]:
-        packed = packed + t
+    agg = tok.groupBy(id_col).agg(*votes)
+    packed = F.expr(
+        "CAST("
+        + " + ".join(
+            f"IF(v_{j} > 0, CAST({2**j} AS BIGINT), CAST(0 AS BIGINT))"
+            for j in range(60)
+        )
+        + " AS BIGINT)"
+    )
     return agg.select(F.col(id_col), packed.alias("simhash"))
 
 

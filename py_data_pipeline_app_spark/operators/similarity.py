@@ -546,7 +546,11 @@ def _assign_to_centroids(
     if fan_out_input:
         corpus = fan_out(corpus)
     rows = _centroid_rows(cents)
-    ids = F.lit([int(r.centroid_id) for r in rows])
+    # one parsed expression, not per-element F.lit composition (the
+    # float_matrix_lit rationale: ~1 py4j round trip instead of k)
+    ids = F.expr(
+        "array(" + ",".join(str(int(r.centroid_id)) for r in rows) + ")"
+    )
     cvecs = float_matrix_lit([[float(x) for x in r.cvec] for r in rows])
     vec = F.col(vec_col)
     scored = F.transform(

@@ -52,6 +52,13 @@ def get_spark(
         # few hundred dirs on any filesystem. Production-scale indexes
         # (k ~ 10^4+ partition dirs) still take the parallel path.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+        # Per-DataFrame-op call-site capture costs a Python stack walk
+        # AND one extra py4j round trip per op (PySparkCurrentOrigin
+        # update). The registry's plans are built from hundreds of ops
+        # each, twice per bench run — measured ~0.2 s of pure driver
+        # latency on the widest single plan. Trade: error messages
+        # lose the user-code call-site line (stack traces remain).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -31,6 +31,15 @@ _NANOS_TS_COLS = {
 }
 
 
+# Inferred schema per (sf_dir, table): schema inference reads the
+# parquet footer driver-side on EVERY spark.read.parquet (~50-80 ms,
+# measured r15 — ~0.5 s of a 6-table query's plan construction, paid
+# twice per bench run). The testdata is immutable by contract, so the
+# first read's schema serves every later plan via read.schema(...)
+# (metadata only — every query still scans the parquet itself).
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one testdata table. Plain ``spark.read.parquet`` — scan-level
     pruning/pushdown is Catalyst's job; we must not materialize or cache
@@ -39,10 +48,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — conf may be locked; reads then fail loudly
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        schema = _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(
+            os.path.join(sf_dir, f"{name}.parquet")
+        )
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
     for col in _NANOS_TS_COLS.get(name, ()):
-        dtype = dict(df.dtypes).get(col)
-        if dtype == "bigint":
+        if types.get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
