@@ -1186,7 +1186,7 @@ def ivfpq_topk_rerank(
     scored = fetched.join(F.broadcast(q), query_id_col).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+        F.round(cosine(vec_col, "_qvec"), 9).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)

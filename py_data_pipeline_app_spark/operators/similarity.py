@@ -60,9 +60,25 @@ def float_matrix_lit(values) -> Column:
     return F.expr(render(values))
 
 
-def dot(x: Column, y: Column) -> Column:
+def dot(x: Column | str, y: Column | str) -> Column:
     """Sequential-fold double dot product — deterministic across
-    engines (same fold order ⇒ identical IEEE results)."""
+    engines (same fold order ⇒ identical IEEE results).
+
+    String arguments are column NAMES and build the fold as ONE
+    server-side-parsed expression: the Column-composition form costs
+    ~60 py4j round trips of plan-construction latency per call
+    (measured r15), and the vector folds are the most-instantiated
+    expressions in the engine. Both forms parse to the identical
+    expression tree (``0.0D`` is the same DoubleType literal
+    ``F.lit(0.0)`` builds), so results are bit-equal."""
+    if isinstance(x, str) and isinstance(y, str):
+        return F.expr(
+            f"aggregate(zip_with(`{x}`, `{y}`, (p, q) -> "
+            "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0.0D, "
+            "(acc, v) -> acc + v)"
+        )
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
         F.lit(0.0),
@@ -70,7 +86,13 @@ def dot(x: Column, y: Column) -> Column:
     )
 
 
-def l2_norm(x: Column) -> Column:
+def l2_norm(x: Column | str) -> Column:
+    if isinstance(x, str):
+        return F.expr(
+            f"sqrt(aggregate(transform(`{x}`, p -> "
+            "CAST(p AS DOUBLE) * CAST(p AS DOUBLE)), 0.0D, "
+            "(acc, v) -> acc + v))"
+        )
     return F.sqrt(
         F.aggregate(
             F.transform(x, lambda p: p.cast("double") * p.cast("double")),
@@ -80,7 +102,7 @@ def l2_norm(x: Column) -> Column:
     )
 
 
-def cosine(x: Column, y: Column) -> Column:
+def cosine(x: Column | str, y: Column | str) -> Column:
     return dot(x, y) / (l2_norm(x) * l2_norm(y))
 
 
@@ -106,7 +128,7 @@ def brute_force_topk(
     ).crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+        F.round(cosine(vec_col, "_qvec"), 9).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -135,7 +157,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 9).alias("cos_sim"),
+            F.round(cosine("vec_a", "vec_b"), 9).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -366,12 +388,12 @@ def hyperplane_lsh_near_dup_pairs(
     va = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
-        l2_norm(F.col(vec_col)).alias("_norm_a"),
+        l2_norm(vec_col).alias("_norm_a"),
     )
     vb = corpus.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
-        l2_norm(F.col(vec_col)).alias("_norm_b"),
+        l2_norm(vec_col).alias("_norm_b"),
     )
     return (
         cands.join(va, "id_a")
@@ -380,7 +402,7 @@ def hyperplane_lsh_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
+                dot("vec_a", "vec_b")
                 / (F.col("_norm_a") * F.col("_norm_b")),
                 9,
             ).alias("cos_sim"),
@@ -722,7 +744,7 @@ def _query_probes(
             query_id_col,
             F.col(vec_col).alias("_qvec"),
             "centroid_id",
-            cosine(F.col(vec_col), F.col("cvec")).alias("csim"),
+            cosine(vec_col, "cvec").alias("csim"),
         )
         .withColumn(
             "rn",
@@ -748,7 +770,7 @@ def _rank_probed(
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+        F.round(cosine(vec_col, "_qvec"), 9).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -1153,7 +1175,7 @@ def _semantic_kept_flags(
     centroid count. Returns batch rows as (id, vec, centroid_id,
     kept)."""
     sim = F.round(
-        dot(F.col("vec_a"), F.col("vec_b"))
+        dot("vec_a", "vec_b")
         / (F.col("_norm_a") * F.col("_norm_b")),
         9,
     )
@@ -1166,12 +1188,12 @@ def _semantic_kept_flags(
     va = batch_assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
-        l2_norm(F.col(vec_col)).alias("_norm_a"),
+        l2_norm(vec_col).alias("_norm_a"),
     )
     vb = batch_assigned.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
-        l2_norm(F.col(vec_col)).alias("_norm_b"),
+        l2_norm(vec_col).alias("_norm_b"),
     )
     dropped = (
         cands.join(va, "id_a")
@@ -1183,13 +1205,13 @@ def _semantic_kept_flags(
         ha = hist.select(
             F.col("centroid_id"),
             F.col(vec_col).alias("vec_a"),
-            l2_norm(F.col(vec_col)).alias("_norm_a"),
+            l2_norm(vec_col).alias("_norm_a"),
         )
         bb = batch_assigned.select(
             F.col(id_col),
             F.col("centroid_id"),
             F.col(vec_col).alias("vec_b"),
-            l2_norm(F.col(vec_col)).alias("_norm_b"),
+            l2_norm(vec_col).alias("_norm_b"),
         )
         dropped = dropped.unionByName(
             bb.join(ha, "centroid_id").filter(sim >= threshold).select(F.col(id_col))
@@ -1250,7 +1272,7 @@ def cluster_profile(
         vec_col=vec_col,
     )
     nmicro = (
-        l2_norm(F.col(vec_col)).cast("decimal(18,6)") * 1_000_000
+        l2_norm(vec_col).cast("decimal(18,6)") * 1_000_000
     ).cast("long")
     agg = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -1622,18 +1644,16 @@ def _bloom_probe_frame(rows: DataFrame, id_col: str, m: int, h: int) -> DataFram
     h1 = F.pmod(F.xxhash64(sid), F.lit(m))
     h2 = F.pmod(F.xxhash64(sid, F.lit("‖idstats")), F.lit(m))
     staged = rows.withColumn("_h1", h1).withColumn("_h2", h2)
-    probes = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("_pi"),
-                    F.pmod(
-                        F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(m)
-                    ).alias("_pos"),
-                )
-                for i in range(h)
-            ]
+    # one parsed expression instead of h per-probe struct builders
+    # (~110 py4j round trips per frame at h=14, built several times
+    # per reorder guard); arithmetic is token-identical
+    probes = F.expr(
+        "explode(array("
+        + ",".join(
+            f"struct({i} AS _pi, pmod(_h1 + {i} * _h2, {m}) AS _pos)"
+            for i in range(h)
         )
+        + "))"
     )
     return (
         staged.withColumn("_p", probes)
@@ -2813,7 +2833,7 @@ def embedding_outliers(
     band joins — the corpus never shuffles."""
     norms = corpus.select(
         F.col(id_col),
-        F.round(l2_norm(F.col(vec_col)), 6).alias("norm"),
+        F.round(l2_norm(vec_col), 6).alias("norm"),
         F.size(F.col(vec_col)).alias("n_dims"),
     )
     nn = F.col("norm")
@@ -2918,7 +2938,7 @@ def hard_negative_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("score"),
+            F.round(cosine(vec_col, "_qvec"), 9).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
