@@ -58,27 +58,29 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     (doc_id, n_chars) — deterministic, engine-agnostic, and cheap.
     Nullability follows the modality: images have no duration or
     sample rate, audio has no dimensions."""
-    kind = F.element_at(
-        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3).cast("int") + 1
-    )
-    mime_map = F.create_map(
-        *[F.lit(x) for kv in _MIMES.items() for x in kv]
-    )
-    width = (F.lit(64) + (F.col("n_chars") % 97) * 8).cast("int")
-    height = (F.lit(64) + (F.col("doc_id") % 53) * 8).cast("int")
-    duration_ms = (F.col("n_chars") * 25).cast("long")
-    sample_rate = (F.lit(16000) + (F.col("doc_id") % 4) * 8000).cast("int")
+    # parsed expressions, not per-literal Column composition (~470
+    # py4j round trips per construction before — the simhash64
+    # rationale); element_at/map lookups render to the same
+    # expressions the builders produced
+    kinds = ",".join(f"'{k}'" for k in _KINDS)
+    mimes = ",".join(f"'{k}','{v}'" for k, v in _MIMES.items())
+    kind_sql = f"element_at(array({kinds}), CAST(doc_id % 3 AS INT) + 1)"
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
+        F.expr(f"{kind_sql} AS kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
-        mime_map[kind].alias("mime"),
-        F.struct(
-            F.when(kind != "audio", width).alias("width"),
-            F.when(kind != "audio", height).alias("height"),
-            F.when(kind != "image", duration_ms).alias("duration_ms"),
-            F.when(kind == "audio", sample_rate).alias("sample_rate"),
-        ).alias("meta"),
+        F.expr(f"map({mimes})[{kind_sql}] AS mime"),
+        F.expr(
+            f"struct("
+            f"IF({kind_sql} != 'audio', CAST(64 + (n_chars % 97) * 8 AS INT), "
+            f"CAST(NULL AS INT)) AS width, "
+            f"IF({kind_sql} != 'audio', CAST(64 + (doc_id % 53) * 8 AS INT), "
+            f"CAST(NULL AS INT)) AS height, "
+            f"IF({kind_sql} != 'image', CAST(n_chars * 25 AS BIGINT), "
+            f"CAST(NULL AS BIGINT)) AS duration_ms, "
+            f"IF({kind_sql} = 'audio', CAST(16000 + (doc_id % 4) * 8000 AS INT), "
+            f"CAST(NULL AS INT)) AS sample_rate) AS meta"
+        ),
     )
 
 

@@ -146,44 +146,45 @@ def _exact_profile(
 ) -> DataFrame:
     dtypes = {f.name: f.dataType for f in df.schema.fields}
 
+    # each branch as ONE parsed expression (the simhash64 rationale:
+    # ~15 Column ops per column was pure py4j construction latency);
+    # the rendered SQL is token-for-token what the builders produced
     branches = []
     for c in cols:
-        col = F.col(c)
         dtype = dtypes[c]
+        name_lit = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        ref = f"`{c}`"
         # injective string form (distinct-count key): full-precision
         # cast, NOT the display cast — decimal(18,6) would collapse
-        # doubles closer than 1e-6
-        sval = col.cast("string")
+        # doubles closer than 1e-6. For floats, -0.0 == 0.0 in every
+        # engine's DISTINCT but stringifies distinctly — normalize the
+        # sign before the injective cast.
+        sval = f"CAST({ref} AS STRING)"
         if isinstance(dtype, (T.DoubleType, T.FloatType)):
-            # -0.0 == 0.0 in every engine's DISTINCT (Spark normalizes
-            # signed zero in grouping keys, DuckDB in equality) but
-            # stringifies distinctly — normalize the sign before the
-            # injective cast so the string key groups like the value
+            t = dtype.simpleString()
             sval = (
-                F.when(col == 0, F.lit(0).cast(dtype)).otherwise(col).cast("string")
+                f"CAST(CASE WHEN {ref} = 0 THEN CAST(0 AS {t}) "
+                f"ELSE {ref} END AS STRING)"
             )
         # EXACT order-preserving carriers for min/max — one per value
         # domain, so no value is squeezed through a lossy double:
         # integrals + timestamps ride a long (exact), floats ride a
         # double (the value itself), decimals ride decimal(38,18)
-        lval = F.lit(None).cast("long")
-        dval = F.lit(None).cast("double")
-        decval = F.lit(None).cast("decimal(38,18)")
+        lval = "CAST(NULL AS BIGINT)"
+        dval = "CAST(NULL AS DOUBLE)"
+        decval = "CAST(NULL AS DECIMAL(38,18))"
         if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-            lval = F.unix_micros(col.cast("timestamp"))
+            lval = f"unix_micros(CAST({ref} AS TIMESTAMP))"
         elif isinstance(dtype, (T.DoubleType, T.FloatType)):
-            dval = col.cast("double")
+            dval = f"CAST({ref} AS DOUBLE)"
         elif isinstance(dtype, T.DecimalType):
-            decval = col.cast("decimal(38,18)")
+            decval = f"CAST({ref} AS DECIMAL(38,18))"
         elif isinstance(dtype, _NUMERIC):
-            lval = col.cast("long")
+            lval = f"CAST({ref} AS BIGINT)"
         branches.append(
-            F.struct(
-                F.lit(c).alias("column_name"),
-                sval.alias("sval"),
-                lval.alias("lval"),
-                dval.alias("dval"),
-                decval.alias("decval"),
+            F.expr(
+                f"struct({name_lit} AS column_name, {sval} AS sval, "
+                f"{lval} AS lval, {dval} AS dval, {decval} AS decval)"
             )
         )
 
