@@ -116,7 +116,14 @@ def rename(spark, src: str, dst: str) -> None:
     Every caller in this repo treats the rename as the commit point of
     a staged-write protocol, where a silently-skipped rename followed
     by source cleanup is unrecoverable data loss, so a ``False`` result
-    is always an error."""
+    is always an error.
+
+    Concurrency note: the local fast path is check-then-act (exists
+    probe, then ``os.rename``, which silently REPLACES a file created
+    in between — the Hadoop path would return false and raise). Every
+    call site is serialized by its index/compaction lock, which is
+    what makes the window unreachable; a new caller outside a lock
+    must not rely on rename-onto-existing failing loudly here."""
     ls, ld = _local_path(spark, src), _local_path(spark, dst)
     if ls is not None and ld is not None and not _os.path.exists(ld):
         # staged-commit shape (dst absent): plain os.rename, which
@@ -157,10 +164,28 @@ def child_names(spark, path: str) -> list[str]:
 def mtime_ms(spark, path: str) -> int:
     lp = _local_path(spark, path)
     if lp is not None:
-        # java File.lastModified() is ms-truncated; match it
-        return int(_os.stat(lp).st_mtime * 1000)
+        # java File.lastModified() is ms-truncated; match it EXACTLY:
+        # st_mtime is a float64 of seconds whose rounding can disagree
+        # with integer-nanosecond truncation by 1 ms at the boundary —
+        # and warehouse log ordering compares these across both paths
+        return _os.stat(lp).st_mtime_ns // 1_000_000
     fs, p = hadoop_fs(spark, path)
     return int(fs.getFileStatus(p).getModificationTime())
+
+
+def file_size(spark, path: str) -> int:
+    """Size in bytes of a single file (0 when missing — sizing
+    heuristics want a lower bound, not an exception)."""
+    lp = _local_path(spark, path)
+    if lp is not None:
+        try:
+            return _os.stat(lp).st_size
+        except OSError:
+            return 0
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getFileStatus(p).getLen())
 
 
 def any_file_with_suffix(spark, path: str, suffix: str) -> bool:
@@ -238,12 +263,14 @@ def read_small_parquet_rows(spark, path: str) -> list:
     subdirectories); returns :class:`pyspark.sql.Row` objects sorted
     the way the caller sorts a ``collect()`` result (i.e. not at all —
     callers keep their own sort keys)."""
-    from urllib.parse import urlparse
-
-    u = urlparse(path)
-    if u.scheme not in ("", "file"):
+    # routed through _local_path (NOT a bare scheme check): a
+    # scheme-less path resolves against fs.defaultFS, so on a cluster
+    # whose defaultFS is hdfs:// it must take the distributed read —
+    # globbing it on the driver's local disk could silently read a
+    # same-named local directory instead of the real remote table
+    local = _local_path(spark, path)
+    if local is None:
         return spark.read.parquet(path).collect()
-    local = u.path if u.scheme == "file" else path
     import glob
     import os
 

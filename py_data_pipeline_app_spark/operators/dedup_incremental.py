@@ -92,6 +92,34 @@ LOCK_FILE = "_index.lock"
 PART_COL = "pb"
 DEFAULT_PART_BUCKETS = 32
 
+#: auto-sizing floor (first fold, ``part_buckets=None``): one partition
+#: bucket per this many batch-input bytes, so a test/crawl-cadence-sized
+#: first batch gets the UNPARTITIONED layout (1 bucket — partitionBy
+#: fanout below this size costs listing/write jobs without buying any
+#: pruned I/O; measured: the 32-dir layout regressed the sf0.1 fold
+#: 2.1→3.5 s) while a corpus-scale batch gets DEFAULT_PART_BUCKETS.
+#: The FIRST batch is a proxy for the index's lifetime size — a
+#: long-lived production index should pass ``part_buckets`` explicitly,
+#: sized like any partitionBy fanout (measured rule #6: projected index
+#: bytes / target file size).
+AUTO_PART_TARGET_BYTES = 64 << 20
+
+
+def _auto_part_buckets(spark: SparkSession, batch: DataFrame) -> int:
+    """Size ``part_buckets`` from the first batch's input files.
+    Frames with no resolvable input files (literal frames, streaming
+    micro-batches from non-file sources) default to
+    :data:`DEFAULT_PART_BUCKETS` — the scale-conservative choice,
+    since the heuristic cannot prove the feed small."""
+    try:
+        files = batch.inputFiles()
+    except Exception:  # noqa: BLE001 — planning-time probe only
+        files = []
+    if not files:
+        return DEFAULT_PART_BUCKETS
+    total = sum(fsio.file_size(spark, f) for f in files)
+    return max(1, min(DEFAULT_PART_BUCKETS, total // AUTO_PART_TARGET_BYTES))
+
 
 def part_bucket_col(cols: list[str], part_buckets: int) -> Column:
     """The partition-prefix expression shared by every band-keyed
@@ -139,8 +167,9 @@ def _check_or_write_config(
     num_perms: int,
     bands: int,
     exact: bool,
-    part_buckets: int,
-) -> None:
+    part_buckets: int | None,
+    batch: DataFrame,
+) -> int:
     """One index = one (num_perms, bands, exact-mode, part_buckets)
     configuration — band keys from different configurations NEVER
     match, so a mismatched fold would silently emit no cross-history
@@ -148,23 +177,30 @@ def _check_or_write_config(
     confidence), and a drifted ``part_buckets`` would send the same
     band key to a DIFFERENT partition directory, so a pruned probe
     would silently skip history written under the old scheme. The
-    first fold persists its configuration as a one-row parquet table;
-    every later fold validates against it and fails loudly on drift
-    (an index written before the partitioned layout has no
-    ``part_buckets`` field and is refused the same way — rebuild it)."""
+    first fold persists its configuration as a one-row parquet table
+    — ``part_buckets=None`` auto-sizes it there
+    (:func:`_auto_part_buckets`); every later fold validates against
+    it (None adopts the stored fanout) and fails loudly on drift (an
+    index written before the partitioned layout has no
+    ``part_buckets`` field and is refused the same way — rebuild it).
+    Returns the resolved ``part_buckets``; 1 means the UNPARTITIONED
+    flat layout (no ``pb`` column, no partition directories — a
+    single-bucket partitionBy would pay the layout's listing/write
+    overhead and prune nothing)."""
     path = f"{index_path}/{CONFIG_SUBDIR}"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
         row = fsio.read_small_parquet_rows(spark, path)[0]
-        have = (
-            row.num_perms,
-            row.bands,
-            row.exact,
-            getattr(row, "part_buckets", None),
+        stored = getattr(row, "part_buckets", None)
+        have = (row.num_perms, row.bands, row.exact, stored)
+        want = (
+            num_perms,
+            bands,
+            exact,
+            stored if part_buckets is None else part_buckets,
         )
-        want = (num_perms, bands, exact, part_buckets)
-        if have != want:
+        if stored is None or have != want:
             raise ValueError(
                 f"index at {index_path} was built with (num_perms, bands, "
                 f"exact, part_buckets)={have}, fold requested {want}; band "
@@ -173,12 +209,15 @@ def _check_or_write_config(
                 "every historical near-dup - rebuild the index or match its "
                 "configuration"
             )
-        return
+        return int(stored)
+    if part_buckets is None:
+        part_buckets = _auto_part_buckets(spark, batch)
     local_rows_df(
         spark,
         "num_perms int, bands int, exact boolean, part_buckets int",
         [(num_perms, bands, exact, part_buckets)],
     ).write.mode("overwrite").parquet(path)
+    return int(part_buckets)
 
 
 def _pinned_history(
@@ -234,20 +273,34 @@ def _pinned_history(
     return hist
 
 
-def _append_batch(df: DataFrame, index_path: str, subdir: str, token: str) -> None:
+def _append_batch(
+    df: DataFrame,
+    index_path: str,
+    subdir: str,
+    token: str,
+    *,
+    single_file: bool = False,
+) -> None:
     """Idempotent append: each fold writes its own ``batch-{token}``
     subdirectory in overwrite mode, so a retried fold replaces its
     partial output instead of duplicating it. A frame carrying
     :data:`PART_COL` is written ``partitionBy(pb)`` — repartitioned by
     the partition column first so each prefix directory gets ONE file
-    per append instead of one per (task, prefix) (measured rule #6)."""
+    per append instead of one per (task, prefix) (measured rule #6).
+    ``single_file=True`` bounds a FLAT append to one file the same way
+    (fold appends are batch-sized by construction — one file beats a
+    file per upstream task, which every later history read must list
+    and open; compactions pass False, their consolidated frame can be
+    index-sized)."""
     dest = f"{index_path}/{subdir}/batch-{token}"
     if PART_COL in df.columns:
         df.repartition(PART_COL).write.mode("overwrite").partitionBy(
             PART_COL
         ).parquet(dest)
     else:
-        df.write.mode("overwrite").parquet(dest)
+        (df.repartition(1) if single_file else df).write.mode(
+            "overwrite"
+        ).parquet(dest)
 
 
 def _has_data_files(fs, jvm_path) -> bool:
@@ -505,7 +558,7 @@ def incremental_lsh_fold(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
-    part_buckets: int = DEFAULT_PART_BUCKETS,
+    part_buckets: int | None = None,
     batch_token: str | None = None,
 ) -> DataFrame:
     """Fold one batch of new documents into the persisted LSH index.
@@ -528,6 +581,11 @@ def incremental_lsh_fold(
     batch's own prefixes, so a batch whose keys touch few prefixes
     reads only those partition directories (plan-asserted pruning;
     dropped automatically when the batch saturates the prefix space).
+    ``None`` (the default) auto-sizes it at the FIRST fold from the
+    batch's input bytes — small feeds get the unpartitioned flat
+    layout (1), corpus-scale feeds get :data:`DEFAULT_PART_BUCKETS` —
+    and later folds adopt the persisted fanout; long-lived production
+    indexes should size it explicitly (measured rule #6).
 
     ``threshold >= 1.0`` mirrors the batch short-circuit
     (:func:`~py_data_pipeline_app_spark.operators.dedup.minhash_dedup_pairs`):
@@ -576,13 +634,14 @@ def _incremental_lsh_fold_locked(
     bands: int,
     threshold: float,
     max_bucket_size: int | None,
-    part_buckets: int,
+    part_buckets: int | None,
     batch_token: str | None,
 ) -> DataFrame:
     exact = threshold >= 1.0
-    _check_or_write_config(
-        spark, index_path, num_perms, bands, exact, part_buckets
+    part_buckets = _check_or_write_config(
+        spark, index_path, num_perms, bands, exact, part_buckets, new_docs
     )
+    flat = part_buckets <= 1
     # fan_out: the per-doc fingerprint/signature compute below is
     # map-side narrow work; an unsplittable one-file batch scan would
     # pin it (and the eager localCheckpoint that materializes it) to
@@ -603,12 +662,18 @@ def _incremental_lsh_fold_locked(
         new_buckets = band_buckets(
             sigs, id_col=id_col, num_perms=num_perms, bands=bands
         )
-    # reused by: within-pairs, prefix set, history join, append. LAZY:
-    # the prefix-set collect right below is the first consumer and
-    # materializes it (the fused-probe shape — one job, not two)
-    new_buckets = new_buckets.withColumn(
-        PART_COL, part_bucket_col(["band", "bucket"], part_buckets)
-    ).localCheckpoint(eager=False)
+    # reused by: within-pairs, prefix set (partitioned layout only),
+    # history join, append. LAZY: the first consuming action — the
+    # prefix-set collect, or in the flat layout the index append —
+    # materializes it (the fused-probe shape — one job, not two). The
+    # flat layout (part_buckets=1) carries no pb column at all: a
+    # one-bucket partitionBy would pay listing/write fanout and an
+    # always-true prune filter for nothing.
+    if not flat:
+        new_buckets = new_buckets.withColumn(
+            PART_COL, part_bucket_col(["band", "bucket"], part_buckets)
+        )
+    new_buckets = new_buckets.localCheckpoint(eager=False)
 
     token = batch_token or uuid.uuid4().hex[:12]
     tombs = _read_tombstones(spark, index_path)
@@ -619,7 +684,9 @@ def _incremental_lsh_fold_locked(
             BANDS_SUBDIR,
             new_buckets,
             exclude_token=token,
-            prune_to=_batch_part_values(new_buckets, part_buckets),
+            prune_to=(
+                None if flat else _batch_part_values(new_buckets, part_buckets)
+            ),
         ),
         tombs,
     )
@@ -654,13 +721,18 @@ def _incremental_lsh_fold_locked(
         verified = cands.select(
             "id_a", "id_b", F.lit(1.0).alias("jaccard")
         )
-        _append_batch(new_buckets, index_path, BANDS_SUBDIR, token)
+        _append_batch(
+            new_buckets, index_path, BANDS_SUBDIR, token, single_file=True
+        )
         return verified
 
+    # LAZY: the tokset append below is the first action that touches
+    # this frame and materializes the checkpoint — an eager one here
+    # was a whole extra job per fold for the same bytes
     new_toksets = docs.select(
         F.col(id_col),
         F.array_sort(F.array_distinct(tokens(text_col))).alias("tokset"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     hist_toksets = _without_tombstoned(
         _pinned_history(
             spark, index_path, TOKSETS_SUBDIR, new_toksets, exclude_token=token
@@ -694,6 +766,10 @@ def _incremental_lsh_fold_locked(
         .select("id_a", "id_b", "jaccard")
     )
 
-    _append_batch(new_buckets, index_path, BANDS_SUBDIR, token)
-    _append_batch(new_toksets, index_path, TOKSETS_SUBDIR, token)
+    _append_batch(
+        new_buckets, index_path, BANDS_SUBDIR, token, single_file=True
+    )
+    _append_batch(
+        new_toksets, index_path, TOKSETS_SUBDIR, token, single_file=True
+    )
     return verified

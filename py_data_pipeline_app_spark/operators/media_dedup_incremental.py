@@ -75,6 +75,7 @@ from py_data_pipeline_app_spark.operators.dedup_incremental import (
     PART_COL,
     _acquire_index_lock,
     _append_batch,
+    _auto_part_buckets,
     _batch_part_values,
     _pinned_history,
     _read_tombstones,
@@ -105,8 +106,9 @@ def _check_or_write_config(
     axes: str,
     bands: int,
     max_hamming: int,
-    part_buckets: int,
-) -> None:
+    part_buckets: int | None,
+    batch: DataFrame,
+) -> int:
     """One index = one (decoder, axes, bands, max_hamming)
     configuration. ``decoder`` decides the hash SPACE itself (an image
     grid and an audio spectrogram never hash alike), ``axes`` the
@@ -120,21 +122,25 @@ def _check_or_write_config(
     band key to a different partition directory and a pruned probe
     would silently skip old history. First fold persists the
     manifest; later folds fail loudly on drift (the ``assign_mode`` /
-    LSH-config discipline)."""
+    LSH-config discipline). ``part_buckets=None`` auto-sizes at the
+    first fold and adopts the persisted fanout afterwards (the LSH
+    index's resolution contract); returns the resolved fanout, 1
+    meaning the unpartitioned flat layout."""
     path = f"{index_path}/{CONFIG_SUBDIR}"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
         row = fsio.read_small_parquet_rows(spark, path)[0]
-        have = (
-            row.decoder,
-            row.axes,
-            row.bands,
-            row.max_hamming,
-            getattr(row, "part_buckets", None),
+        stored = getattr(row, "part_buckets", None)
+        have = (row.decoder, row.axes, row.bands, row.max_hamming, stored)
+        want = (
+            decoder,
+            axes,
+            bands,
+            max_hamming,
+            stored if part_buckets is None else part_buckets,
         )
-        want = (decoder, axes, bands, max_hamming, part_buckets)
-        if have != want:
+        if stored is None or have != want:
             raise ValueError(
                 f"dhash index at {index_path} was built with (decoder, axes, "
                 f"bands, max_hamming, part_buckets)={have}, fold requested "
@@ -143,13 +149,16 @@ def _check_or_write_config(
                 "this fold would silently miss every historical near-dup - "
                 "rebuild the index or match its configuration"
             )
-        return
+        return int(stored)
+    if part_buckets is None:
+        part_buckets = _auto_part_buckets(spark, batch)
     local_rows_df(
         spark,
         "decoder string, axes string, bands int, max_hamming int, "
         "part_buckets int",
         [(decoder, axes, bands, max_hamming, part_buckets)],
     ).write.mode("overwrite").parquet(path)
+    return int(part_buckets)
 
 
 def incremental_dhash_fold(
@@ -163,7 +172,7 @@ def incremental_dhash_fold(
     max_hamming: int = 6,
     id_col: str = "media_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
-    part_buckets: int = DEFAULT_PART_BUCKETS,
+    part_buckets: int | None = None,
     batch_token: str | None = None,
 ) -> DataFrame:
     """Fold one batch of new media assets into the persisted dHash
@@ -208,19 +217,24 @@ def incremental_dhash_fold(
     the probe degrades to the keyed full scan)."""
     fs, lock = _acquire_index_lock(spark, index_path, "dhash fold")
     try:
-        _check_or_write_config(
+        part_buckets = _check_or_write_config(
             spark, index_path, decoder, axes, bands, max_hamming,
-            part_buckets,
+            part_buckets, new_media,
         )
+        flat = part_buckets <= 1
         new_hashes = media_dhash(
             new_media.select(F.col(id_col).alias("media_id"), "payload"),
             decoder=decoder,
             axes=axes,
-        ).localCheckpoint(eager=True)  # one decode: bands, verify, append
+        ).localCheckpoint(eager=False)  # one decode (bands, verify,
+        # append share it), materialized by the fold's first action
+        # instead of a dedicated checkpoint job
         hash_cols = _dhash_hash_cols(new_hashes)
-        new_buckets = dhash_band_buckets(new_hashes, bands=bands).withColumn(
-            PART_COL, part_bucket_col(["band", "bucket"], part_buckets)
-        )
+        new_buckets = dhash_band_buckets(new_hashes, bands=bands)
+        if not flat:
+            new_buckets = new_buckets.withColumn(
+                PART_COL, part_bucket_col(["band", "bucket"], part_buckets)
+            )
 
         token = batch_token or uuid.uuid4().hex[:12]
         tombs = _read_tombstones(spark, index_path)
@@ -228,7 +242,11 @@ def incremental_dhash_fold(
             _pinned_history(
                 spark, index_path, BANDS_SUBDIR, new_buckets,
                 exclude_token=token,
-                prune_to=_batch_part_values(new_buckets, part_buckets),
+                prune_to=(
+                    None
+                    if flat
+                    else _batch_part_values(new_buckets, part_buckets)
+                ),
             ),
             tombs,
         )
@@ -289,8 +307,12 @@ def incremental_dhash_fold(
             .filter(F.col("hamming") <= max_hamming)
         )
 
-        _append_batch(new_buckets, index_path, BANDS_SUBDIR, token)
-        _append_batch(new_hashes, index_path, HASHES_SUBDIR, token)
+        _append_batch(
+            new_buckets, index_path, BANDS_SUBDIR, token, single_file=True
+        )
+        _append_batch(
+            new_hashes, index_path, HASHES_SUBDIR, token, single_file=True
+        )
         return verified
     finally:
         fs.delete(lock, False)
@@ -323,8 +345,9 @@ def _check_or_write_video_config(
     bands: int,
     max_hamming: int,
     min_matching_buckets: int,
-    part_buckets: int,
-) -> None:
+    part_buckets: int | None,
+    batch: DataFrame,
+) -> int:
     """One video index = one complete sampling + banding + verification
     configuration: ``decoder``/``every``/``fps_ms`` decide WHICH frames
     exist and what they hash to, ``bucket_ms`` the time-bucket blocking
@@ -332,14 +355,13 @@ def _check_or_write_video_config(
     directories, ``max_hamming``/``min_matching_buckets`` which pairs
     folds emit. Any drift would silently break cross-history matching
     or the union-of-folds parity contract — refuse loudly instead (the
-    image index's manifest discipline, one field per knob)."""
+    image index's manifest discipline, one field per knob).
+    ``part_buckets=None`` auto-sizes at the first fold and adopts the
+    persisted fanout afterwards; returns the resolved fanout (1 = the
+    unpartitioned flat layout)."""
     path = f"{index_path}/{CONFIG_SUBDIR}"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    want = (
-        decoder, every, fps_ms, bucket_ms, bands, max_hamming,
-        min_matching_buckets, part_buckets,
-    )
     if fs.exists(jvm_path):
         row = fsio.read_small_parquet_rows(spark, path)[0]
         have = tuple(
@@ -349,7 +371,13 @@ def _check_or_write_video_config(
                 "max_hamming", "min_matching_buckets", "part_buckets",
             )
         )
-        if have != want:
+        stored = have[-1]
+        want = (
+            decoder, every, fps_ms, bucket_ms, bands, max_hamming,
+            min_matching_buckets,
+            stored if part_buckets is None else part_buckets,
+        )
+        if stored is None or have != want:
             raise ValueError(
                 f"video dhash index at {index_path} was built with (decoder, "
                 f"every, fps_ms, bucket_ms, bands, max_hamming, "
@@ -359,13 +387,20 @@ def _check_or_write_video_config(
                 "would silently miss or misreport historical near-dups - "
                 "rebuild the index or match its configuration"
             )
-        return
+        return int(stored)
+    if part_buckets is None:
+        part_buckets = _auto_part_buckets(spark, batch)
+    want = (
+        decoder, every, fps_ms, bucket_ms, bands, max_hamming,
+        min_matching_buckets, part_buckets,
+    )
     local_rows_df(
         spark,
         "decoder string, every int, fps_ms int, bucket_ms int, bands int, "
         "max_hamming int, min_matching_buckets int, part_buckets int",
         [want],
     ).write.mode("overwrite").parquet(path)
+    return int(part_buckets)
 
 
 def incremental_video_dhash_fold(
@@ -382,7 +417,7 @@ def incremental_video_dhash_fold(
     min_matching_buckets: int = 2,
     id_col: str = "media_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
-    part_buckets: int = DEFAULT_PART_BUCKETS,
+    part_buckets: int | None = None,
     batch_token: str | None = None,
 ) -> DataFrame:
     """Fold one batch of new VIDEO assets into the persisted per-frame
@@ -419,10 +454,11 @@ def incremental_video_dhash_fold(
     id-keyed frame join restricted to candidate pairs, two appends."""
     fs, lock = _acquire_index_lock(spark, index_path, "video dhash fold")
     try:
-        _check_or_write_video_config(
+        part_buckets = _check_or_write_video_config(
             spark, index_path, decoder, every, fps_ms, bucket_ms, bands,
-            max_hamming, min_matching_buckets, part_buckets,
+            max_hamming, min_matching_buckets, part_buckets, new_media,
         )
+        flat = part_buckets <= 1
         cols = [F.col(id_col).alias("media_id"), F.col("payload")]
         if "meta" in new_media.columns:
             cols.append(F.col("meta"))
@@ -442,7 +478,9 @@ def incremental_video_dhash_fold(
             .withColumn(
                 "frame_bucket", (F.col("ts_ms") / F.lit(bucket_ms)).cast("long")
             )
-            .localCheckpoint(eager=True)  # one decode: block, verify, append
+            .localCheckpoint(eager=False)  # one decode (block, verify,
+            # append share it), materialized by new_blocked's own
+            # checkpoint action instead of a dedicated job
         )
         new_blocked = (
             new_fh.select(
@@ -459,16 +497,17 @@ def incremental_video_dhash_fold(
                 F.col("bk.bucket").alias("bucket"),
             )
             .distinct()
-            .withColumn(
+        )
+        if not flat:
+            new_blocked = new_blocked.withColumn(
                 PART_COL,
                 part_bucket_col(
                     ["frame_bucket", "band", "bucket"], part_buckets
                 ),
             )
-            # four consumers (prefix set, within-pairs, history join,
-            # append) would each re-run the explode+distinct shuffle
-            .localCheckpoint(eager=True)
-        )
+        # four consumers (prefix set, within-pairs, history join,
+        # append) would each re-run the explode+distinct shuffle
+        new_blocked = new_blocked.localCheckpoint(eager=True)
 
         token = batch_token or uuid.uuid4().hex[:12]
         tombs = _read_tombstones(spark, index_path)
@@ -476,7 +515,11 @@ def incremental_video_dhash_fold(
             _pinned_history(
                 spark, index_path, BANDS_SUBDIR, new_blocked,
                 exclude_token=token,
-                prune_to=_batch_part_values(new_blocked, part_buckets),
+                prune_to=(
+                    None
+                    if flat
+                    else _batch_part_values(new_blocked, part_buckets)
+                ),
             ),
             tombs,
         )
@@ -546,8 +589,12 @@ def incremental_video_dhash_fold(
             .filter(F.col("n_matching_buckets") >= min_matching_buckets)
         )
 
-        _append_batch(new_blocked, index_path, BANDS_SUBDIR, token)
-        _append_batch(new_fh, index_path, FRAMEHASHES_SUBDIR, token)
+        _append_batch(
+            new_blocked, index_path, BANDS_SUBDIR, token, single_file=True
+        )
+        _append_batch(
+            new_fh, index_path, FRAMEHASHES_SUBDIR, token, single_file=True
+        )
         return verified
     finally:
         fs.delete(lock, False)

@@ -81,6 +81,14 @@ def _qname(q: float) -> str:
     return f"q{q * 100:g}".replace(".", "_")
 
 
+def _qident(c: str) -> str:
+    """Backtick-quoted identifier safe to splice into a parsed
+    expression — embedded backticks are doubled (the SQL identifier
+    escape), so a column literally named ``a`b`` still references the
+    right column instead of breaking the parser."""
+    return "`" + c.replace("`", "``") + "`"
+
+
 def _num_proxy(c: str, dtype: T.DataType) -> F.Column | None:
     """Double proxy preserving native order, or None for non-orderable-
     as-number types (quantiles are null for those)."""
@@ -92,31 +100,58 @@ def _num_proxy(c: str, dtype: T.DataType) -> F.Column | None:
     return None
 
 
+def _stringify_sql(inner: str, dtype: T.DataType) -> str:
+    """Parsed-expression twin of :func:`_stringify` (same casts, token
+    for token — pinned by the renderer parity suite)."""
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return f"CAST(CAST({inner} AS DECIMAL(18,6)) AS STRING)"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return f"date_format({inner}, 'yyyy-MM-dd HH:mm:ss')"
+    return f"CAST({inner} AS STRING)"
+
+
 def _approx_profile(
     df: DataFrame, cols: list[str], rsd: float, quantiles: list[float]
 ) -> DataFrame:
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     # internal aliases keyed by INDEX, not name — a source column named
     # "order total" or containing quotes must not leak into the stack
-    # expression; only the escaped display literal carries the name
+    # expression; only the escaped display literal (and the
+    # backtick-escaped identifier) carries the name. Each aggregate is
+    # ONE server-side-parsed expression: the Column-composed builders
+    # cost ~35 py4j round trips per column of pure construction
+    # latency (the simhash/melt rationale — guide §5 driver), and the
+    # approx path is the 100 TB default the exact bench row stands in
+    # for. The rendered SQL parses to the identical expression tree
+    # (same default accuracy literals), pinned by the parity suite.
     aggs = []
     for i, c in enumerate(cols):
-        col = F.col(c)
+        ref = _qident(c)
+        dtype = dtypes[c]
         aggs += [
-            F.count(col).alias(f"__present_{i}"),
-            F.count(F.when(col.isNull(), F.lit(1))).alias(f"__null_{i}"),
-            F.approx_count_distinct(col, rsd).alias(f"__distinct_{i}"),
-            _stringify(F.min(col), dtypes[c]).alias(f"__min_{i}"),
-            _stringify(F.max(col), dtypes[c]).alias(f"__max_{i}"),
+            F.expr(f"count({ref})").alias(f"__present_{i}"),
+            F.expr(f"count(CASE WHEN {ref} IS NULL THEN 1 END)").alias(
+                f"__null_{i}"
+            ),
+            F.expr(f"approx_count_distinct({ref}, {rsd!r}D)").alias(
+                f"__distinct_{i}"
+            ),
+            F.expr(_stringify_sql(f"min({ref})", dtype)).alias(f"__min_{i}"),
+            F.expr(_stringify_sql(f"max({ref})", dtype)).alias(f"__max_{i}"),
         ]
-        proxy = _num_proxy(c, dtypes[c])
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            proxy = f"CAST(unix_micros(CAST({ref} AS TIMESTAMP)) AS DOUBLE)"
+        elif isinstance(dtype, _NUMERIC):
+            proxy = f"CAST({ref} AS DOUBLE)"
+        else:
+            proxy = None
         for q in quantiles:
             expr = (
-                F.percentile_approx(proxy, q)
+                f"percentile_approx({proxy}, {q!r}D, 10000)"
                 if proxy is not None
-                else F.max(F.lit(None).cast("double"))
+                else "max(CAST(NULL AS DOUBLE))"
             )
-            aggs.append(expr.alias(f"__{_qname(q)}_{i}"))
+            aggs.append(F.expr(expr).alias(f"__{_qname(q)}_{i}"))
     # fan_out: every per-column sketch (HLL++, KLL quantiles) is built
     # in the map-side partial aggregate — one unsplittable input file
     # would compute all of them on one core (guide §2.5)
@@ -153,7 +188,7 @@ def _exact_profile(
     for c in cols:
         dtype = dtypes[c]
         name_lit = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        ref = f"`{c}`"
+        ref = _qident(c)
         # injective string form (distinct-count key): full-precision
         # cast, NOT the display cast — decimal(18,6) would collapse
         # doubles closer than 1e-6. For floats, -0.0 == 0.0 in every

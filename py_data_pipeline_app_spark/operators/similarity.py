@@ -31,6 +31,14 @@ from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
 from py_data_pipeline_app_spark.partitioning import fan_out
 
 
+def _qident(c: str) -> str:
+    """Backtick-quoted identifier for splicing a column NAME into a
+    parsed expression — embedded backticks are doubled (the SQL
+    identifier escape), so arbitrary names keep working exactly like
+    the Column-composed forms they replace."""
+    return "`" + c.replace("`", "``") + "`"
+
+
 def float_matrix_lit(values) -> Column:
     """Nested array<double> literal from (arbitrarily nested) Python
     floats, built as ONE server-side-parsed expression string instead
@@ -73,7 +81,7 @@ def dot(x: Column | str, y: Column | str) -> Column:
     ``F.lit(0.0)`` builds), so results are bit-equal."""
     if isinstance(x, str) and isinstance(y, str):
         return F.expr(
-            f"aggregate(zip_with(`{x}`, `{y}`, (p, q) -> "
+            f"aggregate(zip_with({_qident(x)}, {_qident(y)}, (p, q) -> "
             "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0.0D, "
             "(acc, v) -> acc + v)"
         )
@@ -89,7 +97,7 @@ def dot(x: Column | str, y: Column | str) -> Column:
 def l2_norm(x: Column | str) -> Column:
     if isinstance(x, str):
         return F.expr(
-            f"sqrt(aggregate(transform(`{x}`, p -> "
+            f"sqrt(aggregate(transform({_qident(x)}, p -> "
             "CAST(p AS DOUBLE) * CAST(p AS DOUBLE)), 0.0D, "
             "(acc, v) -> acc + v))"
         )
@@ -1714,19 +1722,21 @@ def _write_id_stats(
     fsio.write_json(spark, f"{dest}/_META", meta)
 
 
-def _id_stats_maybe_hits(
+def _id_stats_maybe_hits_frame(
     spark, index_path: str, entry: str, batch_ids: DataFrame, id_col: str
-) -> list:
-    """Probe one sidecar entry with the batch's ids: returns the
-    (id, centroid_id) pairs the entry's Bloom CANNOT rule out — the
-    clusters an exact duplicate-id re-check must scan. One broadcast
-    join of the (batch × h)-row probe frame against the entry's word
-    table; the collected result is ≈ batch × FPR + any true
-    duplicates, i.e. tiny unless the feed really is a duplicate."""
+) -> DataFrame | None:
+    """The (id, centroid_id) maybe-hit frame for ONE sidecar entry —
+    the pairs the entry's Bloom CANNOT rule out, i.e. the clusters an
+    exact duplicate-id re-check must scan. One broadcast join of the
+    (batch × h)-row probe frame against the entry's word table; the
+    result is ≈ batch × FPR + any true duplicates, i.e. tiny unless
+    the feed really is a duplicate. Returns None for an empty entry.
+    LAZY — the guard unions every entry's frame and collects ONCE
+    (probing k entries used to cost k scheduler round trips)."""
     dest = f"{index_path}/{ID_STATS_SUBDIR}/{entry}"
     meta = fsio.read_json(spark, f"{dest}/_META")
     if not meta["n"]:
-        return []
+        return None
     probes = _bloom_probe_frame(batch_ids, id_col, meta["m"], meta["h"]).select(
         F.col(id_col),
         "_pi",
@@ -1736,17 +1746,15 @@ def _id_stats_maybe_hits(
         ).alias("_mask"),
     )
     words = spark.read.parquet(f"{dest}/words")
-    hits = (
+    return (
         F.broadcast(probes)
         .join(words, "_word_idx")
         .filter(F.col("_bits").bitwiseAND(F.col("_mask")) != 0)
         .groupBy(F.col(id_col), "centroid_id")
         .agg(F.count_distinct("_pi").alias("_nhit"))
         .filter(F.col("_nhit") == meta["h"])
-        .select(F.col(id_col), "centroid_id")
-        .collect()
+        .select(F.col(id_col), F.col("centroid_id").cast("int").alias("centroid_id"))
     )
-    return [(r[0], int(r[1])) for r in hits]
 
 
 def _ensure_id_stats(spark, index_path: str, id_col: str) -> list:
@@ -1945,11 +1953,23 @@ def _semantic_reorder_append_locked(
     # backfill micro-batch (the round-11 regression).
     entries = _ensure_id_stats(spark, index_path, id_col)
     batch_ids = assigned.select(F.col(id_col))
-    maybe: list = []
-    for entry in entries:
-        maybe.extend(
-            _id_stats_maybe_hits(spark, index_path, entry, batch_ids, id_col)
+    # every entry's maybe-hit frame unioned into ONE collect — one
+    # scheduler round trip for the whole guard instead of one per
+    # sidecar entry (base + each pending append)
+    probe_frames = [
+        f
+        for f in (
+            _id_stats_maybe_hits_frame(spark, index_path, e, batch_ids, id_col)
+            for e in entries
         )
+        if f is not None
+    ]
+    maybe: list = []
+    if probe_frames:
+        union = probe_frames[0]
+        for f in probe_frames[1:]:
+            union = union.unionByName(f)
+        maybe = [(r[0], int(r[1])) for r in union.collect()]
     if maybe:
         cand = sorted({c for _, c in maybe})
         suspects = spark.read.parquet(f"{index_path}/assigned").filter(
@@ -2033,6 +2053,77 @@ def _semantic_reorder_append_locked(
         },
     )
     _apply_reorder_stage(spark, index_path, stage_name)
+
+
+def _footer_hist_max_ids(
+    spark, index_path: str, probed: list, id_col: str, *, exclude: str
+) -> dict | None:
+    """Per-probed-cluster UPPER BOUND on history's max id, read from
+    parquet FOOTER statistics driver-side (zero Spark jobs) — the
+    monotone-append guard's prescreen. Covers the same directories the
+    guard's exact job would scan: ``assigned/centroid_id=c`` plus every
+    pending ``appends/batch-*/centroid_id=c`` except the fold's own
+    ``exclude`` directory. Footer max ≥ the true max of any row subset,
+    and tombstones / reorder exclusion markers only REMOVE rows — so
+    ``footer_max < batch_min`` PROVES the exact guard would pass, while
+    a trip only falls back to the exact job (never a wrong refusal,
+    never a wrong pass). Returns None — caller must run the exact job —
+    when the index is not on the driver-local filesystem, the id column
+    is not a plain int type (string stats can be truncated and their
+    byte order is not Spark's), or any footer lacks statistics."""
+    from py_data_pipeline_app_spark.fsio import _local_path
+
+    root = _local_path(spark, index_path)
+    if root is None:
+        return None
+    import os
+
+    import pyarrow.parquet as pq
+
+    dirs: list[tuple] = [
+        (c, os.path.join(root, "assigned", f"centroid_id={c}"))
+        for c in probed
+    ]
+    app_root = os.path.join(root, IVF_APPENDS_SUBDIR)
+    if os.path.isdir(app_root):
+        for name in os.listdir(app_root):
+            if not name.startswith("batch-") or name == exclude:
+                continue
+            dirs.extend(
+                (c, os.path.join(app_root, name, f"centroid_id={c}"))
+                for c in probed
+            )
+    out: dict = {}
+    for c, d in dirs:
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            except Exception:  # noqa: BLE001 — prescreen only; exact job covers
+                return None
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == id_col
+                ),
+                None,
+            )
+            if idx is None or md.schema.column(idx).physical_type not in (
+                "INT32",
+                "INT64",
+            ):
+                return None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                if c not in out or st.max > out[c]:
+                    out[c] = st.max
+    return out
 
 
 def semantic_index_append(
@@ -2151,7 +2242,7 @@ def semantic_index_append(
         # localCheckpoint: the assignment feeds three consumers (probed
         # cluster list, monotonicity guard, kept computation) — batch-
         # sized, so pinning it beats recomputing the argmax fold thrice.
-        # LAZY: the probed-cluster collect right below is the first
+        # LAZY: the per-cluster stats collect right below is the first
         # consumer and materializes it — eager would be one extra job
         # per append (the fused-probe shape)
         assigned = _assign_with_mode(
@@ -2161,10 +2252,16 @@ def semantic_index_append(
             id_col=id_col,
             vec_col=vec_col,
         ).localCheckpoint(eager=False)
-        probed = [
-            r.centroid_id
-            for r in assigned.select("centroid_id").distinct().collect()
-        ]
+        # ONE job yields both the probed-cluster list and each
+        # cluster's batch-min id (the probed-collect and the guard's
+        # batch side used to be two jobs over the same frame)
+        batch_stats = (
+            assigned.groupBy("centroid_id")
+            .agg(F.min(id_col).alias("_bmin"))
+            .collect()
+        )
+        probed = [r.centroid_id for r in batch_stats]
+        bmins = {r.centroid_id: r["_bmin"] for r in batch_stats}
         base = spark.read.parquet(f"{index_path}/assigned").filter(
             F.col("centroid_id").isin(probed)
         )
@@ -2181,16 +2278,36 @@ def semantic_index_append(
         )
         hist = _apply_tombstones(spark, hist, index_path, id_col=id_col)
         hist = hist.select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+        # history side of the guard: footer-statistics prescreen first
+        # (driver-side, zero jobs — the normal monotone feed passes it
+        # and skips the guard's Spark job entirely); the exact job
+        # remains the authority whenever the prescreen cannot PROVE
+        # monotonicity (non-local scheme, non-int ids, missing stats,
+        # or genuinely interleaved ids)
+        hmax = _footer_hist_max_ids(
+            spark, index_path, probed, id_col, exclude=f"batch-{token}"
+        )
+        proved = hmax is not None and all(
+            c not in hmax
+            or (bmins[c] is not None and hmax[c] < bmins[c])
+            for c in probed
+        )
         viol = (
-            hist.groupBy("centroid_id")
-            .agg(F.max(id_col).alias("_hmax"))
-            .join(
-                assigned.groupBy("centroid_id").agg(F.min(id_col).alias("_bmin")),
-                "centroid_id",
+            []
+            if proved
+            else (
+                hist.groupBy("centroid_id")
+                .agg(F.max(id_col).alias("_hmax"))
+                .join(
+                    assigned.groupBy("centroid_id").agg(
+                        F.min(id_col).alias("_bmin")
+                    ),
+                    "centroid_id",
+                )
+                .filter(F.col("_hmax") >= F.col("_bmin"))
+                .limit(1)
+                .collect()
             )
-            .filter(F.col("_hmax") >= F.col("_bmin"))
-            .limit(1)
-            .collect()
         )
         if viol:
             if allow_reorder:

@@ -46,6 +46,7 @@ from py_data_pipeline_app_spark.operators.dedup_incremental import (
     PART_COL,
     _acquire_index_lock,
     _append_batch,
+    _auto_part_buckets,
     _batch_part_values,
     _pinned_history,
     part_bucket_col,
@@ -56,16 +57,28 @@ CONFIG_SUBDIR = "config"
 
 
 def _check_or_write_config(
-    spark: SparkSession, index_path: str, chunk_tokens: int, part_buckets: int
-) -> None:
+    spark: SparkSession,
+    index_path: str,
+    chunk_tokens: int,
+    part_buckets: int | None,
+    batch: DataFrame,
+) -> int:
+    """Validate-or-persist the span index configuration; same
+    resolution contract as the LSH index's config helper —
+    ``part_buckets=None`` auto-sizes at the first fold
+    (:func:`~py_data_pipeline_app_spark.operators.dedup_incremental.
+    _auto_part_buckets`) and adopts the persisted fanout afterwards;
+    1 means the unpartitioned flat layout. Returns the resolved
+    fanout."""
     path = f"{index_path}/{CONFIG_SUBDIR}"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jvm_path):
         row = fsio.read_small_parquet_rows(spark, path)[0]
-        have = (row.chunk_tokens, getattr(row, "part_buckets", None))
-        want = (chunk_tokens, part_buckets)
-        if have != want:
+        stored = getattr(row, "part_buckets", None)
+        have = (row.chunk_tokens, stored)
+        want = (chunk_tokens, stored if part_buckets is None else part_buckets)
+        if stored is None or have != want:
             raise ValueError(
                 f"span index at {index_path} was built with (chunk_tokens, "
                 f"part_buckets)={have}, fold requested {want}; fingerprints "
@@ -74,12 +87,15 @@ def _check_or_write_config(
                 "history), so this fold would silently dedup nothing - "
                 "rebuild the index or match its configuration"
             )
-        return
+        return int(stored)
+    if part_buckets is None:
+        part_buckets = _auto_part_buckets(spark, batch)
     local_rows_df(
         spark,
         "chunk_tokens int, part_buckets int",
         [(chunk_tokens, part_buckets)],
     ).write.mode("overwrite").parquet(path)
+    return int(part_buckets)
 
 
 def incremental_span_fold(
@@ -90,7 +106,7 @@ def incremental_span_fold(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 10,
-    part_buckets: int = DEFAULT_PART_BUCKETS,
+    part_buckets: int | None = None,
     batch_token: str | None = None,
 ) -> DataFrame:
     """Fold a document batch against the persisted span index and
@@ -112,6 +128,12 @@ def incremental_span_fold(
     — a small batch reads only the partition directories its
     fingerprints could possibly live in (plan-asserted pruning;
     dropped when the batch saturates the prefix space).
+    ``part_buckets=None`` (the default) auto-sizes the fanout at the
+    first fold from the batch's input bytes — small feeds get the
+    unpartitioned flat layout (1: no pb column, no partition dirs),
+    corpus-scale feeds get ``DEFAULT_PART_BUCKETS`` — and later folds
+    adopt the persisted value; production indexes should size it
+    explicitly (measured rule #6).
 
     NOTE the returned frame is LAZY but the index append is EAGER —
     fold order is the dedup precedence order, so the append cannot
@@ -119,22 +141,31 @@ def incremental_span_fold(
     token = batch_token or uuid.uuid4().hex[:12]
     fs, lock = _acquire_index_lock(spark, index_path, "span fold")
     try:
-        _check_or_write_config(spark, index_path, chunk_tokens, part_buckets)
+        part_buckets = _check_or_write_config(
+            spark, index_path, chunk_tokens, part_buckets, batch
+        )
+        flat = part_buckets <= 1
         from py_data_pipeline_app_spark.operators.curation import (
             with_token_chunks,
         )
 
-        # localCheckpoint: consumed by the prefix-set collect, the
-        # first-occurrence marking, and the novel-fp append — three
-        # consumers would otherwise each re-run the chunk explode +
-        # md5 over the batch (the multi-consumer eager-frame rule)
-        # LAZY: the prefix-set collect (first consumer) materializes it
+        # localCheckpoint: consumed by the prefix-set collect
+        # (partitioned layout only), the first-occurrence marking, and
+        # the novel-fp append — multiple consumers would otherwise
+        # each re-run the chunk explode + md5 over the batch (the
+        # multi-consumer eager-frame rule). LAZY: the first consuming
+        # action (prefix-set collect, or the append in the flat
+        # layout) materializes it
         exploded = with_token_chunks(batch, text_col, chunk_tokens).select(
             F.col(id_col), F.posexplode(F.col("_chunks")).alias("pos", "chunk")
-        ).withColumn("fp", F.md5(F.col("chunk"))).withColumn(
-            PART_COL, part_bucket_col(["fp"], part_buckets)
-        ).localCheckpoint(eager=False)
-        hist_like = exploded.select("fp", PART_COL).limit(0)
+        ).withColumn("fp", F.md5(F.col("chunk")))
+        if not flat:
+            exploded = exploded.withColumn(
+                PART_COL, part_bucket_col(["fp"], part_buckets)
+            )
+        exploded = exploded.localCheckpoint(eager=False)
+        fp_cols = ["fp"] if flat else ["fp", PART_COL]
+        hist_like = exploded.select(*fp_cols).limit(0)
         # distinct() makes the fold tolerant of duplicate fingerprints
         # in history (a compaction that crashed after writing its
         # merged directory but before deleting the sources) — without
@@ -151,8 +182,12 @@ def incremental_span_fold(
                 FPS_SUBDIR,
                 hist_like,
                 exclude_token=token,
-                prune_to=_batch_part_values(
-                    exploded.select(PART_COL), part_buckets
+                prune_to=(
+                    None
+                    if flat
+                    else _batch_part_values(
+                        exploded.select(PART_COL), part_buckets
+                    )
                 ),
             )
             .select("fp")
@@ -170,11 +205,11 @@ def incremental_span_fold(
         # EAGER index append: this batch's novel fingerprints become
         # history for every later fold
         new_fps = (
-            exploded.select("fp", PART_COL)
+            exploded.select(*fp_cols)
             .distinct()
             .join(history.select("fp"), "fp", "left_anti")
         )
-        _append_batch(new_fps, index_path, FPS_SUBDIR, token)
+        _append_batch(new_fps, index_path, FPS_SUBDIR, token, single_file=True)
         rebuilt = marked.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(F.col("is_first").cast("int")).alias("n_kept"),
