@@ -1602,28 +1602,21 @@ def build_semantic_index(
             f"{index_path}/assigned"
         )
 
-    # per-cluster Bloom id-stats sidecar: bounds the reorder append's
-    # duplicate-id guard to batch + probed sidecars instead of a full
-    # id scan per backfill batch. A stale sidecar from a previous
+    # The per-cluster Bloom id-stats sidecar (the reorder append's
+    # duplicate-id guard) is built LAZILY by :func:`_ensure_id_stats`
+    # on the first reorder that needs it — a monotone-only lifecycle
+    # never pays its count+write jobs (guide §1.2: don't compute what
+    # the workload throws away), and the lazy rebuild costs the same
+    # one id scan the eager build did. A stale sidecar from a previous
     # index at the same path would only add false maybe-hits, but the
-    # stale entries would accrete forever — clean before writing.
-    def _w_id_stats() -> None:
-        fsio.delete(spark, f"{index_path}/{ID_STATS_SUBDIR}")
-        _write_id_stats(
-            spark,
-            index_path,
-            "base",
-            assigned.select(F.col(id_col), "centroid_id"),
-            id_col,
-            covers_tokens=[],
-        )
+    # stale entries would accrete forever — clean it here either way.
+    fsio.delete(spark, f"{index_path}/{ID_STATS_SUBDIR}")
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
-            pool.submit(f)
-            for f in (_w_centroids, _w_config, _w_assigned, _w_id_stats)
+            pool.submit(f) for f in (_w_centroids, _w_config, _w_assigned)
         ]
         for fut in futs:
             fut.result()

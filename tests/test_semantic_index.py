@@ -691,7 +691,10 @@ def test_reorder_guard_never_scans_full_index(spark, emb, tmp_path, monkeypatch)
     base = emb.filter(F.col("vec_id") % 4 != 0)
     batch = emb.filter(F.col("vec_id") % 4 == 0)
     build_semantic_index(base, idx, threshold=THRESH, n_centroids=K)
-    assert fsio.exists(spark, f"{idx}/id-stats/base/_META")
+    # the sidecar is LAZY: a build never pays its count+write jobs
+    # (monotone-only lifecycles never need it); the first reorder's
+    # _ensure_id_stats materializes the base entry below
+    assert not fsio.exists(spark, f"{idx}/id-stats/base/_META")
 
     calls = []
     real = sim._union_appends
