@@ -170,6 +170,21 @@ ALIASES = {
 
 HEADLINE = list(ALIASES)
 
+# Retired-but-tracked rows: queries rotated OUT of the driver-facing
+# registry (the 2x-gate-cap ceiling; their full DuckDB oracles keep
+# running in tests/test_retired.py) whose operator core is still live
+# inside registered queries. Timing them preserves the round-over-round
+# wall-time series across rotation swaps — round 15's alias swap seated
+# audio_dhash_canonicals by retiring dedup_ngram_jaccard, which left
+# its posting-list core (shared with cross_corpus_decontamination, and
+# still being optimized) with no bench series. These rows are ADDED to
+# the queries map only; the headline total keeps its long-standing
+# meaning (sum over the registered registry), so totals stay comparable
+# round over round. See ROTATION.md for the swap ledger.
+RETIRED_TRACKED = {
+    "dedup_ngram_jaccard": "dd_jacc",
+}
+
 # Control queries for the end-of-run noise probe: cheap, stable,
 # structurally diverse (scan+agg, multi-join agg, window), and timed
 # FIRST in the headline loop — so (end rerun) / (start timing) isolates
@@ -223,7 +238,23 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # headline total = the REGISTERED rows only (its round-over-round
+    # meaning); retired-tracked rows are timed after and ride only in
+    # the queries map
     total = round(sum(timings.values()), 3)
+
+    from py_data_pipeline_app_spark.plans.queries import RETIRED_QUERIES
+
+    for name, _alias in RETIRED_TRACKED.items():
+        fn = RETIRED_QUERIES.get(name)
+        if fn is None:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -265,7 +296,8 @@ def main() -> None:
     )
     # Line 2 (LAST — the driver parses the final line from a ~2000-char
     # tail capture): aliased names + 3-sig-fig timings, compact JSON.
-    compact = {ALIASES[n]: sig3(t) for n, t in timings.items()}
+    alias_of = {**ALIASES, **RETIRED_TRACKED}
+    compact = {alias_of[n]: sig3(t) for n, t in timings.items()}
     print(
         json.dumps(
             {

@@ -13,7 +13,7 @@ import importlib.util
 import json
 import os
 
-from py_data_pipeline_app_spark.plans.queries import QUERIES
+from py_data_pipeline_app_spark.plans.queries import QUERIES, RETIRED_QUERIES
 
 _REPO = os.path.join(os.path.dirname(__file__), "..")
 
@@ -36,9 +36,24 @@ def test_aliases_cover_registry_exactly():
     )
 
 
+def test_retired_tracked_rows_are_retired_and_disjoint():
+    """Retired-tracked bench rows must come from the RETIRED registry
+    (their oracle runs in tests/test_retired.py), never shadow a
+    registered row, and never collide with a registered alias — the
+    rotation ledger lives in ROTATION.md."""
+    bench = _bench()
+    assert set(bench.RETIRED_TRACKED) <= set(RETIRED_QUERIES)
+    assert not (set(bench.RETIRED_TRACKED) & set(bench.ALIASES))
+    assert not (
+        set(bench.RETIRED_TRACKED.values()) & set(bench.ALIASES.values())
+    )
+
+
 def test_aliases_unique_and_short():
     bench = _bench()
-    shorts = list(bench.ALIASES.values())
+    shorts = list(bench.ALIASES.values()) + list(
+        bench.RETIRED_TRACKED.values()
+    )
     assert len(shorts) == len(set(shorts)), "alias collisions"
     assert all(len(s) <= 12 for s in shorts)
 
@@ -46,7 +61,12 @@ def test_aliases_unique_and_short():
 def test_metric_line_fits_capture_window():
     bench = _bench()
     # worst case: every query at a 5-char timing (e.g. 123.4 / 0.123)
-    compact = {a: 123.4 for a in bench.ALIASES.values()}
+    # — including the retired-tracked rows the metric line also carries
+    compact = {
+        a: 123.4
+        for a in list(bench.ALIASES.values())
+        + list(bench.RETIRED_TRACKED.values())
+    }
     line = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -61,7 +81,10 @@ def test_metric_line_fits_capture_window():
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1800, f"metric line {len(line)} chars risks truncation"
+    # the driver's capture window is ~2000 chars; 1900 keeps real
+    # margin while admitting the retired-tracked row (worst case is
+    # every timing at 5 chars — the real r15 line was 1743 chars)
+    assert len(line) < 1900, f"metric line {len(line)} chars risks truncation"
 
 
 def test_noise_metadata_contract():
