@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from py_data_pipeline_app_spark.partitioning import cut
+
 _PID = "__gdr_pid"
 _LOCAL = "__gdr_local_rank"
 _OFF = "__gdr_offset"
@@ -60,7 +62,7 @@ def global_dense_rank(
     ranged = (
         df.repartitionByRange(num_partitions, key)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(cut, eager=False)
     )
 
     local = ranged.withColumn(
@@ -118,7 +120,7 @@ def global_row_number(
     ranged = (
         df.repartitionByRange(num_partitions, *keys)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(cut, eager=False)
     )
     local = ranged.withColumn(
         _LOCAL, F.row_number().over(Window.partitionBy(_PID).orderBy(*keys))

@@ -28,7 +28,7 @@ from py_data_pipeline_app_spark import fsio
 from py_data_pipeline_app_spark.functions.frames import local_rows_df
 from py_data_pipeline_app_spark.functions.text import md5_long
 from py_data_pipeline_app_spark.operators.dedup import _bucket_member_pairs
-from py_data_pipeline_app_spark.partitioning import fan_out
+from py_data_pipeline_app_spark.partitioning import cut, fan_out
 
 
 def _qident(c: str) -> str:
@@ -1148,7 +1148,7 @@ def semantic_dedup(
     # the k-fold argmax subtree is duplicated 4x in the physical plan
     # (8 source scans in the r15 before-plan with the planted union).
     # Lazy: the caller's one action materializes it, no extra job.
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = cut(assigned, eager=False)
     return _semantic_kept_flags(
         assigned,
         None,
@@ -1568,9 +1568,11 @@ def build_semantic_index(
     # each re-running the k-wide argmax fold over the corpus. Pinning
     # it measured 8.1 s → 6.2 s at sf0.1/k=128; the build is already
     # eager (it writes), so no laziness is lost.
-    assigned = _assign_with_mode(
-        corpus, cent_rows, mode, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint()
+    assigned = cut(
+        _assign_with_mode(
+            corpus, cent_rows, mode, id_col=id_col, vec_col=vec_col
+        )
+    )
     rows = _semantic_kept_flags(
         assigned, None, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
@@ -2244,7 +2246,8 @@ def semantic_index_append(
             mode,
             id_col=id_col,
             vec_col=vec_col,
-        ).localCheckpoint(eager=False)
+        )
+        assigned = cut(assigned, eager=False)
         # ONE job yields both the probed-cluster list and each
         # cluster's batch-min id (the probed-collect and the guard's
         # batch side used to be two jobs over the same frame)

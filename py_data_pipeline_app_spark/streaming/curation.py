@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from py_data_pipeline_app_spark import fsio
+from py_data_pipeline_app_spark.partitioning import cut
 
 #: split weights — imported from the batch rollup so the streaming and
 #: batch paths cannot drift (the parity test compares against this name)
@@ -294,7 +295,7 @@ def curation_fold(
     # localCheckpoint: the batch feeds four consumers (span fold,
     # semantic append, quality score, token count) — batch-sized, and
     # a streaming source frame cannot be re-read by a second action
-    batch_df = batch_df.localCheckpoint()
+    batch_df = cut(batch_df)
 
     # 1. span dedup — EAGER index append inside, returns the rebuilt
     # documents (previously-seen spans scrubbed)
@@ -306,7 +307,8 @@ def curation_fold(
         id_col=id_col,
         chunk_tokens=chunk_tokens,
         batch_token=token,
-    ).localCheckpoint()
+    )
+    rebuilt = cut(rebuilt)
 
     # 2. semantic verdicts — append the batch's embedded rows to the
     # index, then read back the verdicts it just computed (the append
@@ -501,7 +503,8 @@ def curation_fold(
             bands=media_bands,
             max_hamming=media_max_hamming,
             batch_token=token,
-        ).localCheckpoint()
+        )
+        pairs = cut(pairs)
         drops = _near_dup_drop_ids(pairs, assets.select("media_id")).select(
             F.col("_drop_id").alias(id_col)
         ).withColumn("_img_dup", F.lit(True))
@@ -540,7 +543,8 @@ def curation_fold(
             max_hamming=video_max_hamming,
             min_matching_buckets=video_min_matching_buckets,
             batch_token=token,
-        ).localCheckpoint()
+        )
+        vpairs = cut(vpairs)
         vdrops = _near_dup_drop_ids(
             vpairs.select("id_a", "id_b"), clips.select("media_id")
         ).select(F.col("_drop_id").alias(id_col)).withColumn(
