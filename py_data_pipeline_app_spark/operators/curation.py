@@ -1064,6 +1064,44 @@ def _bpe_state_expr(text_col: str, level: str):
     ).otherwise(body)
 
 
+def _bpe_unit_array_expr(text_col: str, level: str):
+    """The document's char-level TRAINING UNITS — its words, each as a
+    marker-delimited symbol string (``cat`` → ``‹c›‹a›‹t·›``) — as an
+    array, guarded exactly like :func:`_bpe_state_expr`. A unit is the
+    granularity pairs can span: char-level pairs never cross a word
+    boundary, so each word is its own unit, and the trainer aggregates
+    units to DISTINCT rows with an occurrence frequency (Sennrich et
+    al. (2016)'s own training representation) so every round's pair
+    count and merge rewrite scale with the vocabulary, not the corpus.
+    Word level has no such rendering: its unit is the whole document,
+    so the trainer keeps :func:`_bpe_state_expr`'s per-document
+    state there."""
+    if level != "char":  # pragma: no cover — trainer guards the levels
+        raise ValueError("unit rendering is char-level only")
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    units = F.transform(
+        toks,
+        lambda w: F.concat(
+            F.lit("‹"),
+            F.array_join(F.split(w, ""), "›‹"),
+            F.lit(_BPE_EOW + "›"),
+        ),
+    )
+    return F.when(
+        F.col(text_col).rlike(_bpe_guard_chars(level)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bpe: corpus text contains a reserved marker "
+                    f"character {_bpe_guard_chars(level)} - pre-scrub "
+                    "or re-tokenize: "
+                ),
+                F.substring(F.col(text_col), 1, 40),
+            )
+        ),
+    ).otherwise(units)
+
+
 def _bpe_merged_symbol(left: str, right: str, level: str) -> str:
     """How a chosen pair renders as ONE symbol: word level space-joins
     (symbols are token groups), char level concatenates directly
@@ -1099,11 +1137,16 @@ def bpe_train(
       ``·``-final, the chosen pair's literal replace cannot span one
       either). This mode induces a real subword vocabulary.
 
-    Distribution shape — each round is:
-    - ONE keyed count with map-side combine over per-row generated
-      pairs (the ``bigram_merge_candidates`` plan at k=1, a
-      TakeOrdered of a single row), plus
-    - ONE pure projection applying the merge: each document is held
+    Distribution shape — char-level training state is the
+    DISTINCT-word frequency table (Sennrich's own representation, so
+    per-round work scales with vocabulary, not corpus); word-level
+    state stays per-document (its unit IS the document, so
+    distinct-unit aggregation would shuffle the corpus to dedup
+    nothing). Each round is:
+    - ONE frequency-weighted keyed count with map-side combine over
+      per-unit generated pairs (the ``bigram_merge_candidates`` plan
+      at k=1, a TakeOrdered of a single row), plus
+    - ONE pure projection applying the merge: each unit is held
       as a marker-delimited symbol string (``‹sym›‹sym›…``) and the
       merge is a literal ``replace('‹a›‹b›' → '‹a b›')`` — JVM
       left-to-right non-overlapping replacement IS greedy BPE
@@ -1120,14 +1163,48 @@ def bpe_train(
     if level not in ("word", "char"):
         raise ValueError(f"bpe_train: unknown level {level!r}")
     try:
-        # fan_out BEFORE the state rendering: the unsplittable one-file
-        # corpus would otherwise pin every round's pair count AND every
-        # round's literal-replace re-render to one task (guide §2.5);
-        # localCheckpoint preserves partitioning, so one repartition
-        # here parallelizes all n_merges rounds.
-        state = fan_out(docs).select(
-            _bpe_state_expr(text_col, level).alias("_s")
-        ).localCheckpoint()
+        # CHAR level: STATE = DISTINCT units (words) with occurrence
+        # frequency — Sennrich's own training representation. Every
+        # round's pair count re-weights by the frequency and the merge
+        # rewrite runs over distinct words only, so per-round work
+        # scales with the VOCABULARY, not the corpus (the 100 TB
+        # lever; at sf0.1 it shrinks each round's scan ~20x and
+        # measured 3.15 s → 1.9 s on the char trainer). Counts,
+        # tie-breaks and greedy replacement are BIT-identical to the
+        # per-document loop: a pair's corpus count is the
+        # frequency-weighted sum over distinct units, and char-level
+        # pairs cannot cross word boundaries by construction.
+        # WORD level keeps the per-document state: its unit is the
+        # whole document token string, so distinct-unit aggregation
+        # dedups (almost) nothing and would add a full corpus shuffle
+        # for it — wrong at every scale (measured: +20% at sf0.1).
+        # fan_out BEFORE the render/aggregate in both branches: the
+        # unsplittable one-file corpus would otherwise pin the map
+        # side to one task (guide §2.5).
+        if level == "char":
+            # the second fan_out re-widens the AGGREGATED state: AQE
+            # rightly coalesces the small distinct-word shuffle, but
+            # the checkpoint would then pin all n_merges rounds' pair
+            # counts and rewrites to that narrow partitioning
+            state = fan_out(
+                fan_out(docs)
+                .select(
+                    F.explode(
+                        _bpe_unit_array_expr(text_col, level)
+                    ).alias("_s")
+                )
+                .groupBy("_s")
+                .agg(F.count(F.lit(1)).alias("_f"))
+            ).localCheckpoint()
+        else:
+            state = (
+                fan_out(docs)
+                .select(
+                    _bpe_state_expr(text_col, level).alias("_s"),
+                    F.lit(1).alias("_f"),
+                )
+                .localCheckpoint()
+            )
     except Exception as e:  # surface the projection guard as ValueError
         if "reserved marker" in str(e):
             raise ValueError(str(e)) from e
@@ -1140,20 +1217,22 @@ def bpe_train(
             F.slice(syms, 2, F.size(syms) - 1),
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         )
-        cand = state.select(F.explode(pairs).alias("p"))
+        cand = state.select(F.col("_f"), F.explode(pairs).alias("p"))
         if level == "char":
             # a ·-final left symbol is the end of a word: that pair
             # straddles a boundary and is never a merge candidate
+            # (with per-word units it is provably absent — kept as a
+            # guard against pathological symbols)
             cand = cand.filter(~F.col("p.l").endswith(_BPE_EOW))
         top = (
             cand.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("_f").alias("n"))
             .orderBy(F.col("n").desc(), "l", "r")
             .limit(1)
             .collect()
         )
         if not top:
-            break  # no document has two symbols left — trained out
+            break  # no unit has two symbols left — trained out
         l, r, n = top[0].l, top[0].r, int(top[0].n)
         merges.append((rank, l, r, n))
         # F.replace with literal Columns, not a SQL-literal expr: a
@@ -1162,13 +1241,17 @@ def bpe_train(
         # LAZY checkpoint: the next round's top-pair collect is the one
         # action that materializes it, so each round costs ONE job, not
         # a checkpoint job + a collect job (the connected_components
-        # fused-probe shape; ~halves the loop's scheduler round-trips)
+        # fused-probe shape; ~halves the loop's scheduler round-trips).
+        # Two units merging into the same string stay separate rows —
+        # the weighted count is unchanged either way, and re-deduping
+        # every round would add a shuffle for nothing.
         state = state.select(
             F.replace(
                 F.col("_s"),
                 F.lit(f"‹{l}›‹{r}›"),
                 F.lit(f"‹{_bpe_merged_symbol(l, r, level)}›"),
-            ).alias("_s")
+            ).alias("_s"),
+            F.col("_f"),
         ).localCheckpoint(eager=False)
     return merges
 
