@@ -83,9 +83,11 @@ from py_data_pipeline_app_spark.operators.similarity import (
     _query_probes,
     _union_appends,
     _write_append_batch,
+    _qident,
     cosine,
     float_matrix_lit,
     l2_norm,
+    render_float_matrix,
 )
 from py_data_pipeline_app_spark.operators.similarity import (  # noqa: F401
     # tombstone deletes are layout-shared (the deletes/ subdir and the
@@ -217,12 +219,15 @@ def _codebook_rows_df(spark, rows: list) -> DataFrame:
 
 def _collect_codebook_literal(
     codebooks,
-) -> tuple[Column, int, int, int]:
+) -> tuple[str, int, int, int]:
     """Collect the (tiny) codebook table and re-enter it as ONE nested
-    array literal CB[sub_id][code_id] = codeword — a single expression,
-    not m×ksub individual lit columns (per-literal py4j round trips
-    would dominate plan construction, see the hyperplane LSH note).
-    Accepts a DataFrame or pre-collected rows (``_codebook_rows``)."""
+    array literal CB[sub_id][code_id] = codeword — returned as the
+    parsed-expression SOURCE TEXT (``render_float_matrix``), so callers
+    can either wrap it in one ``F.expr`` or splice it into a larger
+    single-parse expression (the ADC lookup-table fold) — never m×ksub
+    individual lit columns (per-literal py4j round trips would dominate
+    plan construction, see the hyperplane LSH note). Accepts a
+    DataFrame or pre-collected rows (``_codebook_rows``)."""
     rows = _codebook_rows(codebooks)
     m = 1 + max(r.sub_id for r in rows)
     ksub = 1 + max(r.code_id for r in rows)
@@ -236,7 +241,7 @@ def _collect_codebook_literal(
     # otherwise run a one-row first() job against the query frame just
     # to learn the vector width should use this instead
     dsub = len(table[0][0])
-    return float_matrix_lit(table), m, ksub, m * dsub
+    return render_float_matrix(table), m, ksub, m * dsub
 
 
 def pq_encode(
@@ -273,7 +278,8 @@ def pq_encode(
     ``x − q1(x)`` and the offset is the coarse centroid ``q1(x)``,
     ``approx_norm`` is ‖q1(x) + q2(r)‖, the reconstruction norm the
     cosine denominator needs (Jégou et al. 2011 §V)."""
-    cb, m, _, _cb_dim = _collect_codebook_literal(codebooks)
+    cb_sql, m, _, _cb_dim = _collect_codebook_literal(codebooks)
+    cb = F.expr(cb_sql)
     # fan_out: the m·ksub·dsub interpreted argmin fold per row is the
     # expensive narrow stage — an unsplittable one-file scan would pin
     # it to one core (guide §2.5); no-op on an already-wide corpus.
@@ -366,13 +372,13 @@ def pq_topk(
         codebooks = pq_codebooks(
             corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
         )
-    cb, m, _, _cb_dim = _collect_codebook_literal(codebooks)
+    cb_sql, m, _, _cb_dim = _collect_codebook_literal(codebooks)
     if encoded is None:
         encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     return _adc_rank(
         encoded,
         queries,
-        cb,
+        cb_sql,
         m=m,
         dim=dim,
         k=k,
@@ -385,7 +391,7 @@ def pq_topk(
 def _adc_rank(
     encoded: DataFrame,
     queries: DataFrame,
-    cb: Column,
+    cb_sql: str,
     *,
     m: int,
     dim: int,
@@ -407,39 +413,33 @@ def _adc_rank(
     numerator term added BEFORE the lookup fold — the residual
     decomposition's per-(query, centroid) ``q·q1(x)`` dot product.
     The score expression is value-hash-bearing — both surfaces'
-    oracles replay THIS fold, which is why it lives in one place."""
-    qvec = F.col(vec_col)
+    oracles replay THIS fold, which is why it lives in one place.
+
+    The lookup-table builder and the per-row fold render as ONE parsed
+    expression each (``cb_sql`` is the codebook literal's source text):
+    the Column-composed forms cost ~0.2 s of py4j round trips per probe
+    construction (measured r15, the engine's last Column-composed
+    subspace builders); the rendered SQL parses to the identical
+    expression trees — pinned by the renderer parity suite."""
     dsub = dim // m
-    qtab = F.transform(
-        cb,
-        lambda sub_cb, s: F.transform(
-            sub_cb,
-            lambda cw: F.aggregate(
-                F.zip_with(
-                    F.slice(qvec, s.cast("int") * dsub + 1, dsub), cw,
-                    lambda p, q: p.cast("double") * q,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        ),
+    qv = _qident(vec_col)
+    qtab = F.expr(
+        f"transform({cb_sql}, (sub_cb, s) -> transform(sub_cb, cw -> "
+        f"aggregate(zip_with(slice({qv}, CAST(s AS INT) * {dsub} + 1, "
+        f"{dsub}), cw, (p, q) -> CAST(p AS DOUBLE) * q), 0.0D, "
+        "(acc, v) -> acc + v)))"
     )
     q = queries.select(
         F.col(query_id_col),
         *[F.col(c) for c in (join_cols or [])],
         *([F.col(offset_col)] if offset_col else []),
         qtab.alias("_qtab"),
-        l2_norm(qvec).alias("_qnorm"),
+        l2_norm(vec_col).alias("_qnorm"),
     )
-    codes = F.col("codes")
-    num = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("_qtab"), (s + 1).cast("int")),
-            (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
-        ),
+    num = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> acc + "
+        "element_at(element_at(_qtab, CAST(s + 1 AS INT)), "
+        "CAST(element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)))"
     )
     if offset_col is not None:
         num = F.col(offset_col) + num
@@ -1046,7 +1046,7 @@ def ivfpq_topk(
             "meaningless. Rebuild the index."
         )
     _check_ivfpq_encoding(cfg, index_path)
-    cb, m, _, dim = _collect_codebook_literal(cb_rows)
+    cb_sql, m, _, dim = _collect_codebook_literal(cb_rows)
     probes = _query_probes(
         queries,
         F.broadcast(_centroid_rows_df(spark, cent_rows)),
@@ -1090,7 +1090,7 @@ def ivfpq_topk(
     return _adc_rank(
         encoded,
         probes,
-        cb,
+        cb_sql,
         m=m,
         dim=dim,
         k=k,

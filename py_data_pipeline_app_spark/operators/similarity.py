@@ -53,6 +53,14 @@ def float_matrix_lit(values) -> Column:
     hashes that depend on it) is unchanged. Non-finite values are
     rejected — none of the callers can produce them, and SQL literal
     syntax has no portable NaN/Infinity spelling."""
+    return F.expr(render_float_matrix(values))
+
+
+def render_float_matrix(values) -> str:
+    """The parsed-expression SOURCE TEXT behind :func:`float_matrix_lit`
+    — exposed so builders that embed the matrix inside a LARGER parsed
+    expression (the ADC lookup-table fold) render everything as one
+    parse instead of re-entering Column composition around it."""
     import math
 
     def render(x) -> str:
@@ -65,7 +73,7 @@ def float_matrix_lit(values) -> Column:
             raise ValueError(f"non-finite literal {v!r}")
         return repr(v) + "D"
 
-    return F.expr(render(values))
+    return render(values)
 
 
 def dot(x: Column | str, y: Column | str) -> Column:

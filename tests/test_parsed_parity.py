@@ -311,6 +311,75 @@ def test_exact_profile_backticked_column(spark):
     assert (row.min_value, row.max_value) == ("1", "2")
 
 
+def test_adc_fold_parity(spark):
+    """quantization._adc_rank's parsed lookup-table builder and per-row
+    fold vs the composed forms they replaced (qtab: per-subspace
+    dot-product table; num: m element_at lookups folded in subspace
+    order)."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        render_float_matrix,
+    )
+
+    m, dsub = 2, 2
+    cb = [[[1.0, 2.0], [3.0, -4.0]], [[0.5, 0.25], [-1.0, 2.0]]]
+    cb_sql = render_float_matrix(cb)
+    q = local_rows_df(
+        spark,
+        "query_id long, embedding array<double>, codes array<int>",
+        [(1, [1.0, -2.0, 0.5, 4.0], [0, 1]), (2, [0.1, 0.2, 0.3, 0.4], [1, 0])],
+    )
+
+    qtab_p = F.expr(
+        f"transform({cb_sql}, (sub_cb, s) -> transform(sub_cb, cw -> "
+        f"aggregate(zip_with(slice(`embedding`, CAST(s AS INT) * {dsub} + 1, "
+        f"{dsub}), cw, (p, q) -> CAST(p AS DOUBLE) * q), 0.0D, "
+        "(acc, v) -> acc + v)))"
+    )
+    cb_col = F.array(
+        *[F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in sub]) for sub in cb]
+    )
+    qvec = F.col("embedding")
+    qtab_c = F.transform(
+        cb_col,
+        lambda sub_cb, s: F.transform(
+            sub_cb,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(qvec, s.cast("int") * dsub + 1, dsub),
+                    cw,
+                    lambda p, q_: p.cast("double") * q_,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    _assert_frame_parity(
+        q.select(qtab_p.alias("t")), q.select(qtab_c.alias("t"))
+    )
+
+    staged = q.select("query_id", "codes", qtab_p.alias("_qtab"))
+    num_p = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> acc + "
+        "element_at(element_at(_qtab, CAST(s + 1 AS INT)), "
+        "CAST(element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)))"
+    )
+    codes = F.col("codes")
+    num_c = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_qtab"), (s + 1).cast("int")),
+            (F.element_at(codes, (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    _assert_frame_parity(
+        staged.select("query_id", num_p.alias("n")),
+        staged.select("query_id", num_c.alias("n")),
+    )
+
+
 def test_media_from_documents_parity(spark):
     """media_from_documents' parsed kind/mime/meta builders vs the
     per-literal Column composition they replaced."""
