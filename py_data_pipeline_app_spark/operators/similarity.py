@@ -1574,12 +1574,16 @@ def build_semantic_index(
     # localCheckpoint: the kept computation reads the assignment FOUR
     # times (pair generation + both vector sides + the verdict join) —
     # each re-running the k-wide argmax fold over the corpus. Pinning
-    # it measured 8.1 s → 6.2 s at sf0.1/k=128; the build is already
-    # eager (it writes), so no laziness is lost.
+    # it measured 8.1 s → 6.2 s at sf0.1/k=128. LAZY: the assigned
+    # write below is the one consumer — it materializes the checkpoint
+    # inside its own job (the fold runs once, later plan references
+    # read the stored blocks), instead of a separate full-corpus
+    # checkpoint job followed by the write job.
     assigned = cut(
         _assign_with_mode(
             corpus, cent_rows, mode, id_col=id_col, vec_col=vec_col
-        )
+        ),
+        eager=False,
     )
     rows = _semantic_kept_flags(
         assigned, None, threshold=threshold, id_col=id_col, vec_col=vec_col
@@ -1673,6 +1677,32 @@ def _bloom_probe_frame(rows: DataFrame, id_col: str, m: int, h: int) -> DataFram
     )
 
 
+def _parquet_num_rows(spark, path: str) -> int | None:
+    """Total row count of a parquet directory, summed from file FOOTER
+    metadata driver-side (zero Spark jobs) — exact, because parquet
+    footers record the physical row count of every file. Returns None
+    when the path is not on the driver-local filesystem or unreadable,
+    and the caller falls back to a counting job."""
+    from py_data_pipeline_app_spark.fsio import _local_path
+
+    root = _local_path(spark, path)
+    if root is None:
+        return None
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        total = 0
+        for d, _subdirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001 — metadata fast path; job is authoritative
+        return None
+
+
 def _write_id_stats(
     spark,
     index_path: str,
@@ -1681,6 +1711,7 @@ def _write_id_stats(
     id_col: str,
     *,
     covers_tokens: list | None = None,
+    n_rows: int | None = None,
 ) -> None:
     """Build + persist the per-cluster Bloom sidecar for one index
     entry (``base`` or ``batch-{token}``): a parquet word table
@@ -1691,10 +1722,13 @@ def _write_id_stats(
     LAST: its presence marks the entry complete, so a crashed write
     reads as missing and :func:`_ensure_id_stats` rebuilds it. The
     word table is ~``_BLOOM_BITS_PER_ID``/8 bytes per id — two orders
-    of magnitude below the id column it summarizes."""
+    of magnitude below the id column it summarizes. ``n_rows`` lets a
+    caller that already knows the entry's exact row count (parquet
+    footer metadata, or a prior aggregation over the same frame) skip
+    the dedicated counting job."""
     dest = f"{index_path}/{ID_STATS_SUBDIR}/{entry}"
     fsio.delete(spark, dest)
-    n = rows.count()
+    n = rows.count() if n_rows is None else n_rows
     meta = {"n": int(n), "h": _BLOOM_HASHES, "m": 0, "id_col": id_col}
     if covers_tokens is not None:
         meta["covers_tokens"] = sorted(covers_tokens)
@@ -1795,6 +1829,8 @@ def _ensure_id_stats(spark, index_path: str, id_col: str) -> list:
         ):
             rebuild_base = True
     if rebuild_base:
+        # footer row count instead of a dedicated count job (exact —
+        # the sidecar covers the entry's physical rows)
         _write_id_stats(
             spark,
             index_path,
@@ -1804,6 +1840,7 @@ def _ensure_id_stats(spark, index_path: str, id_col: str) -> list:
             ),
             id_col,
             covers_tokens=sorted(tokens),
+            n_rows=_parquet_num_rows(spark, f"{index_path}/assigned"),
         )
         covered = tokens
     entries = ["base"] + [f"batch-{t}" for t in sorted(tokens - covered)]
@@ -1821,6 +1858,7 @@ def _ensure_id_stats(spark, index_path: str, id_col: str) -> list:
                         F.col(id_col), "centroid_id"
                     ),
                     id_col,
+                    n_rows=_parquet_num_rows(spark, f"{appends_dir}/{name}"),
                 )
             entries.append(name)
     return entries
@@ -1920,6 +1958,7 @@ def _semantic_reorder_append_locked(
     id_col: str,
     vec_col: str,
     token: str,
+    n_batch: int | None = None,
 ) -> None:
     """Recompute-mode append (already under the lock): re-verdict ONLY
     the batch's clusters under the full rebuild rule — merged
@@ -2010,6 +2049,9 @@ def _semantic_reorder_append_locked(
         f"batch-{token}",
         assigned.select(F.col(id_col), "centroid_id"),
         id_col,
+        # the caller's batch-stats aggregation already counted the
+        # batch — no dedicated Bloom-sizing count job
+        n_rows=n_batch,
     )
     base = spark.read.parquet(f"{index_path}/assigned").filter(
         F.col("centroid_id").isin(probed)
@@ -2256,16 +2298,21 @@ def semantic_index_append(
             vec_col=vec_col,
         )
         assigned = cut(assigned, eager=False)
-        # ONE job yields both the probed-cluster list and each
-        # cluster's batch-min id (the probed-collect and the guard's
-        # batch side used to be two jobs over the same frame)
+        # ONE job yields the probed-cluster list, each cluster's
+        # batch-min id, AND the batch size (the probed-collect, the
+        # guard's batch side, and the reorder sidecar's Bloom-sizing
+        # count used to be three jobs over the same frame)
         batch_stats = (
             assigned.groupBy("centroid_id")
-            .agg(F.min(id_col).alias("_bmin"))
+            .agg(
+                F.min(id_col).alias("_bmin"),
+                F.count(F.lit(1)).alias("_bn"),
+            )
             .collect()
         )
         probed = [r.centroid_id for r in batch_stats]
         bmins = {r.centroid_id: r["_bmin"] for r in batch_stats}
+        n_batch = sum(int(r["_bn"]) for r in batch_stats)
         base = spark.read.parquet(f"{index_path}/assigned").filter(
             F.col("centroid_id").isin(probed)
         )
@@ -2296,23 +2343,49 @@ def semantic_index_append(
             or (bmins[c] is not None and hmax[c] < bmins[c])
             for c in probed
         )
-        viol = (
-            []
-            if proved
-            else (
-                hist.groupBy("centroid_id")
-                .agg(F.max(id_col).alias("_hmax"))
-                .join(
-                    assigned.groupBy("centroid_id").agg(
-                        F.min(id_col).alias("_bmin")
-                    ),
-                    "centroid_id",
-                )
-                .filter(F.col("_hmax") >= F.col("_bmin"))
-                .limit(1)
-                .collect()
+        viol: list = []
+        if not proved:
+            # when footer stats are available AND nothing removes rows
+            # from the exact job's scan (no tombstones, no reorder
+            # exclusion markers), the int-typed footer max IS the exact
+            # history max — decide the violation driver-side instead of
+            # scheduling the exact aggregate-join job (up to 4 AQE
+            # stage-jobs per tripped guard; sem_reord trips it on every
+            # backfill by construction)
+            exact_footer = (
+                hmax is not None
+                and _read_tombstones(spark, index_path) is None
+                and not _load_reorder_exclusions(spark, index_path)
             )
-        )
+            if exact_footer:
+                from types import SimpleNamespace
+
+                viol = sorted(
+                    (
+                        SimpleNamespace(
+                            centroid_id=c, _hmax=hmax[c], _bmin=bmins[c]
+                        )
+                        for c in probed
+                        if c in hmax
+                        and bmins[c] is not None
+                        and hmax[c] >= bmins[c]
+                    ),
+                    key=lambda v: v.centroid_id,
+                )[:1]
+            else:
+                viol = (
+                    hist.groupBy("centroid_id")
+                    .agg(F.max(id_col).alias("_hmax"))
+                    .join(
+                        assigned.groupBy("centroid_id").agg(
+                            F.min(id_col).alias("_bmin")
+                        ),
+                        "centroid_id",
+                    )
+                    .filter(F.col("_hmax") >= F.col("_bmin"))
+                    .limit(1)
+                    .collect()
+                )
         if viol:
             if allow_reorder:
                 _semantic_reorder_append_locked(
@@ -2324,6 +2397,7 @@ def semantic_index_append(
                     id_col=id_col,
                     vec_col=vec_col,
                     token=token,
+                    n_batch=n_batch,
                 )
                 return token
             v = viol[0]
