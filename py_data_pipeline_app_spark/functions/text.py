@@ -156,7 +156,21 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
-def doc_fingerprint(col: Column | str, gram: int = 16) -> dict[str, Column]:
+def _qident(c: str) -> str:
+    """Backtick-quoted identifier for splicing a column NAME into a
+    parsed expression — embedded backticks are doubled (the SQL
+    identifier escape)."""
+    return "`" + c.replace("`", "``") + "`"
+
+
+def normalize_text_sql(src: str) -> str:
+    """Parsed-expression SOURCE TEXT of :func:`normalize_text` over the
+    expression source ``src`` (same casts/patterns, token for token —
+    pinned by the renderer parity suite)."""
+    return f"trim(regexp_replace(lower({src}), '[^a-z0-9]+', ' '))"
+
+
+def doc_fingerprint(col: str, gram: int = 16) -> dict[str, Column]:
     """Document fingerprints: whole-text md5 plus min/max rolling-hash
     over character ``gram``-grams (winnowing-style selection of extreme
     shingle hashes — order-independent, robust to small edits at the
@@ -167,22 +181,25 @@ def doc_fingerprint(col: Column | str, gram: int = 16) -> dict[str, Column]:
     calls between min and max (measured 5.5× slower at sf0.1). In a
     query, prefer :func:`with_doc_fingerprints`, which materializes the
     gram-hash array once per row."""
-    c = F.col(col) if isinstance(col, str) else col
-    norm = normalize_text(c)
+    norm = normalize_text_sql(_qident(col))
     gram_hashes = _gram_hashes(norm, gram)
     return {
-        "md5_fingerprint": F.md5(norm),
+        "md5_fingerprint": F.expr(f"md5({norm})"),
         "min_gram_hash": F.array_min(gram_hashes),
         "max_gram_hash": F.array_max(gram_hashes),
     }
 
 
-def _gram_hashes(norm: Column, gram: int) -> Column:
-    n = F.length(norm)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(gram - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: norm.substr(i, F.lit(gram)))
-    return F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+def _gram_hashes(src: str, gram: int) -> Column:
+    """The ~|doc| character-gram rolling-hash array as ONE parsed
+    expression over the normalized string's source text ``src`` (the
+    Column-composed twin cost two transform-lambda compositions of
+    py4j round trips per call site — the run_length_stats rationale;
+    parity-pinned)."""
+    return F.expr(
+        f"transform(transform(sequence(1, greatest(length({src}) - "
+        f"{gram - 1}, 1)), i -> substring({src}, i, {gram})), "
+        "g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
     )
 
 
@@ -199,7 +216,7 @@ def with_doc_fingerprints(
     # unsplittable one-file scan it runs on one core (guide §2.5)
     return (
         fan_out(df).withColumn("_fp_norm", normalize_text(c))
-        .withColumn("_fp_gh", _gram_hashes(F.col("_fp_norm"), gram))
+        .withColumn("_fp_gh", _gram_hashes("`_fp_norm`", gram))
         .withColumn("md5_fingerprint", F.md5("_fp_norm"))
         .withColumn("min_gram_hash", F.array_min("_fp_gh"))
         .withColumn("max_gram_hash", F.array_max("_fp_gh"))
@@ -310,46 +327,40 @@ def winnowing_fingerprints(
     # row is the expensive narrow stage; an unsplittable one-file scan
     # would pin it to one core (guide §2.5)
     staged = fan_out(df).withColumn("_wf_norm", normalize_text(c)).withColumn(
-        "_wf_t0", _gram_hashes(F.col("_wf_norm"), gram)
+        "_wf_t0", _gram_hashes("`_wf_norm`", gram)
     )
     # sparse-table levels: _wf_t{k}[i] = min(gh[i .. i+2^k-1]); level k
     # has max(m - 2^k + 1, 1) entries (clamped so short rows — which
     # take the global-min branch below anyway — still build valid,
-    # in-bounds arrays at every level).
+    # in-bounds arrays at every level). Each level renders as ONE
+    # parsed expression (the _gram_hashes rationale; parity-pinned).
     levels = 0
     step = 1
     while step * 2 <= window:
-        prev = F.col(f"_wf_t{levels}")
+        prev = f"`_wf_t{levels}`"
         staged = staged.withColumn(
             f"_wf_t{levels + 1}",
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(prev) - step, F.lit(1))),
-                # closure over step/prev is safe: F.transform invokes
-                # the lambda eagerly while building the expression
-                lambda i: F.least(
-                    F.element_at(prev, i),
-                    F.element_at(prev, F.least(i + step, F.size(prev))),
-                ),
+            F.expr(
+                f"transform(sequence(1, greatest(size({prev}) - {step}, 1)), "
+                f"i -> least(element_at({prev}, i), "
+                f"element_at({prev}, least(i + {step}, size({prev})))))"
             ),
         )
         levels += 1
         step *= 2
-    gh = F.col("_wf_t0")
-    top = F.col(f"_wf_t{levels}")
+    gh = "`_wf_t0`"
+    top = f"`_wf_t{levels}`"
     # window [p, p+window-1] = top-level block at p ∪ block at
     # p+window-2^levels (they overlap; min is idempotent)
     tail = window - step
     staged = staged.withColumn(
         "_wf_mins",
-        F.when(
-            F.size(gh) <= window, F.array(F.array_min(gh))
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(gh) - window + 1),
-                lambda p: F.least(
-                    F.element_at(top, p), F.element_at(top, p + tail)
-                ),
-            )
+        F.expr(
+            f"CASE WHEN size({gh}) <= {window} "
+            f"THEN array(array_min({gh})) "
+            f"ELSE transform(sequence(1, size({gh}) - {window} + 1), "
+            f"p -> least(element_at({top}, p), "
+            f"element_at({top}, p + {tail}))) END"
         ),
     )
     return staged.select(

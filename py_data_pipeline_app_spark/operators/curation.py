@@ -42,13 +42,20 @@ from py_data_pipeline_app_spark.partitioning import cut, fan_out
 # ---------------------------------------------------------------------------
 
 
-def run_length_stats(sorted_arr: Column) -> Column:
+def run_length_stats(sorted_src: str) -> Column:
     """Occurrence statistics of a SORTED string array via one
-    sequential fold (``F.aggregate`` with a struct accumulator):
+    sequential fold (``aggregate`` with a struct accumulator):
     ``struct(top_count, n_distinct, dup_occurrences)`` where
     ``top_count`` is the longest equal-run (= the most frequent
     element's count), ``n_distinct`` the number of runs, and
     ``dup_occurrences`` the total length of runs longer than 1.
+
+    ``sorted_src`` is the array's parsed-expression SOURCE TEXT (e.g.
+    ``"sort_array(`_toks`)"`` over a staged column) — the whole fold
+    renders as ONE ``F.expr`` (the Column-composed builder cost ~110
+    py4j round trips of pure construction latency per call site,
+    measured r16; the rendered SQL parses to the identical expression
+    tree, pinned by the renderer parity suite).
 
     This is the zero-shuffle shape for per-document occurrence stats:
     a document's tokens all live in its own row, so counting them
@@ -56,42 +63,28 @@ def run_length_stats(sorted_arr: Column) -> Column:
     entirely inside whole-stage codegen, versus the explode →
     groupBy(doc, word) → groupBy(doc) alternative whose first shuffle
     moves a row per distinct (doc, word)."""
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top"),
-        F.lit(0).cast("long").alias("nd"),
-        F.lit(0).cast("long").alias("dup"),
+    return F.expr(
+        f"aggregate({sorted_src}, "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS top, CAST(0 AS BIGINT) AS nd, "
+        "CAST(0 AS BIGINT) AS dup), "
+        "(acc, x) -> struct("
+        "x AS prev, "
+        "CASE WHEN acc.prev IS NOT NULL AND acc.prev = x "
+        "THEN acc.run + 1 ELSE 1 END AS run, "
+        "CASE WHEN acc.prev IS NOT NULL AND acc.prev != x "
+        "THEN greatest(acc.top, acc.run) ELSE acc.top END AS top, "
+        "CASE WHEN acc.prev IS NOT NULL AND acc.prev != x "
+        "THEN acc.nd + 1 ELSE acc.nd END AS nd, "
+        "CASE WHEN acc.prev IS NOT NULL AND acc.prev != x AND acc.run > 1 "
+        "THEN acc.dup + acc.run ELSE acc.dup END AS dup), "
+        "acc -> struct("
+        "greatest(acc.top, acc.run) AS top_count, "
+        "acc.nd + (CASE WHEN acc.prev IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS n_distinct, "
+        "CASE WHEN acc.run > 1 THEN acc.dup + acc.run ELSE acc.dup END "
+        "AS dup_occurrences))"
     )
-
-    def step(acc: Column, x: Column) -> Column:
-        same = acc["prev"].isNotNull() & (acc["prev"] == x)
-        ended = acc["prev"].isNotNull() & (acc["prev"] != x)
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(ended, F.greatest(acc["top"], acc["run"]))
-            .otherwise(acc["top"])
-            .alias("top"),
-            F.when(ended, acc["nd"] + 1).otherwise(acc["nd"]).alias("nd"),
-            F.when(ended & (acc["run"] > 1), acc["dup"] + acc["run"])
-            .otherwise(acc["dup"])
-            .alias("dup"),
-        )
-
-    def finish(acc: Column) -> Column:
-        return F.struct(
-            F.greatest(acc["top"], acc["run"]).alias("top_count"),
-            (
-                acc["nd"]
-                + F.when(acc["prev"].isNotNull(), F.lit(1)).otherwise(F.lit(0))
-            ).alias("n_distinct"),
-            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
-            .otherwise(acc["dup"])
-            .alias("dup_occurrences"),
-        )
-
-    return F.aggregate(sorted_arr, init, step, finish)
 
 
 def word_repetition_stats(
@@ -109,7 +102,7 @@ def word_repetition_stats(
     fan_out: the per-row sort + fold is expensive narrow compute —
     pinned to one core on an unsplittable one-file scan (guide §2.5)."""
     d = fan_out(df).withColumn("_toks", tokens(text_col)).withColumn(
-        "_ws", run_length_stats(F.sort_array(F.col("_toks")))
+        "_ws", run_length_stats("sort_array(`_toks`)")
     )
     return d.select(
         F.col(id_col),
@@ -142,18 +135,18 @@ def with_token_chunks(
     return staged.withColumn(out, chunks).drop("_ck_toks")
 
 
-def ngrams_of(toks: Column, n: int) -> Column:
+def ngrams_of(toks_src: str, n: int) -> Column:
     """Word ``n``-grams of a token array as space-joined strings;
     arrays shorter than ``n`` yield their whole run as the single gram
     (never an empty array, so downstream explodes keep every
-    document)."""
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
-
-
-def ngram_array(text_col: Column | str, n: int) -> Column:
-    """Word ``n``-grams of the text — see :func:`ngrams_of`."""
-    return ngrams_of(tokens(text_col), n)
+    document). ``toks_src`` is the array's parsed-expression SOURCE
+    TEXT (a staged column's backticked name at every call site) — one
+    ``F.expr`` instead of ~20 Column-composition round trips (the
+    run_length_stats rationale; parity-pinned)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks_src}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({toks_src}, i, {n}), ' '))"
+    )
 
 
 def gram_repetition_stats(
@@ -167,8 +160,8 @@ def gram_repetition_stats(
     # (the word_shingles staging rule); fan_out past a one-file scan
     d = (
         fan_out(df).withColumn("_rtoks", tokens(text_col))
-        .withColumn("_g", ngrams_of(F.col("_rtoks"), n))
-        .withColumn("_gs", run_length_stats(F.sort_array(F.col("_g"))))
+        .withColumn("_g", ngrams_of("`_rtoks`", n))
+        .withColumn("_gs", run_length_stats("sort_array(`_g`)"))
     )
     return d.select(
         F.col(id_col),
@@ -200,9 +193,9 @@ def repetition_filter(
     no-op on an already-wide corpus)."""
     d = (
         fan_out(df).withColumn("_toks", tokens(text_col))
-        .withColumn("_ws", run_length_stats(F.sort_array(F.col("_toks"))))
-        .withColumn("_g2", ngrams_of(F.col("_toks"), 2))
-        .withColumn("_gs", run_length_stats(F.sort_array(F.col("_g2"))))
+        .withColumn("_ws", run_length_stats("sort_array(`_toks`)"))
+        .withColumn("_g2", ngrams_of("`_toks`", 2))
+        .withColumn("_gs", run_length_stats("sort_array(`_g2`)"))
     )
     top_word_frac = F.round(
         F.col("_ws.top_count").cast("double") / F.size("_toks"), 6
@@ -290,12 +283,12 @@ def contamination_stats(
     # staging rule: an inlined tokens() re-splits the text per gram)
     bench_grams = (
         benchmark.withColumn("_btoks", tokens(text_col))
-        .select(F.explode(ngrams_of(F.col("_btoks"), n)).alias("_bg"))
+        .select(F.explode(ngrams_of("`_btoks`", n)).alias("_bg"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     doc_grams = docs.withColumn("_dtoks", tokens(text_col)).select(
-        F.col(id_col), F.explode(ngrams_of(F.col("_dtoks"), n)).alias("_g")
+        F.col(id_col), F.explode(ngrams_of("`_dtoks`", n)).alias("_g")
     )
     joined = doc_grams.join(
         F.broadcast(bench_grams), doc_grams._g == bench_grams._bg, "left"

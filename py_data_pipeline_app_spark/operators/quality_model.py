@@ -54,47 +54,50 @@ def quality_feature_frame(
     sorted token array in one fold, and the share of tokens in the
     frozen multilingual stopword list (gibberish has prose-like
     diversity but zero function words — the classic tell)."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    txt = F.col(text_col)
-    n_chars = F.greatest(F.length(txt), F.lit(1))
-    punct = F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", ""))
-    digits = F.length(F.regexp_replace(txt, r"[^0-9]", ""))
+    # Every feature renders as ONE parsed expression over a STAGED
+    # token-array column (the run_length_stats rationale: the
+    # Column-composed builders — the Simpson fold's lambdas, the
+    # stopword isin's one-py4j-lit-per-word — cost ~370 round trips of
+    # pure construction latency per call site, measured r16). Staging
+    # `_qf_toks` is also an execution win the old shape left on the
+    # table: codegen does not CSE the tokenize between features, so
+    # the inlined form re-split the text once per feature. The parsed
+    # forms are value-pinned by the renderer parity suite.
+    from py_data_pipeline_app_spark.functions.text import _qident
+
+    txt = _qident(text_col)
+    toks = "`_qf_toks`"
+    n = f"size({toks})"
+    n_chars = f"greatest(length({txt}), 1)"
+    punct = f"length(regexp_replace({txt}, '[A-Za-z0-9\\\\s]', ''))"
+    digits = f"length(regexp_replace({txt}, '[^0-9]', ''))"
     # Σ c_t² via one fold over the sorted array (run lengths)
-    sorted_toks = F.sort_array(toks)
-    c2 = F.aggregate(
-        sorted_toks,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("acc"),
-        ),
-        lambda a, x: F.struct(
-            x.alias("prev"),
-            F.when(a["prev"].isNotNull() & (a["prev"] == x), a["run"] + 1)
-            .otherwise(F.lit(1))
-            .alias("run"),
-            F.when(
-                a["prev"].isNotNull() & (a["prev"] != x),
-                a["acc"] + a["run"] * a["run"],
-            )
-            .otherwise(a["acc"])
-            .alias("acc"),
-        ),
-        lambda a: a["acc"] + a["run"] * a["run"],
+    c2 = (
+        f"aggregate(sort_array({toks}), "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS acc), "
+        "(a, x) -> struct("
+        "x AS prev, "
+        "CASE WHEN a.prev IS NOT NULL AND a.prev = x THEN a.run + 1 "
+        "ELSE 1 END AS run, "
+        "CASE WHEN a.prev IS NOT NULL AND a.prev != x "
+        "THEN a.acc + a.run * a.run ELSE a.acc END AS acc), "
+        "a -> a.acc + a.run * a.run)"
     )
-    distinct = F.size(F.array_distinct(toks))
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*_ALL_STOPWORDS))
-    )
-    return docs.select(
+    stop_list = ", ".join("'" + w.replace("'", "''") + "'" for w in _ALL_STOPWORDS)
+    stop_hits = f"size(filter({toks}, t -> lower(t) IN ({stop_list})))"
+    return docs.withColumn("_qf_toks", tokens(text_col)).select(
         F.col(id_col),
-        F.log(n.cast("double") + 1.0).alias("f_log_tokens"),
-        (distinct.cast("double") / n).alias("f_distinct_ratio"),
-        (punct.cast("double") / n_chars).alias("f_punct_share"),
-        (digits.cast("double") / n_chars).alias("f_digit_share"),
-        (F.lit(1.0) - c2.cast("double") / (n * n).cast("double")).alias("f_simpson"),
-        (stop_hits.cast("double") / n).alias("f_stopword_share"),
+        F.expr(f"ln(CAST({n} AS DOUBLE) + 1.0D)").alias("f_log_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct({toks})) AS DOUBLE) / {n}"
+        ).alias("f_distinct_ratio"),
+        F.expr(f"CAST({punct} AS DOUBLE) / {n_chars}").alias("f_punct_share"),
+        F.expr(f"CAST({digits} AS DOUBLE) / {n_chars}").alias("f_digit_share"),
+        F.expr(
+            f"1.0D - CAST({c2} AS DOUBLE) / CAST({n} * {n} AS DOUBLE)"
+        ).alias("f_simpson"),
+        F.expr(f"CAST({stop_hits} AS DOUBLE) / {n}").alias("f_stopword_share"),
     )
 
 

@@ -428,3 +428,233 @@ def test_media_from_documents_parity(spark):
         ).alias("meta"),
     )
     assert _hexed(parsed.collect()) == _hexed(composed.collect())
+
+
+# ---------------------------------------------------------------------------
+# Round-16 wave 2: the narrow text/quality builders (run_length_stats,
+# ngrams_of, _gram_hashes + winnowing levels, quality features) — each
+# parsed form vs the composed Column builder it replaced.
+# ---------------------------------------------------------------------------
+
+_RLS_DOCS = [
+    ("a b a b a",),
+    ("x",),
+    ("",),
+    ("q q q q",),
+    ("one two three two one two",),
+]
+
+
+def _composed_run_length_stats(sorted_arr):
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("nd"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        ended = acc["prev"].isNotNull() & (acc["prev"] != x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(ended, F.greatest(acc["top"], acc["run"]))
+            .otherwise(acc["top"])
+            .alias("top"),
+            F.when(ended, acc["nd"] + 1).otherwise(acc["nd"]).alias("nd"),
+            F.when(ended & (acc["run"] > 1), acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            F.greatest(acc["top"], acc["run"]).alias("top_count"),
+            (
+                acc["nd"]
+                + F.when(acc["prev"].isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_distinct"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup_occurrences"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def test_run_length_stats_parity(spark):
+    from py_data_pipeline_app_spark.functions.text import tokens
+    from py_data_pipeline_app_spark.operators.curation import run_length_stats
+
+    d = local_rows_df(spark, "text string", _RLS_DOCS).withColumn(
+        "_toks", F.filter(tokens("text"), lambda x: x != "")
+    )
+    _assert_frame_parity(
+        d.select(run_length_stats("sort_array(`_toks`)").alias("s")),
+        d.select(
+            _composed_run_length_stats(F.sort_array(F.col("_toks"))).alias("s")
+        ),
+    )
+
+
+def test_ngrams_of_parity(spark):
+    from py_data_pipeline_app_spark.functions.text import tokens
+    from py_data_pipeline_app_spark.operators.curation import ngrams_of
+
+    d = local_rows_df(spark, "text string", _RLS_DOCS).withColumn(
+        "_toks", tokens("text")
+    )
+    for n in (2, 3):
+        composed_starts = F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("_toks")) - F.lit(n - 1), F.lit(1))
+        )
+        composed = F.transform(
+            composed_starts,
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+        )
+        _assert_frame_parity(
+            d.select(ngrams_of("`_toks`", n).alias("g")),
+            d.select(composed.alias("g")),
+        )
+
+
+def test_gram_hashes_and_winnowing_parity(spark):
+    from py_data_pipeline_app_spark.functions.text import (
+        _gram_hashes,
+        normalize_text,
+        normalize_text_sql,
+    )
+
+    gram = 4
+    d = local_rows_df(
+        spark,
+        "text string",
+        [("The quick brown fox jumps over the lazy dog",), ("ab",), ("",)],
+    ).withColumn("_norm", normalize_text(F.col("text")))
+    # normalize_text_sql vs normalize_text
+    _assert_frame_parity(
+        d.select(F.expr(normalize_text_sql("`text`")).alias("n")),
+        d.select(normalize_text(F.col("text")).alias("n")),
+    )
+    norm = F.col("_norm")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - F.lit(gram - 1), F.lit(1))
+    )
+    grams = F.transform(starts, lambda i: norm.substr(i, F.lit(gram)))
+    composed_gh = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    _assert_frame_parity(
+        d.select(_gram_hashes("`_norm`", gram).alias("gh")),
+        d.select(composed_gh.alias("gh")),
+    )
+    # one sparse-table level + the window-min selection over a staged
+    # hash array (the winnowing_fingerprints inner expressions)
+    staged = d.select(_gram_hashes("`_norm`", gram).alias("_t0"))
+    step, window = 1, 2
+    prev = F.col("_t0")
+    composed_level = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(prev) - step, F.lit(1))),
+        lambda i: F.least(
+            F.element_at(prev, i),
+            F.element_at(prev, F.least(i + step, F.size(prev))),
+        ),
+    )
+    parsed_level = F.expr(
+        f"transform(sequence(1, greatest(size(`_t0`) - {step}, 1)), "
+        f"i -> least(element_at(`_t0`, i), "
+        f"element_at(`_t0`, least(i + {step}, size(`_t0`)))))"
+    )
+    _assert_frame_parity(
+        staged.select(parsed_level.alias("l")),
+        staged.select(composed_level.alias("l")),
+    )
+    lv = staged.select("_t0", parsed_level.alias("_t1"))
+    top, tail = F.col("_t1"), window - 2
+    gh = F.col("_t0")
+    composed_mins = F.when(
+        F.size(gh) <= window, F.array(F.array_min(gh))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(gh) - window + 1),
+            lambda p: F.least(
+                F.element_at(top, p), F.element_at(top, p + tail)
+            ),
+        )
+    )
+    parsed_mins = F.expr(
+        f"CASE WHEN size(`_t0`) <= {window} THEN array(array_min(`_t0`)) "
+        f"ELSE transform(sequence(1, size(`_t0`) - {window} + 1), "
+        f"p -> least(element_at(`_t1`, p), element_at(`_t1`, p + {tail}))) END"
+    )
+    _assert_frame_parity(
+        lv.select(parsed_mins.alias("m")), lv.select(composed_mins.alias("m"))
+    )
+
+
+def test_quality_feature_frame_parity(spark):
+    """The parsed feature expressions vs the composed builders they
+    replaced (including the Simpson fold and the stopword IN list)."""
+    from py_data_pipeline_app_spark.functions.text import tokens
+    from py_data_pipeline_app_spark.operators.quality_model import (
+        _ALL_STOPWORDS,
+        quality_feature_frame,
+    )
+
+    docs = local_rows_df(
+        spark,
+        "doc_id long, text string",
+        [
+            (1, "the cat and the hat sat on the mat"),
+            (2, "buy buy buy buy buy"),
+            (3, "Ein der 123 !!! das und 42"),
+            (4, "x"),
+        ],
+    )
+    toks = tokens("text")
+    n = F.size(toks)
+    txt = F.col("text")
+    n_chars = F.greatest(F.length(txt), F.lit(1))
+    punct = F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(txt, r"[^0-9]", ""))
+    sorted_toks = F.sort_array(toks)
+    c2 = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(a["prev"].isNotNull() & (a["prev"] == x), a["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(
+                a["prev"].isNotNull() & (a["prev"] != x),
+                a["acc"] + a["run"] * a["run"],
+            )
+            .otherwise(a["acc"])
+            .alias("acc"),
+        ),
+        lambda a: a["acc"] + a["run"] * a["run"],
+    )
+    distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*_ALL_STOPWORDS))
+    )
+    composed = docs.select(
+        F.col("doc_id"),
+        F.log(n.cast("double") + 1.0).alias("f_log_tokens"),
+        (distinct.cast("double") / n).alias("f_distinct_ratio"),
+        (punct.cast("double") / n_chars).alias("f_punct_share"),
+        (digits.cast("double") / n_chars).alias("f_digit_share"),
+        (F.lit(1.0) - c2.cast("double") / (n * n).cast("double")).alias(
+            "f_simpson"
+        ),
+        (stop_hits.cast("double") / n).alias("f_stopword_share"),
+    )
+    _assert_frame_parity(quality_feature_frame(docs), composed)

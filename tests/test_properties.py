@@ -30,7 +30,7 @@ def test_run_length_stats_matches_counter(spark, toklists):
         [(i, toks) for i, toks in enumerate(toklists)],
     )
     out = df.select(
-        "i", run_length_stats(F.sort_array(F.col("toks"))).alias("s")
+        "i", run_length_stats("sort_array(`toks`)").alias("s")
     ).collect()
     for r in out:
         c = Counter(toklists[r.i])

@@ -74,7 +74,7 @@ def test_quality_features_known_values(spark):
 
 
 def test_doc_fingerprint_stability_and_sensitivity(spark):
-    fp = TXT.doc_fingerprint(F.col("text"))
+    fp = TXT.doc_fingerprint("text")
     df = spark.createDataFrame(
         [("Hello, World!",), ("hello   world",), ("goodbye world",)], ["text"]
     ).select(F.col("text"), *[e.alias(n) for n, e in fp.items()])
