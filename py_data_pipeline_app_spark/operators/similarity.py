@@ -368,25 +368,32 @@ def hyperplane_lsh_near_dup_pairs(
             n_rows, threshold, target_recall=target_recall
         )
     planes = _deterministic_hyperplanes(dim, n_planes)
-    vec = F.col(vec_col)
-    projs = F.transform(
-        float_matrix_lit(planes),
-        lambda plane: F.aggregate(
-            F.zip_with(vec, plane, lambda p, q: p.cast("double") * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
+    # the projection fold, sign bits and band keys render as ONE parsed
+    # expression (the ADC/_adc_rank rationale: the Column-composed chain
+    # cost ~500 py4j round trips per construction, measured r16; the
+    # rendered SQL parses to the identical expression tree — pinned by
+    # the renderer parity suite). The bits subtree is textually inlined
+    # once per band exactly as the composed form referenced its Column
+    # tree once per band.
+    vecq = _qident(vec_col)
+    projs_sql = (
+        f"transform({render_float_matrix(planes)}, plane -> "
+        f"aggregate(zip_with({vecq}, plane, (p, q) -> "
+        "CAST(p AS DOUBLE) * q), 0.0D, (acc, v) -> acc + v))"
     )
-    bits = F.transform(projs, lambda p: F.when(p > 0, F.lit("1")).otherwise(F.lit("0")))
+    bits_sql = (
+        f"transform({projs_sql}, p -> "
+        "CASE WHEN p > 0 THEN '1' ELSE '0' END)"
+    )
     r = n_planes // bands
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.array_join(F.slice(bits, bi * r + 1, r), "").alias("bucket"),
-            )
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({bi} AS band, "
+            f"array_join(slice({bits_sql}, {bi * r + 1}, {r}), '') AS bucket)"
             for bi in range(bands)
-        ]
+        )
+        + ")"
     )
     # fan_out only the projection branch: the n_planes×dim interpreted
     # fold is the expensive narrow stage (guide §2.5); the va/vb

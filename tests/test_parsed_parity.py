@@ -658,3 +658,68 @@ def test_quality_feature_frame_parity(spark):
         (stop_hits.cast("double") / n).alias("f_stopword_share"),
     )
     _assert_frame_parity(quality_feature_frame(docs), composed)
+
+
+def test_hyperplane_banding_parity(spark):
+    """hyperplane_lsh_near_dup_pairs' parsed projection/bits/band-key
+    chain vs the composed Column form it replaced."""
+    from py_data_pipeline_app_spark.operators.similarity import (
+        _deterministic_hyperplanes,
+        float_matrix_lit,
+        render_float_matrix,
+    )
+
+    dim, n_planes, bands = 4, 8, 2
+    planes = _deterministic_hyperplanes(dim, n_planes)
+    d = local_rows_df(
+        spark,
+        "vec_id long, embedding array<double>",
+        [
+            (1, [1.0, -2.0, 0.5, 4.0]),
+            (2, [-0.1, 0.2, -0.3, 0.4]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+        ],
+    )
+    vec = F.col("embedding")
+    projs = F.transform(
+        float_matrix_lit(planes),
+        lambda plane: F.aggregate(
+            F.zip_with(vec, plane, lambda p, q: p.cast("double") * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bits = F.transform(
+        projs, lambda p: F.when(p > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    r = n_planes // bands
+    composed = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.array_join(F.slice(bits, bi * r + 1, r), "").alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    projs_sql = (
+        f"transform({render_float_matrix(planes)}, plane -> "
+        "aggregate(zip_with(`embedding`, plane, (p, q) -> "
+        "CAST(p AS DOUBLE) * q), 0.0D, (acc, v) -> acc + v))"
+    )
+    bits_sql = (
+        f"transform({projs_sql}, p -> CASE WHEN p > 0 THEN '1' ELSE '0' END)"
+    )
+    parsed = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({bi} AS band, "
+            f"array_join(slice({bits_sql}, {bi * r + 1}, {r}), '') AS bucket)"
+            for bi in range(bands)
+        )
+        + ")"
+    )
+    _assert_frame_parity(
+        d.select("vec_id", parsed.alias("bk")),
+        d.select("vec_id", composed.alias("bk")),
+    )
